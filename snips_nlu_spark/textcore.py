@@ -1,0 +1,194 @@
+"""Text core: tokenization, normalization, span utilities.
+
+These pure functions are the shared spec for BOTH the driver-side fit code
+and the executor-side Arrow-batch kernels, so fit and inference agree by
+construction (the reference delegates this to the Rust ``snips_nlu_utils``
+crate — see /root/reference/snips_nlu/preprocessing.py:42-97 — which is
+unavailable here, so this module *is* the tokenizer spec).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable, NamedTuple, Sequence
+
+
+class Token(NamedTuple):
+    """A token with its character span in the original string.
+
+    Mirrors the reference Token (value, start, end) at
+    /root/reference/snips_nlu/preprocessing.py:42-70.
+    """
+
+    value: str
+    start: int
+    end: int
+
+
+# Word = run of unicode word chars (incl. digits, underscore removed);
+# everything that is neither word nor whitespace is a single-char symbol
+# token. This is the project-wide tokenizer spec.
+_TOKEN_RE = re.compile(r"[^\W_]+|[^\w\s]|_", re.UNICODE)
+
+_WS_RE = re.compile(r"\s+", re.UNICODE)
+
+
+def tokenize(text: str) -> list[Token]:
+    """Tokenize with character ranges (ref: preprocessing.py:72-89)."""
+    return [
+        Token(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)
+    ]
+
+
+def tokenize_light(text: str) -> list[str]:
+    """Token strings only (ref: preprocessing.py:91-97)."""
+    return [m.group(0) for m in _TOKEN_RE.finditer(text)]
+
+
+def normalize(text: str) -> str:
+    """Lowercase + strip diacritics (NFKD fold), the normalization used for
+    stop-word tests and gazetteer keys (ref: Rust ``normalize`` used at
+    preprocessing.py:29-36)."""
+    nfkd = unicodedata.normalize("NFKD", text.lower())
+    return "".join(c for c in nfkd if not unicodedata.combining(c))
+
+
+def normalize_token_text(text: str) -> str:
+    """Normalization used for matching keys: collapse whitespace too."""
+    return _WS_RE.sub(" ", normalize(text)).strip()
+
+
+def stem(value: str, stems: dict[str, str]) -> str:
+    """Dictionary stemming (ref: preprocessing.py:9-27): per-token lookup."""
+    return " ".join(stems.get(t, t) for t in tokenize_light(value))
+
+
+_REGEX_SPECIAL = set("\\.+*?()|[]{}^$#&-~")
+
+
+def regex_escape(s: str) -> str:
+    """Escape regex metacharacters the way the reference does so compiled
+    patterns are byte-compatible with its persisted models
+    (ref: common/utils.py:23-43)."""
+    return "".join("\\" + c if c in _REGEX_SPECIAL else c for c in s)
+
+
+def get_shape(token: str) -> str:
+    """Token shape class: xxx / XXX / Xxx / xX
+    (ref: Rust get_shape, used at slot_filler/feature_factory.py:323-331)."""
+    if token.islower():
+        return "xxx"
+    if token.isupper():
+        return "XXX"
+    if token and token[0].isupper() and token[1:].islower():
+        return "Xxx"
+    return "xX"
+
+
+def get_word_chunk(word: str, chunk_size: int, chunk_start: int,
+                   reverse: bool = False) -> str | None:
+    """Prefix/suffix extraction (ref: slot_filler/features_utils.py:23-30)."""
+    if chunk_size < 1:
+        return None
+    if chunk_size > len(word):
+        return None
+    if reverse:
+        return word[chunk_start - chunk_size:chunk_start]
+    return word[chunk_start:chunk_start + chunk_size]
+
+
+def get_all_ngrams(tokens: Sequence[str]) -> list[dict]:
+    """All contiguous n-grams with their token indexes
+    (ref: slot_filler/features_utils.py:11-20, Rust compute_all_ngrams)."""
+    out = []
+    n = len(tokens)
+    for size in range(1, n + 1):
+        for start in range(0, n - size + 1):
+            out.append({
+                "ngram": " ".join(tokens[start:start + size]),
+                "token_indexes": list(range(start, start + size)),
+            })
+    return out
+
+
+def initial_string_from_tokens(tokens: Sequence[Token]) -> str:
+    """Reconstruct a string from spaced tokens
+    (ref: features_utils.py:33-41)."""
+    parts: list[str] = []
+    for i, t in enumerate(tokens):
+        if i:
+            parts.append(" " * (t.start - tokens[i - 1].end))
+        parts.append(t.value)
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Span utilities
+# ---------------------------------------------------------------------------
+
+def ranges_overlap(lhs: tuple[int, int], rhs: tuple[int, int]) -> bool:
+    """Half-open [start, end) overlap (ref: common/utils.py:143-152)."""
+    return lhs[0] < rhs[1] and lhs[1] > rhs[0]
+
+
+def deduplicate_overlapping_items(items: list, overlap_fn: Callable,
+                                  sort_key_fn: Callable) -> list:
+    """Greedy keep-first under sort_key_fn ordering
+    (ref: common/utils.py:165-176)."""
+    kept: list = []
+    for item in sorted(items, key=sort_key_fn):
+        if not any(overlap_fn(item, k) for k in kept):
+            kept.append(item)
+    return kept
+
+
+def deduplicate_overlapping_mentions(mentions: list[dict]) -> list[dict]:
+    """Keep longest (by raw value length) non-overlapping entity mentions,
+    returned in span order (ref: common/utils.py:216-231).
+
+    A mention dict carries at least {"start", "end", "value"}.
+    """
+    kept = deduplicate_overlapping_items(
+        mentions,
+        lambda a, b: ranges_overlap((a["start"], a["end"]),
+                                    (b["start"], b["end"])),
+        lambda m: -len(m["value"]),
+    )
+    return sorted(kept, key=lambda m: m["start"])
+
+
+def replace_entities_with_placeholders(
+        text: str, mentions: list[dict],
+        placeholder_fn: Callable[[str], str]) -> tuple[dict, str]:
+    """Substitute mention spans with placeholders; return the mapping from
+    placeholder-space ranges back to original ranges
+    (ref: common/utils.py:179-213).
+
+    Returns (range_mapping, processed_text) where range_mapping maps
+    (new_start, new_end) -> {"start": orig_start, "end": orig_end}.
+    """
+    if not mentions:
+        return {}, text
+    mentions = deduplicate_overlapping_mentions(mentions)
+    range_mapping: dict[tuple[int, int], dict] = {}
+    out: list[str] = []
+    offset = 0
+    cursor = 0
+    for m in mentions:
+        start, end = m["start"], m["end"]
+        out.append(text[cursor:start])
+        placeholder = placeholder_fn(m["entity_kind"])
+        new_start = start + offset
+        offset += len(placeholder) - (end - start)
+        new_end = end + offset
+        out.append(placeholder)
+        range_mapping[(new_start, new_end)] = {"start": start, "end": end}
+        cursor = end
+    out.append(text[cursor:])
+    return range_mapping, "".join(out)
+
+
+def entity_name_placeholder(entity_label: str) -> str:
+    """%ENTITYNAME% placeholder (ref: lookup_intent_parser.py:495-496)."""
+    return "%" + "".join(tokenize_light(entity_label)).upper() + "%"
