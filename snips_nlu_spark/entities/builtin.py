@@ -439,19 +439,27 @@ _SCANNERS: dict[str, Callable] = {
 
 class BuiltinEntityParser:
     """Stateless scanner over the builtin kinds; one instance per executor
-    (cheap — no compiled state beyond module-level tables)."""
+    (cheap — no compiled state beyond module-level tables). Parses are
+    memoized per (text, scope, anchor); treat results as immutable."""
+
+    def __init__(self) -> None:
+        from functools import lru_cache
+        self._parse_memo = lru_cache(maxsize=8192)(self._parse_impl)
 
     def parse(self, text: str, scope: Sequence[str] | None = None,
               anchor: _dt.datetime | None = None) -> list[dict]:
-        if scope is None:
-            scope = BUILTIN_KINDS
+        scope_key = BUILTIN_KINDS if scope is None else tuple(sorted(scope))
+        return list(self._parse_memo(text, scope_key, anchor))
+
+    def _parse_impl(self, text: str, scope: tuple[str, ...],
+                    anchor: _dt.datetime | None) -> tuple:
         tokens = tokenize(text)
         if not tokens:
-            return []
+            return ()
         cands = _number_candidates(tokens)
         mentions: list[dict] = []
         for kind in scope:
             scanner = _SCANNERS.get(kind)
             if scanner is not None:
                 mentions.extend(scanner(text, tokens, cands, anchor))
-        return sorted(mentions, key=lambda m: (m["start"], m["end"]))
+        return tuple(sorted(mentions, key=lambda m: (m["start"], m["end"])))

@@ -16,6 +16,7 @@ gazetteer dimension.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Sequence
 
 from ..textcore import normalize, tokenize
@@ -29,6 +30,9 @@ class GazetteerParser:
         # entity -> trie over normalized token sequences
         self._tries: dict[str, dict] = {}
         self._max_len: dict[str, int] = {}
+        # bounded per-instance memo (the reference keeps a LimitedSizeDict
+        # of 1000 entries per parser, entity_parser/entity_parser.py:22-55)
+        self._parse_memo = lru_cache(maxsize=2048)(self._parse_impl)
 
     # -- build (driver side) ------------------------------------------------
     @classmethod
@@ -65,12 +69,16 @@ class GazetteerParser:
     def parse(self, text: str, scope: Sequence[str] | None = None
               ) -> list[dict]:
         """Longest dictionary match per (entity, start token); returns
-        mention dicts sorted by span."""
-        if scope is None:
-            scope = self.entities
+        mention dicts sorted by span. Memoized per (text, scope) — treat
+        the returned mention dicts as immutable."""
+        scope_key = tuple(self.entities) if scope is None \
+            else tuple(sorted(scope))
+        return list(self._parse_memo(text, scope_key))
+
+    def _parse_impl(self, text: str, scope: tuple[str, ...]) -> tuple:
         tokens = tokenize(text)
         if not tokens:
-            return []
+            return ()
         norm = [normalize(t.value) for t in tokens]
         mentions: list[dict] = []
         n = len(tokens)
@@ -102,7 +110,7 @@ class GazetteerParser:
                         "resolved_value": {"kind": "Custom",
                                            "value": best_resolved},
                     })
-        return sorted(mentions, key=lambda m: (m["start"], m["end"]))
+        return tuple(sorted(mentions, key=lambda m: (m["start"], m["end"])))
 
     # -- persistence ---------------------------------------------------------
     def to_dict(self) -> dict:

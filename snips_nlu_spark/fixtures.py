@@ -1,0 +1,346 @@
+"""Training fixtures + generation pools.
+
+Three datasets with the same *feature coverage* as the reference's sample
+datasets (/root/reference/sample_datasets/{beverage,lights,flights}
+_dataset.json — builtin number, synonym canonicalization, extensible and
+non-extensible custom entities, multi-intent, datetime) but authored fresh
+for this project. ``combined_dataset`` merges them into the single engine
+the KG pipeline ships.
+
+Every pool below is an ordered tuple — generation indexes into them
+deterministically (see datagen.py); nothing is ever randomly drawn.
+"""
+
+from __future__ import annotations
+
+
+def beverage_dataset() -> dict:
+    return {
+        "language": "en",
+        "intents": {
+            "prepareBeverage": {
+                "utterances": [
+                    {"data": [
+                        {"text": "make me "},
+                        {"text": "two", "entity": "snips/number",
+                         "slot_name": "number_of_cups"},
+                        {"text": " cups of "},
+                        {"text": "coffee", "entity": "beverage_type",
+                         "slot_name": "beverage_type"},
+                    ]},
+                    {"data": [
+                        {"text": "brew "},
+                        {"text": "three", "entity": "snips/number",
+                         "slot_name": "number_of_cups"},
+                        {"text": " cups of "},
+                        {"text": "green tea", "entity": "beverage_type",
+                         "slot_name": "beverage_type"},
+                        {"text": " please"},
+                    ]},
+                    {"data": [
+                        {"text": "prepare a cup of "},
+                        {"text": "espresso", "entity": "beverage_type",
+                         "slot_name": "beverage_type"},
+                    ]},
+                    {"data": [
+                        {"text": "i want "},
+                        {"text": "one", "entity": "snips/number",
+                         "slot_name": "number_of_cups"},
+                        {"text": " "},
+                        {"text": "hot chocolate", "entity": "beverage_type",
+                         "slot_name": "beverage_type"},
+                        {"text": " right now"},
+                    ]},
+                    {"data": [
+                        {"text": "can you brew an "},
+                        {"text": "espresso", "entity": "beverage_type",
+                         "slot_name": "beverage_type"},
+                        {"text": " for me"},
+                    ]},
+                ]
+            }
+        },
+        "entities": {
+            "beverage_type": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "espresso",
+                     "synonyms": ["expresso", "espressi", "espressos"]},
+                    {"value": "coffee", "synonyms": ["cup of joe"]},
+                    {"value": "green tea", "synonyms": []},
+                    {"value": "hot chocolate", "synonyms": ["cocoa"]},
+                    {"value": "latte", "synonyms": ["caffe latte"]},
+                ],
+            },
+            "snips/number": {},
+        },
+    }
+
+
+def lights_dataset() -> dict:
+    return {
+        "language": "en",
+        "intents": {
+            "setLightColor": {
+                "utterances": [
+                    {"data": [
+                        {"text": "set the light in the "},
+                        {"text": "kitchen", "entity": "room",
+                         "slot_name": "room"},
+                        {"text": " to "},
+                        {"text": "blue", "entity": "color",
+                         "slot_name": "color"},
+                    ]},
+                    {"data": [
+                        {"text": "change the "},
+                        {"text": "bedroom", "entity": "room",
+                         "slot_name": "room"},
+                        {"text": " light color to "},
+                        {"text": "red", "entity": "color",
+                         "slot_name": "color"},
+                    ]},
+                    {"data": [
+                        {"text": "make the lights "},
+                        {"text": "purple", "entity": "color",
+                         "slot_name": "color"},
+                    ]},
+                    {"data": [
+                        {"text": "i would like "},
+                        {"text": "green", "entity": "color",
+                         "slot_name": "color"},
+                        {"text": " lights in the "},
+                        {"text": "living room", "entity": "room",
+                         "slot_name": "room"},
+                    ]},
+                ]
+            },
+            "turnLightOn": {
+                "utterances": [
+                    {"data": [{"text": "turn on the lights"}]},
+                    {"data": [
+                        {"text": "switch on the light in the "},
+                        {"text": "bathroom", "entity": "room",
+                         "slot_name": "room"},
+                    ]},
+                    {"data": [
+                        {"text": "lights on in the "},
+                        {"text": "garage", "entity": "room",
+                         "slot_name": "room"},
+                        {"text": " please"},
+                    ]},
+                    {"data": [{"text": "give me some light"}]},
+                ]
+            },
+            "turnLightOff": {
+                "utterances": [
+                    {"data": [{"text": "turn off the lights"}]},
+                    {"data": [
+                        {"text": "switch off the light in the "},
+                        {"text": "bedroom", "entity": "room",
+                         "slot_name": "room"},
+                    ]},
+                    {"data": [
+                        {"text": "lights out in the "},
+                        {"text": "kitchen", "entity": "room",
+                         "slot_name": "room"},
+                    ]},
+                    {"data": [{"text": "kill the lights"}]},
+                ]
+            },
+        },
+        "entities": {
+            # non-extensible: unresolvable color slots must be DROPPED
+            # (exercises nlu_engine.py:398-450 drop rule)
+            "color": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "blue", "synonyms": ["navy"]},
+                    {"value": "red", "synonyms": ["crimson"]},
+                    {"value": "green", "synonyms": []},
+                    {"value": "purple", "synonyms": ["violet"]},
+                    {"value": "white", "synonyms": []},
+                    {"value": "yellow", "synonyms": []},
+                ],
+            },
+            "room": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "kitchen", "synonyms": []},
+                    {"value": "bedroom", "synonyms": ["sleeping room"]},
+                    {"value": "living room", "synonyms": ["lounge"]},
+                    {"value": "bathroom", "synonyms": []},
+                    {"value": "garage", "synonyms": []},
+                ],
+            },
+        },
+    }
+
+
+def flights_dataset() -> dict:
+    return {
+        "language": "en",
+        "intents": {
+            "bookFlight": {
+                "utterances": [
+                    {"data": [
+                        {"text": "book me a flight to "},
+                        {"text": "paris", "entity": "locality",
+                         "slot_name": "destination"},
+                        {"text": " "},
+                        {"text": "tomorrow", "entity": "snips/datetime",
+                         "slot_name": "departure_date"},
+                    ]},
+                    {"data": [
+                        {"text": "i need a plane ticket to "},
+                        {"text": "london", "entity": "locality",
+                         "slot_name": "destination"},
+                    ]},
+                    {"data": [
+                        {"text": "find a flight from "},
+                        {"text": "berlin", "entity": "locality",
+                         "slot_name": "origin"},
+                        {"text": " to "},
+                        {"text": "madrid", "entity": "locality",
+                         "slot_name": "destination"},
+                    ]},
+                    {"data": [
+                        {"text": "fly me to "},
+                        {"text": "tokyo", "entity": "locality",
+                         "slot_name": "destination"},
+                        {"text": " "},
+                        {"text": "on monday", "entity": "snips/datetime",
+                         "slot_name": "departure_date"},
+                    ]},
+                ]
+            },
+            "cancelFlight": {
+                "utterances": [
+                    {"data": [
+                        {"text": "cancel my flight to "},
+                        {"text": "rome", "entity": "locality",
+                         "slot_name": "destination"},
+                    ]},
+                    {"data": [{"text": "cancel my plane ticket"}]},
+                    {"data": [
+                        {"text": "drop the booking to "},
+                        {"text": "oslo", "entity": "locality",
+                         "slot_name": "destination"},
+                    ]},
+                    {"data": [
+                        {"text": "cancel the flight "},
+                        {"text": "tomorrow", "entity": "snips/datetime",
+                         "slot_name": "departure_date"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "locality": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "paris", "synonyms": []},
+                    {"value": "london", "synonyms": []},
+                    {"value": "berlin", "synonyms": []},
+                    {"value": "madrid", "synonyms": []},
+                    {"value": "tokyo", "synonyms": []},
+                    {"value": "rome", "synonyms": []},
+                    {"value": "oslo", "synonyms": []},
+                    {"value": "new york", "synonyms": ["big apple"]},
+                ],
+            },
+            "snips/datetime": {},
+        },
+    }
+
+
+def combined_dataset() -> dict:
+    """All three fixtures merged — the engine the KG pipeline broadcasts."""
+    out = {"language": "en", "intents": {}, "entities": {}}
+    for ds in (beverage_dataset(), lights_dataset(), flights_dataset()):
+        out["intents"].update(ds["intents"])
+        for name, entity in ds["entities"].items():
+            out["entities"].setdefault(name, entity)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generation pools for the synthetic transcript table (datagen.py)
+# ---------------------------------------------------------------------------
+# Each template: (intent, [chunk, ...]) where a chunk is either a literal
+# string or a (slot_name, entity, pool_name) placeholder. Values are drawn
+# from VALUE_POOLS by deterministic index. Some pool values are synonyms
+# (canonicalization check) and some are unseen (extensible-entity check).
+
+GEN_TEMPLATES: tuple = (
+    ("prepareBeverage",
+     ("make me ", ("number_of_cups", "snips/number", "numbers"),
+      " cups of ", ("beverage_type", "beverage_type", "beverages"))),
+    ("prepareBeverage",
+     ("prepare a cup of ", ("beverage_type", "beverage_type", "beverages"))),
+    ("prepareBeverage",
+     ("brew ", ("number_of_cups", "snips/number", "numbers"), " cups of ",
+      ("beverage_type", "beverage_type", "beverages"), " please")),
+    ("setLightColor",
+     ("set the light in the ", ("room", "room", "rooms"), " to ",
+      ("color", "color", "colors"))),
+    ("setLightColor",
+     ("make the lights ", ("color", "color", "colors"))),
+    ("turnLightOn", ("turn on the lights",)),
+    ("turnLightOn",
+     ("switch on the light in the ", ("room", "room", "rooms"),)),
+    ("turnLightOff", ("turn off the lights",)),
+    ("turnLightOff",
+     ("switch off the light in the ", ("room", "room", "rooms"),)),
+    ("bookFlight",
+     ("book me a flight to ", ("destination", "locality", "cities"), " ",
+      ("departure_date", "snips/datetime", "datetimes"))),
+    ("bookFlight",
+     ("i need a plane ticket to ", ("destination", "locality", "cities"))),
+    ("cancelFlight",
+     ("cancel my flight to ", ("destination", "locality", "cities"))),
+    ("cancelFlight", ("cancel my plane ticket",)),
+)
+
+VALUE_POOLS: dict[str, tuple] = {
+    "numbers": ("two", "three", "one", "five", "4", "ten"),
+    # includes synonyms (expresso→espresso, cocoa→hot chocolate) and an
+    # unseen value ("oolong tea") for the extensible path
+    "beverages": ("coffee", "espresso", "green tea", "expresso",
+                  "hot chocolate", "cocoa", "latte", "oolong tea"),
+    "rooms": ("kitchen", "bedroom", "living room", "lounge", "garage",
+              "bathroom", "attic"),
+    # includes synonym "crimson" and unseen "teal" (color is NOT extensible
+    # → "teal" slot must be dropped)
+    "colors": ("blue", "red", "green", "purple", "crimson", "white", "teal"),
+    "cities": ("paris", "london", "berlin", "madrid", "tokyo", "rome",
+               "big apple", "oslo", "lisbon"),
+    "datetimes": ("tomorrow", "on monday", "today", "tomorrow evening",
+                  "at 8pm", "on friday"),
+}
+
+# Non-user turns: assistant/tool filler that must parse to the None intent.
+FILLER_TEXTS: tuple = (
+    "sure, working on that now",
+    "here is what i found in the logs",
+    "processing your request",
+    "the operation completed successfully",
+    "i could not find anything relevant",
+    "let me check the system status",
+    "done, anything else i can help with",
+    "the report has been generated",
+    "querying the backend service",
+    "acknowledged, standing by",
+    "unable to reach the device, retrying",
+    "configuration saved",
+)
+
+TOOL_NAMES: tuple = ("search", "calendar", "home_api", "flight_api",
+                     "coffee_machine")

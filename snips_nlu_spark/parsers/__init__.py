@@ -1,0 +1,2 @@
+from .lookup import LookupIntentParser  # noqa: F401
+from .deterministic import DeterministicIntentParser  # noqa: F401

@@ -1,0 +1,50 @@
+"""Graph materialization: triple dedup + node/edge rollups.
+
+Pure DataFrame ops — Catalyst handles partial aggregation (map-side
+combine) and AQE coalesces the post-shuffle partitions. These are the KG
+pipeline's real relational aggregations (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """Drop exact duplicate assertions (same subject, predicate, object and
+    span). One shuffle on the dedup key."""
+    return triples.dropDuplicates(
+        ["subj", "pred", "obj", "span_start", "span_end"])
+
+
+def nodes_rollup(triples: DataFrame) -> DataFrame:
+    """(node_id, kind, count): turn nodes from subjects, intent and
+    entity-value nodes from objects."""
+    subj_nodes = (triples
+                  .select(F.col("subj").alias("node_id"))
+                  .withColumn("kind", F.lit("turn")))
+    obj_nodes = (triples
+                 .select(F.col("obj").alias("node_id"),
+                         F.when(F.col("pred") == "intent", F.lit("intent"))
+                          .otherwise(F.lit("entity_value")).alias("kind")))
+    return (subj_nodes.unionByName(obj_nodes)
+            .groupBy("node_id", "kind")
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+def edges_rollup(triples: DataFrame) -> DataFrame:
+    """(src, dst, pred, weight): turn→object edges aggregated by count."""
+    return (triples
+            .groupBy(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst"),
+                     F.col("pred"))
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def intent_distribution(triples: DataFrame) -> DataFrame:
+    """Per-intent triple counts — the pipeline's headline rollup."""
+    return (triples.filter(F.col("pred") == "intent")
+            .groupBy(F.col("obj").alias("intent"))
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .orderBy(F.desc("n_turns"), F.asc("intent")))

@@ -1,0 +1,46 @@
+"""SparkSession factory with the project's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "snips-nlu-spark",
+              cpus: int | None = None,
+              max_partition_bytes: int | None = None) -> SparkSession:
+    """local[N] session; N from SPARK_GRAFT_CPUS (default all cores).
+
+    Config notes (tuned for the 100 TB design point, applied even locally):
+    - AQE on: runtime shuffle coalescing + skew-join splitting
+    - shuffle.partitions sized to parallelism (driver overrides per job)
+    - Arrow batch size bounds the pandas-kernel working set
+    - ``max_partition_bytes``: transcript parsing is compute-bound, not
+      byte-bound — a 1 MB parquet split carries ~30k turns ≈ seconds of
+      Python kernel work, so CPU-heavy jobs should set this far below the
+      128 MB default to get shuffle-free parallelism from the scan itself
+      (rather than paying a repartition exchange).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    parallelism = cpus or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder
+        .appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if max_partition_bytes is not None:
+        builder = builder.config("spark.sql.files.maxPartitionBytes",
+                                 str(max_partition_bytes))
+    return builder.getOrCreate()

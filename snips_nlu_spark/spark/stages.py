@@ -1,0 +1,192 @@
+"""The parse stage: transcripts DataFrame → KG triples DataFrame.
+
+One fused ``mapInPandas`` stage runs the whole reference parse lifecycle
+(mention scan → lookup/regex parse → [probabilistic fallback] → slot
+resolution → triple explode) per Arrow batch — the Spark shape of
+/root/reference/snips_nlu/nlu_engine/nlu_engine.py:135-198. No per-row
+Python UDFs; the only JVM↔Python boundary is the Arrow exchange.
+
+Scale design (10^12 turns):
+- the model bundle is a broadcast variable, deserialized once per executor
+  (module-level singleton cache keyed by bundle fingerprint);
+- parsing is per-turn independent → input can be salted/repartitioned
+  freely; hot conversations cost nothing extra (``salted_repartition``);
+- within a batch, identical (text, anchor-date) pairs are parsed once —
+  transcript corpora are highly repetitive (the reference caches per-text
+  results the same way, entity_parser/entity_parser.py:22-55);
+- output is exploded to triples inside the same stage, so the job has no
+  extra shuffle between scan and sink.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from ..engine import NluEngine
+
+TRIPLE_SCHEMA = (
+    "conv_id string, turn_idx int, subj string, pred string, obj string, "
+    "entity string, span_start int, span_end int, raw_value string, "
+    "proba double"
+)
+
+TRIPLE_COLUMNS = ["conv_id", "turn_idx", "subj", "pred", "obj", "entity",
+                  "span_start", "span_end", "raw_value", "proba"]
+
+_ENGINE_CACHE: dict[int, NluEngine] = {}
+
+
+def _engine_from_json(model_json: str) -> NluEngine:
+    key = hash(model_json)
+    engine = _ENGINE_CACHE.get(key)
+    if engine is None:
+        engine = NluEngine.from_dict(json.loads(model_json))
+        # worker-lifetime parse memo: the datetime grammar resolves against
+        # midnight-of-anchor only, so (text, date) fully determines a parse
+        # — this is the executor-side analogue of the reference's
+        # per-(text, scope) parse cache (entity_parser/entity_parser.py:22)
+        from functools import lru_cache
+        engine.parse_dated = lru_cache(maxsize=65536)(
+            lambda text, date: engine.parse(
+                text, anchor=None if date is None else
+                _dt.datetime(date.year, date.month, date.day)))
+        _ENGINE_CACHE.clear()  # one model per executor at a time
+        _ENGINE_CACHE[key] = engine
+    return engine
+
+
+def canonical_obj(slot_value: dict) -> str:
+    """Canonical string form of a resolved slot value for the KG ``obj``
+    column. Scalar kinds collapse to their natural string; structured kinds
+    to compact sorted JSON."""
+    kind = slot_value.get("kind")
+    if kind == "Custom":
+        return str(slot_value["value"])
+    if kind in ("Number", "Percentage"):
+        v = slot_value["value"]
+        return str(int(v)) if float(v).is_integer() else str(v)
+    if kind == "Ordinal":
+        return str(int(slot_value["value"]))
+    if kind == "InstantTime":
+        return str(slot_value["value"])
+    return json.dumps(slot_value, sort_keys=True, separators=(",", ":"))
+
+
+def turn_to_triples(engine: NluEngine, conv_id: str, turn_idx: int,
+                    text: str, ts) -> list[tuple]:
+    """Parse one turn into triple tuples (shared by the Spark kernel and
+    the single-process oracle — the differential test covers the Spark
+    plumbing around it)."""
+    result = parse_cached(engine, text, ts)
+    return triples_from_result(result, conv_id, turn_idx)
+
+
+def triples_from_result(result: dict, conv_id: str,
+                        turn_idx: int) -> list[tuple]:
+    intent = result["intent"]["intentName"]
+    if intent is None:
+        return []
+    subj = f"{conv_id}:{turn_idx}"
+    proba = float(result["intent"]["probability"])
+    rows = [(conv_id, turn_idx, subj, "intent", intent, None, None, None,
+             None, proba)]
+    for slot in result["slots"]:
+        rows.append((
+            conv_id, turn_idx, subj, slot["slotName"],
+            canonical_obj(slot["value"]), slot["entity"],
+            int(slot["range"]["start"]), int(slot["range"]["end"]),
+            slot["rawValue"], proba,
+        ))
+    return rows
+
+
+def parse_cached(engine: NluEngine, text: str, ts):
+    """Anchor-aware parse. Anchor granularity is the *date* of ``ts`` —
+    the datetime grammar resolves against midnight-of-anchor (see
+    entities/builtin.py), so flooring the anchor to its date is
+    semantics-preserving and makes parses memoizable per (text, date)."""
+    anchor = None
+    if ts is not None:
+        anchor = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+        anchor = _dt.datetime(anchor.year, anchor.month, anchor.day)
+    return engine.parse(text, anchor=anchor)
+
+
+def _parse_batch(engine: NluEngine, pdf: pd.DataFrame) -> pd.DataFrame:
+    rows: list[tuple] = []
+    parse_dated = getattr(engine, "parse_dated", None)
+    if parse_dated is None:  # direct use outside _engine_from_json
+        cache: dict[tuple, dict] = {}
+
+        def parse_dated(text, date):  # noqa: ANN001
+            key = (text, date)
+            r = cache.get(key)
+            if r is None:
+                anchor = None if date is None else \
+                    _dt.datetime(date.year, date.month, date.day)
+                r = cache[key] = engine.parse(text, anchor=anchor)
+            return r
+
+    conv_ids = pdf["conv_id"].to_numpy()
+    turn_idxs = pdf["turn_idx"].to_numpy()
+    texts = pdf["text"].to_numpy()
+    tss = pdf["ts"].to_numpy() if "ts" in pdf.columns else [None] * len(pdf)
+    ts_series = pd.to_datetime(pd.Series(tss))
+    for conv_id, turn_idx, text, ts in zip(conv_ids, turn_idxs, texts,
+                                           ts_series):
+        if text is None:
+            continue
+        date = None if pd.isna(ts) else ts.date()
+        result = parse_dated(str(text), date)
+        rows.extend(triples_from_result(result, str(conv_id),
+                                        int(turn_idx)))
+    return pd.DataFrame(rows, columns=TRIPLE_COLUMNS)
+
+
+def parse_transcripts(df, model_json: str | None = None, engine=None,
+                      extra_columns: tuple = ()):
+    """transcripts DF → triples DF via one mapInPandas stage.
+
+    ``model_json`` is broadcast; executors rebuild the engine once each.
+    ``extra_columns`` are carried through (e.g. the lineage bucket).
+    """
+    if model_json is None:
+        model_json = json.dumps(engine.to_dict(), sort_keys=True)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(model_json)
+    schema = TRIPLE_SCHEMA
+    carry = list(extra_columns)
+    if carry:
+        carried_fields = df.select(*carry).schema
+        schema = TRIPLE_SCHEMA + ", " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in carried_fields)
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        eng = _engine_from_json(bc.value)
+        for pdf in batches:
+            out = _parse_batch(eng, pdf)
+            if carry:
+                carry_map = pdf.drop_duplicates(
+                    subset=["conv_id", "turn_idx"])[
+                    ["conv_id", "turn_idx", *carry]]
+                out = out.merge(carry_map, on=["conv_id", "turn_idx"],
+                                how="left")
+            yield out
+
+    needed = ["conv_id", "turn_idx", "text", "ts", *carry]
+    return df.select(*needed).mapInPandas(kernel, schema=schema)
+
+
+def salted_repartition(df, num_partitions: int):
+    """Spread turns uniformly — parsing is per-turn independent, so we salt
+    on (conv_id, turn_idx): hot conversations are split across partitions
+    (the skew defusal called for by BASELINE.json north_rule)."""
+    from pyspark.sql import functions as F  # noqa: N812
+    return df.repartition(
+        num_partitions,
+        F.pmod(F.xxhash64("conv_id", "turn_idx"),
+               F.lit(num_partitions)))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 from typing import Callable, NamedTuple, Sequence
 
 
@@ -34,23 +35,33 @@ _TOKEN_RE = re.compile(r"[^\W_]+|[^\w\s]|_", re.UNICODE)
 _WS_RE = re.compile(r"\s+", re.UNICODE)
 
 
-def tokenize(text: str) -> list[Token]:
-    """Tokenize with character ranges (ref: preprocessing.py:72-89)."""
-    return [
+@lru_cache(maxsize=8192)
+def tokenize(text: str) -> tuple[Token, ...]:
+    """Tokenize with character ranges (ref: preprocessing.py:72-89).
+
+    Memoized — transcript corpora repeat texts heavily (the reference
+    caches per-text parse results for the same reason,
+    entity_parser/entity_parser.py:22-55). Treat the result as immutable.
+    """
+    return tuple(
         Token(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)
-    ]
+    )
 
 
 def tokenize_light(text: str) -> list[str]:
     """Token strings only (ref: preprocessing.py:91-97)."""
-    return [m.group(0) for m in _TOKEN_RE.finditer(text)]
+    return [t.value for t in tokenize(text)]
 
 
+@lru_cache(maxsize=131072)
 def normalize(text: str) -> str:
     """Lowercase + strip diacritics (NFKD fold), the normalization used for
     stop-word tests and gazetteer keys (ref: Rust ``normalize`` used at
-    preprocessing.py:29-36)."""
-    nfkd = unicodedata.normalize("NFKD", text.lower())
+    preprocessing.py:29-36). Memoized; fast path for ASCII."""
+    lower = text.lower()
+    if lower.isascii():
+        return lower
+    nfkd = unicodedata.normalize("NFKD", lower)
     return "".join(c for c in nfkd if not unicodedata.combining(c))
 
 

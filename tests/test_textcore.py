@@ -25,8 +25,8 @@ def test_tokenize_punctuation_and_apostrophe():
 
 
 def test_tokenize_empty_and_whitespace():
-    assert tokenize("") == []
-    assert tokenize("   ") == []
+    assert list(tokenize("")) == []
+    assert list(tokenize("   ")) == []
 
 
 def test_normalize_folds_case_and_diacritics():
