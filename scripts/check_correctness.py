@@ -37,6 +37,14 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
+    # mirror the driver: pre-register each testdata table as a view
+    for table in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+        path = Path(sf_dir) / f"{table}.parquet"
+        if path.exists():
+            con.sql(f"CREATE VIEW {table} AS "
+                    f"SELECT * FROM read_parquet('{path}')")
     failures = 0
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)

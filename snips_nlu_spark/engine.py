@@ -29,10 +29,9 @@ from .resources import get_resources
 from .result import (builtin_slot, custom_slot, empty_result,
                      intent_classification_result, parsing_result)
 
-# The en reference default is lookup → probabilistic
-# (ref: default_configs/config_en.py:3-8); until the numpy ML stack (M3)
-# lands, the shipped default cascade is lookup → deterministic-regex.
-DEFAULT_PARSERS = ("lookup_intent_parser", "deterministic_intent_parser")
+# en default cascade: lookup → probabilistic
+# (ref: default_configs/config_en.py:3-8)
+DEFAULT_PARSERS = ("lookup_intent_parser", "probabilistic_intent_parser")
 
 
 class EntityBundle:

@@ -1,0 +1,80 @@
+"""Log-reg intent classifier.
+
+Semantics per /root/reference/snips_nlu/intent_classifier/
+log_reg_classifier.py: fit :61-117 (augment → featurize → chi² → logreg,
+balanced class weights, alpha = 1/(4·(N + 5·avg)) from
+log_reg_classifier_utils.py:34-42), get_intents :154-194 (descending
+per-class sigmoid scores incl. the None class; scores don't sum to 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ml.augmentation import build_training_data
+from .ml.featurizer import Featurizer
+from .ml.logreg import LogisticRegression, balanced_class_weights
+
+MIN_UTTERANCES = 20   # ref: config_en.py:116-122
+NOISE_FACTOR = 5
+
+
+class LogRegIntentClassifier:
+    def __init__(self) -> None:
+        self.featurizer: Featurizer | None = None
+        self.classifier: LogisticRegression | None = None
+        self.intent_list: list[str | None] = []
+
+    def fit(self, dataset: dict, resources: dict, entity_bundle,
+            random_state: np.random.RandomState
+            ) -> "LogRegIntentClassifier":
+        utterances, classes, intent_mapping = build_training_data(
+            dataset, resources, MIN_UTTERANCES, NOISE_FACTOR, random_state)
+        self.intent_list = intent_mapping
+
+        nb_utts = [len(i["utterances"])
+                   for i in dataset["intents"].values()]
+        alpha = 1.0 / (4.0 * (sum(nb_utts) + 5 * float(np.mean(nb_utts))))
+
+        self.featurizer = Featurizer()
+        x = self.featurizer.fit_transform(utterances, classes, dataset,
+                                          entity_bundle)
+        self.classifier = LogisticRegression(alpha=alpha, n_iter=400)
+        self.classifier.fit(x, classes,
+                            class_weight=balanced_class_weights(classes))
+        return self
+
+    def get_intents(self, text: str, entity_bundle,
+                    anchor=None) -> list[dict]:
+        """Full ranked list, None intent included."""
+        x = self.featurizer.transform_texts([text], entity_bundle,
+                                            [anchor])
+        proba = self.classifier.predict_proba(x)[0]
+        # map class index -> intent name; classes_ are ints
+        results = []
+        for cls_idx, p in zip(self.classifier.classes_, proba):
+            intent = self.intent_list[int(cls_idx)]
+            results.append({"intentName": intent, "probability": float(p)})
+        # classes absent from training (shouldn't happen) get 0
+        seen = {r["intentName"] for r in results}
+        for intent in self.intent_list:
+            if intent not in seen:
+                results.append({"intentName": intent, "probability": 0.0})
+        if None not in seen and None not in {r["intentName"]
+                                             for r in results}:
+            results.append({"intentName": None, "probability": 0.0})
+        results.sort(key=lambda r: -r["probability"])
+        return results
+
+    def to_dict(self) -> dict:
+        return {"featurizer": self.featurizer.to_dict(),
+                "classifier": self.classifier.to_dict(),
+                "intent_list": self.intent_list}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LogRegIntentClassifier":
+        c = cls()
+        c.featurizer = Featurizer.from_dict(d["featurizer"])
+        c.classifier = LogisticRegression.from_dict(d["classifier"])
+        c.intent_list = list(d["intent_list"])
+        return c

@@ -1,21 +1,105 @@
-"""Probabilistic intent parser: TF-IDF + logreg intent classifier, then the
-classified intent's CRF slot filler (ref: /root/reference/snips_nlu/
-intent_parser/probabilistic_intent_parser.py:106-153).
+"""Probabilistic intent parser: logreg intent classification, then the
+classified intent's CRF slot filler.
 
-Full implementation lands with the ML stack (M3 in SURVEY.md §7); this
-module keeps the engine's unit registry importable meanwhile.
+Semantics per /root/reference/snips_nlu/intent_parser/
+probabilistic_intent_parser.py:106-153 (classify → per-intent slot
+filler), :164-184 (get_slots = direct CRF invocation). All slot-filler
+weights are part of the model bundle (broadcast together); the intent's
+filler is selected per row.
 """
 
 from __future__ import annotations
+
+import numpy as np
+
+from ..intent_classifier import LogRegIntentClassifier
+from ..result import (empty_result, extraction_result,
+                      intent_classification_result, parsing_result,
+                      unresolved_slot)
+from ..slot_filler import CRFSlotFiller
 
 
 class ProbabilisticIntentParser:
     unit_name = "probabilistic_intent_parser"
 
     def __init__(self) -> None:
-        raise NotImplementedError(
-            "probabilistic parser arrives with the numpy ML stack (M3)")
+        self.intent_classifier: LogRegIntentClassifier | None = None
+        self.slot_fillers: dict[str, CRFSlotFiller] = {}
+
+    @property
+    def fitted(self) -> bool:
+        return self.intent_classifier is not None
+
+    def fit(self, dataset: dict, resources: dict, entity_bundle,
+            random_seed: int = 42) -> "ProbabilisticIntentParser":
+        random_state = np.random.RandomState(random_seed)
+        self.intent_classifier = LogRegIntentClassifier().fit(
+            dataset, resources, entity_bundle, random_state)
+        self.slot_fillers = {}
+        for intent in sorted(dataset["intents"]):
+            self.slot_fillers[intent] = CRFSlotFiller().fit(
+                dataset, intent, entity_bundle, random_state)
+        return self
+
+    # ---------------------------------------------------------------- parse
+    def parse(self, text, entity_bundle, intents=None, top_n=None,
+              anchor=None):
+        if isinstance(intents, str):
+            intents = {intents}
+        elif intents is not None:
+            intents = set(intents)
+
+        ranked = [r for r in self.intent_classifier.get_intents(
+            text, entity_bundle, anchor=anchor)
+            if intents is None or r["intentName"] is None
+            or r["intentName"] in intents]
+
+        if top_n is None:
+            best = ranked[0]
+            if best["intentName"] is None:
+                return empty_result(text, best["probability"])
+            slots = self.get_slots(text, entity_bundle, best["intentName"],
+                                   anchor=anchor)
+            return parsing_result(text, best, slots)
+
+        results = []
+        for res in ranked[:top_n]:
+            slots = []
+            if res["intentName"] is not None:
+                slots = self.get_slots(text, entity_bundle,
+                                       res["intentName"], anchor=anchor)
+            results.append(extraction_result(res, slots))
+        return results
+
+    def get_intents(self, text, entity_bundle, anchor=None):
+        return self.intent_classifier.get_intents(text, entity_bundle,
+                                                  anchor=anchor)
+
+    def get_slots(self, text, entity_bundle, intent, anchor=None):
+        if intent is None:
+            return []
+        if intent not in self.slot_fillers:
+            raise ValueError(f"unknown intent {intent!r}")
+        slots = self.slot_fillers[intent].get_slots(text, entity_bundle,
+                                                    anchor=anchor)
+        return [unresolved_slot(s["range"]["start"], s["range"]["end"],
+                                s["value"], s["entity"], s["slotName"])
+                for s in slots]
+
+    # ------------------------------------------------------------- persist
+    def to_dict(self) -> dict:
+        return {
+            "unit_name": self.unit_name,
+            "intent_classifier": self.intent_classifier.to_dict(),
+            "slot_fillers": {k: v.to_dict()
+                             for k, v in self.slot_fillers.items()},
+        }
 
     @classmethod
     def from_dict(cls, d: dict) -> "ProbabilisticIntentParser":
-        raise NotImplementedError
+        p = cls()
+        p.intent_classifier = LogRegIntentClassifier.from_dict(
+            d["intent_classifier"])
+        p.slot_fillers = {k: CRFSlotFiller.from_dict(v)
+                          for k, v in d["slot_fillers"].items()}
+        return p

@@ -45,15 +45,38 @@ def _engine_from_json(model_json: str) -> NluEngine:
     engine = _ENGINE_CACHE.get(key)
     if engine is None:
         engine = NluEngine.from_dict(json.loads(model_json))
-        # worker-lifetime parse memo: the datetime grammar resolves against
-        # midnight-of-anchor only, so (text, date) fully determines a parse
-        # — this is the executor-side analogue of the reference's
-        # per-(text, scope) parse cache (entity_parser/entity_parser.py:22)
+        # Worker-lifetime parse memos — the executor-side analogue of the
+        # reference's per-(text, scope) parse cache
+        # (entity_parser/entity_parser.py:22-55):
+        # 1. datetime-mention spans are anchor-INdependent (the anchor only
+        #    affects resolution values), so a text with no snips/datetime
+        #    mention parses identically under every anchor → cached per
+        #    text alone. This is the common case in transcript corpora and
+        #    is what keeps per-worker unique work bounded at scale.
+        # 2. texts with datetime mentions resolve against midnight of the
+        #    anchor (entities/builtin.py), so (text, date) is a complete
+        #    key for them.
         from functools import lru_cache
-        engine.parse_dated = lru_cache(maxsize=65536)(
-            lambda text, date: engine.parse(
+
+        probe_anchor = _dt.datetime(2000, 1, 6)
+
+        @lru_cache(maxsize=262144)
+        def has_datetime(text: str) -> bool:
+            return bool(engine._bundle.parse_builtin(
+                text, ("snips/datetime",), probe_anchor))
+
+        @lru_cache(maxsize=131072)
+        def parse_keyed(text, date):
+            return engine.parse(
                 text, anchor=None if date is None else
-                _dt.datetime(date.year, date.month, date.day)))
+                _dt.datetime(date.year, date.month, date.day))
+
+        def parse_dated(text, date):
+            if date is not None and not has_datetime(text):
+                date = None
+            return parse_keyed(text, date)
+
+        engine.parse_dated = parse_dated
         _ENGINE_CACHE.clear()  # one model per executor at a time
         _ENGINE_CACHE[key] = engine
     return engine

@@ -1,0 +1,130 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2, "completely different text about spark query engines and shuffles"),
+    (3, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (4, "the  quick   brown fox jumps over the lazy dog near the river "
+        "bank"),
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(docs):
+    from snips_nlu_spark.functions.dedup import exact_duplicates
+    rows = {(r["keep_doc_id"], r["dup_doc_id"])
+            for r in exact_duplicates(docs).collect()}
+    # 0, 3 (case) and 4 (whitespace) share a normalized fingerprint
+    assert rows == {(0, 3), (0, 4)}
+
+
+def test_jaccard_pairs(docs):
+    from snips_nlu_spark.functions.dedup import jaccard_duplicate_pairs
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_duplicate_pairs(docs, threshold=0.5).collect()}
+    assert (0, 3) in rows and rows[(0, 3)] == 1.0
+    assert (0, 4) in rows and rows[(0, 4)] == 1.0
+    assert (0, 1) in rows and 0.5 < rows[(0, 1)] < 1.0  # one word differs
+    assert not any(2 in pair or 5 in pair for pair in rows)
+
+
+def test_minhash_matches_bruteforce(docs):
+    from snips_nlu_spark.functions.dedup import (jaccard_duplicate_pairs,
+                                                 minhash_duplicate_pairs)
+    brute = sorted(tuple(r) for r in
+                   jaccard_duplicate_pairs(docs, threshold=0.5).collect())
+    lsh = sorted(tuple(r) for r in
+                 minhash_duplicate_pairs(docs, threshold=0.5).collect())
+    assert lsh == brute
+
+
+def test_simhash_near_pairs(docs):
+    from snips_nlu_spark.functions.dedup import (simhash_near_pairs,
+                                                 simhash_signatures)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs).collect()}
+    assert len(sigs) == len(DOCS)
+    # identical normalized token multisets → identical signatures
+    assert sigs[0] == sigs[3] == sigs[4]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0 and pairs[(0, 4)] == 0
+    assert (0, 2) not in pairs
+
+
+def test_text_profile(docs):
+    from snips_nlu_spark.functions.text import text_profile
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[0]["n_tokens"] == 13
+    assert prof[0]["lang_pred"] == "en"
+    assert prof[5]["lang_pred"] == "und"
+    assert prof[0]["fingerprint"] == prof[3]["fingerprint"] \
+        == prof[4]["fingerprint"]
+    assert 0.0 <= prof[5]["quality"] < prof[0]["quality"] <= 1.0
+
+
+def test_brute_force_topk(spark):
+    from snips_nlu_spark.functions.similarity import brute_force_topk
+    import numpy as np
+    rng = np.random.RandomState(0)
+    base = rng.randn(30, 8).astype("float32")
+    base[7] = base[3] + 0.01 * rng.randn(8).astype("float32")  # near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = brute_force_topk(emb, k=3, n_queries=5).collect()
+    by_query = {}
+    for r in top:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for q, rs in by_query.items():
+        assert [r["rank"] for r in
+                sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3]
+    # vec 7 is the planted nearest neighbor of vec 3
+    q3 = sorted(by_query[3], key=lambda r: r["rank"])
+    assert q3[0]["neighbor_id"] == 7
+    assert q3[0]["sim"] > 0.99
+
+
+def test_lsh_topk_recall(spark):
+    from snips_nlu_spark.functions.similarity import (brute_force_topk,
+                                                      lsh_bucketed_topk)
+    import numpy as np
+    rng = np.random.RandomState(1)
+    base = rng.randn(60, 16).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, k=1, n_queries=8).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in lsh_bucketed_topk(emb, k=1, n_queries=8, n_tables=12,
+                                      n_bits=4, dim=16).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.75  # recall knob, not exactness
+
+
+def test_multimodal_plumbing(spark):
+    from snips_nlu_spark.functions.multimodal import (
+        extract_media_features, frame_sample_plan, synthesize_media)
+    media = synthesize_media(spark, n=12).cache()
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 32 for r in feats)
+    # deterministic: same payload -> same features
+    again = extract_media_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+    plan = frame_sample_plan(media, fps=0.5)
+    vids = plan.filter(F.col("kind") == "video")
+    assert vids.count() > 0
+    assert plan.filter(F.col("kind") != "video").count() == 0

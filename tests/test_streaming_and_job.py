@@ -1,0 +1,80 @@
+"""Structured Streaming parse + spark-submit job entry."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def test_streaming_triples_match_batch(spark, tmp_path):
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.stages import parse_transcripts
+    from snips_nlu_spark.spark.streaming import run_stream_to_parquet
+    import __spark_entry__ as em
+
+    src = tmp_path / "src"
+    pdf = datagen.generate_pandas(0, 300)
+    df = spark.createDataFrame(pdf)
+    df.coalesce(4).write.parquet(str(src))
+
+    model_json = em._model_json()
+    q = run_stream_to_parquet(spark, str(src), model_json,
+                              str(tmp_path / "out"),
+                              str(tmp_path / "ckpt"), once=True)
+    q.awaitTermination(120)
+
+    streamed = {tuple(r) for r in
+                spark.read.parquet(str(tmp_path / "out")).collect()}
+    batch = {tuple(r) for r in
+             parse_transcripts(df, model_json).collect()}
+    assert streamed == batch
+
+
+def test_streaming_dedups_replayed_turns(spark, tmp_path):
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.streaming import run_stream_to_parquet
+    import __spark_entry__ as em
+
+    src = tmp_path / "src2"
+    pdf = datagen.generate_pandas(0, 120)
+    df = spark.createDataFrame(pdf)
+    # write the same rows twice (simulated replay)
+    df.coalesce(2).write.mode("append").parquet(str(src))
+    df.coalesce(2).write.mode("append").parquet(str(src))
+
+    q = run_stream_to_parquet(spark, str(src), em._model_json(),
+                              str(tmp_path / "out2"),
+                              str(tmp_path / "ckpt2"), once=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out2"))
+    # no duplicated triples despite duplicated input files
+    assert out.count() == out.dropDuplicates(
+        ["subj", "pred", "obj", "span_start", "span_end"]).count()
+
+
+def test_spark_submit_job(tmp_path):
+    """Drive jobs/build_kg.py through spark-submit with --py-files (the
+    north-rule execution mode)."""
+    import pyspark
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    subprocess.run([sys.executable, str(repo / "scripts" / "package.py")],
+                   check=True, capture_output=True)
+    spark_submit = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    out_dir = tmp_path / "kg"
+    proc = subprocess.run(
+        [str(spark_submit), "--master", "local[4]",
+         "--py-files", str(repo / "snips_nlu_spark.zip"),
+         str(repo / "jobs" / "build_kg.py"),
+         "--generate-sf", "0.0005",
+         "--output", str(out_dir), "--n-buckets", "8"],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(repo))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_triples"] > 0
+    assert (out_dir / "lineage").exists()
+    assert (out_dir / "nodes").exists()
