@@ -47,6 +47,46 @@ def build_engine() -> NluEngine:
     return NluEngine().fit(combined_dataset())
 
 
+INTENTS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("subj", pa.string()),
+    ("intent", pa.string()),
+    ("proba", pa.float64()),
+    ("rank", pa.int32()),
+])
+
+
+def make_intents_oracle(engine: NluEngine, sf: float,
+                        top_n: int = 3) -> Path:
+    """n-best intent ranking oracle (mirrors spark/stages.rank_intents)."""
+    n = datagen.n_turns(sf)
+    rows: list[tuple] = []
+    for i in range(n):
+        rec = datagen.turn_record(i)
+        anchor = rec["ts"].replace(hour=0, minute=0, second=0)
+        subj = f"{rec['conv_id']}:{rec['turn_idx']}"
+        rank = 0
+        for res in engine.get_intents(rec["text"], anchor=anchor):
+            if res["intentName"] is None:
+                continue
+            rank += 1
+            rows.append((rec["conv_id"], rec["turn_idx"], subj,
+                         res["intentName"], float(res["probability"]),
+                         rank))
+            if rank >= top_n:
+                break
+    cols = list(zip(*rows)) if rows else [[] for _ in INTENTS_SCHEMA.names]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type)
+         for c, f in zip(cols, INTENTS_SCHEMA)], schema=INTENTS_SCHEMA)
+    ORACLE_DIR.mkdir(exist_ok=True)
+    out = ORACLE_DIR / f"intents_sf{sf:g}.parquet"
+    pq.write_table(table, out)
+    print(f"sf={sf}: intents n-best -> {len(rows)} rows -> {out}")
+    return out
+
+
 def make_oracle(engine: NluEngine, sf: float) -> Path:
     n = datagen.n_turns(sf)
     t0 = time.time()
@@ -74,3 +114,4 @@ if __name__ == "__main__":
     engine = build_engine()
     for sf in sfs:
         make_oracle(engine, sf)
+        make_intents_oracle(engine, sf)

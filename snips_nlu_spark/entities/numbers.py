@@ -50,13 +50,25 @@ def words_to_number(phrase: str) -> float | None:
     total = 0
     current = 0
     seen_value = False
+    # a bare unit/teen may only be followed by a scale word ("two hundred"
+    # is valid, "two two" is not); prevents repeated-word runs from
+    # summing into spurious numbers
+    pending_unit = False
     for i, w in enumerate(words):
         if w in _UNITS:
+            if pending_unit:
+                return None
             if current % 10 != 0 and _UNITS[w] >= 10:
+                return None
+            # after tens, only 1-9 may attach ("twenty twelve" invalid)
+            if current % 100 >= 20 and _UNITS[w] >= 10:
                 return None
             current += _UNITS[w]
             seen_value = True
+            pending_unit = True
         elif w in _TENS:
+            if pending_unit:
+                return None
             if current % 100 != 0 and current % 100 < 20:
                 return None
             current += _TENS[w]
@@ -69,6 +81,7 @@ def words_to_number(phrase: str) -> float | None:
                 total += current
                 current = 0
             seen_value = True
+            pending_unit = False
         elif w in _A_WORDS:
             # only valid immediately before a scale: "a hundred"
             if i + 1 >= len(words) or words[i + 1] not in _SCALES:

@@ -76,33 +76,41 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
 
     n_pending_turns = pending.count()
     if n_pending_turns:
-        triples = parse_transcripts(pending, model_json,
-                                    extra_columns=("bucket",))
+        # repartition the parse output on the bucket key so each task owns
+        # exactly one bucket dir (without this, every parse task spills a
+        # file into every bucket: tasks × buckets small files)
+        triples = (parse_transcripts(pending, model_json,
+                                     extra_columns=("bucket",))
+                   .repartition(n_buckets, F.col("bucket"))
+                   .persist())
         triples.write.partitionBy("bucket").mode("append") \
             .parquet(triples_path)
 
-        # lineage: every pending bucket gets a row, even if 0 triples
+        # lineage: every pending bucket gets a row, even if 0 triples;
+        # stats come from the persisted parse output — one parse total
         turns_per_bucket = pending.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_turns"))
-        written = spark.read.parquet(triples_path).filter(
-            ~F.col("bucket").isin(done) if done else F.lit(True))
-        stats = written.groupBy("bucket").agg(
+        stats = triples.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_triples"),
             triple_fingerprint_col())
         lineage = (turns_per_bucket.join(stats, "bucket", "left")
                    .na.fill({"n_triples": 0, "fingerprint": 0})
                    .withColumn("status", F.lit("done")))
         lineage.write.mode("append").parquet(lineage_path)
+        triples.unpersist()
 
-    all_triples = spark.read.parquet(triples_path) \
-        if (Path(triples_path) / "_SUCCESS").exists() else None
     summary = {"pending_turns": int(n_pending_turns),
                "resumed_buckets": len(done)}
-    if all_triples is not None:
-        deduped = dedup_triples(all_triples)
+    if (Path(triples_path) / "_SUCCESS").exists():
+        all_triples = spark.read.parquet(triples_path)
+        deduped = dedup_triples(all_triples).persist()
         nodes_rollup(deduped).write.mode("overwrite") \
             .parquet(str(out / "nodes"))
         edges_rollup(deduped).write.mode("overwrite") \
             .parquet(str(out / "edges"))
-        summary["n_triples"] = all_triples.count()
+        deduped.unpersist()
+        # total from the lineage ledger — no extra scan of the store
+        total = (spark.read.parquet(lineage_path)
+                 .agg(F.sum("n_triples")).collect()[0][0])
+        summary["n_triples"] = int(total or 0)
     return summary

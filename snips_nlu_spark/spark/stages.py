@@ -204,6 +204,56 @@ def parse_transcripts(df, model_json: str | None = None, engine=None,
     return df.select(*needed).mapInPandas(kernel, schema=schema)
 
 
+INTENT_RANK_SCHEMA = ("conv_id string, turn_idx int, subj string, "
+                      "intent string, proba double, rank int")
+
+
+def rank_intents(df, model_json: str, top_n: int = 3):
+    """n-best intent ranking per turn (ref: nlu_engine.py:200-227
+    get_intents — per-parser ranked lists merged by max probability).
+    Emits the top_n non-None intents per turn with their OvR scores."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(model_json)
+
+    def kernel(batches):
+        engine = _engine_from_json(bc.value)
+        from functools import lru_cache
+
+        @lru_cache(maxsize=65536)
+        def ranked(text, date):
+            anchor = None if date is None else \
+                _dt.datetime(date.year, date.month, date.day)
+            out = []
+            for res in engine.get_intents(text, anchor=anchor):
+                if res["intentName"] is not None:
+                    out.append((res["intentName"],
+                                float(res["probability"])))
+                if len(out) >= top_n:
+                    break
+            return tuple(out)
+
+        for pdf in batches:
+            rows = []
+            ts_series = pd.to_datetime(pdf["ts"]) if "ts" in pdf.columns \
+                else pd.Series([None] * len(pdf))
+            for conv_id, turn_idx, text, ts in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"],
+                    ts_series):
+                if text is None:
+                    continue
+                date = None if pd.isna(ts) else ts.date()
+                subj = f"{conv_id}:{int(turn_idx)}"
+                for rank, (intent, proba) in enumerate(
+                        ranked(str(text), date), start=1):
+                    rows.append((str(conv_id), int(turn_idx), subj,
+                                 intent, proba, rank))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "subj", "intent", "proba", "rank"])
+
+    return df.select("conv_id", "turn_idx", "text", "ts").mapInPandas(
+        kernel, schema=INTENT_RANK_SCHEMA)
+
+
 def salted_repartition(df, num_partitions: int):
     """Spread turns uniformly — parsing is per-turn independent, so we salt
     on (conv_id, turn_idx): hot conversations are split across partitions
