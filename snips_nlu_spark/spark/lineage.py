@@ -101,6 +101,12 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
 
     summary = {"pending_turns": int(n_pending_turns),
                "resumed_buckets": len(done)}
+    if n_pending_turns == 0 and done and (Path(out / "nodes")).exists():
+        # no-op resume: everything committed, rollups already built
+        total = (spark.read.parquet(lineage_path)
+                 .agg(F.sum("n_triples")).collect()[0][0])
+        summary["n_triples"] = int(total or 0)
+        return summary
     if (Path(triples_path) / "_SUCCESS").exists():
         all_triples = spark.read.parquet(triples_path)
         deduped = dedup_triples(all_triples).persist()
