@@ -47,6 +47,18 @@ def build_engine() -> NluEngine:
     return NluEngine().fit(combined_dataset())
 
 
+def persist_model_bundle(engine: NluEngine) -> Path:
+    """Write the fitted bundle so __spark_entry__ loads instead of
+    refitting (~40 s) on every driver invocation."""
+    import json
+    ORACLE_DIR.mkdir(exist_ok=True)
+    out = ORACLE_DIR / "model_bundle.json"
+    out.write_text(json.dumps(engine.to_dict(), sort_keys=True),
+                   encoding="utf8")
+    print(f"model bundle -> {out} ({out.stat().st_size / 1e6:.1f} MB)")
+    return out
+
+
 INTENTS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
@@ -112,6 +124,7 @@ def make_oracle(engine: NluEngine, sf: float) -> Path:
 if __name__ == "__main__":
     sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01]
     engine = build_engine()
+    persist_model_bundle(engine)
     for sf in sfs:
         make_oracle(engine, sf)
         make_intents_oracle(engine, sf)

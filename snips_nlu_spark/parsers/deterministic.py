@@ -134,12 +134,15 @@ class DeterministicIntentParser:
                                                                  set())
 
     def _preprocess_text(self, string: str, intent: str) -> str:
-        return self._preprocess_memo(string, intent)
+        # keyed by stop-word whitelist group: intents without distinct
+        # whitelists share one preprocessed string
+        group = frozenset(self._stop_words_whitelist.get(intent, ()))
+        return self._preprocess_memo(string, group)
 
-    def _preprocess_text_impl(self, string: str, intent: str) -> str:
+    def _preprocess_text_impl(self, string: str, group: frozenset) -> str:
         """Blank out stop words, preserving char positions
         (ref: deterministic_intent_parser.py:311-329)."""
-        stop_words = self._intent_stop_words(intent)
+        stop_words = self._stop_words - group
         out = []
         cursor = 0
         for t in tokenize(string):

@@ -98,10 +98,14 @@ class LookupIntentParser:
                                                                  set())
 
     def _preprocess(self, text: str, intent: str) -> str:
-        return self._preprocess_memo(text, intent)
+        # intents share the preprocessed form unless they have distinct
+        # stop-word whitelists (rare) — key the memo by the whitelist
+        # group, not the intent, so N intents cost one preprocess
+        group = frozenset(self._stop_words_whitelist.get(intent, ()))
+        return self._preprocess_memo(text, group)
 
-    def _preprocess_impl(self, text: str, intent: str) -> str:
-        return preprocess_text(text, self._intent_stop_words(intent))
+    def _preprocess_impl(self, text: str, group: frozenset) -> str:
+        return preprocess_text(text, self._stop_words - group)
 
     # ---------------------------------------------------------------- parse
     def parse(self, text: str, entity_bundle, intents=None, top_n=None,
