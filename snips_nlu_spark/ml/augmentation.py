@@ -90,6 +90,36 @@ def utterance_text(utterance: dict) -> str:
     return "".join(c["text"] for c in utterance["data"])
 
 
+def capitalize(text: str, stop_words: set[str]) -> str:
+    """Title-case non-stopword tokens (ref: data_augmentation.py:17-23)."""
+    return " ".join(
+        t.title() if t.lower() not in stop_words else t.lower()
+        for t in tokenize_light(text))
+
+
+def capitalize_utterances(utterances: list[dict], entities: dict,
+                          ratio: float, stop_words: set[str],
+                          random_state: np.random.RandomState
+                          ) -> list[dict]:
+    """Lowercase all chunks, then re-capitalize custom-entity chunks whose
+    entity has the ``capitalize`` flag with probability ``ratio``
+    (ref: data_augmentation.py:26-45)."""
+    out = []
+    for utt in utterances:
+        chunks = []
+        for chunk in utt["data"]:
+            new_chunk = dict(chunk)
+            new_chunk["text"] = chunk["text"].lower()
+            entity = chunk.get("entity")
+            if (entity and not is_builtin_entity(entity)
+                    and entities.get(entity, {}).get("capitalize")
+                    and random_state.rand() <= ratio):
+                new_chunk["text"] = capitalize(chunk["text"], stop_words)
+            chunks.append(new_chunk)
+        out.append({"data": chunks})
+    return out
+
+
 def generate_noise_utterances(augmented_utterances: list[dict],
                               noise: list[str], num_intents: int,
                               noise_factor: float,

@@ -157,6 +157,12 @@ class CRFSlotFiller:
 
         augmented = augment_utterances(dataset, intent, CRF_MIN_UTTERANCES,
                                        random_state)
+        # capitalization augmentation, ratio 0.2 (ref: config_en.py:110)
+        from .ml.augmentation import capitalize_utterances
+        from .resources import EN_STOP_WORDS
+        augmented = capitalize_utterances(
+            augmented, dataset["entities"], 0.2, set(EN_STOP_WORDS),
+            random_state)
         sequences, tag_sequences = [], []
         for utt in augmented:
             sample = utterance_to_sample(utt["data"], self.scheme)

@@ -42,6 +42,22 @@ def edges_rollup(triples: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("weight")))
 
 
+def intent_transitions(triples: DataFrame) -> DataFrame:
+    """(prev_intent, next_intent, n): Markov rollup of intent sequences
+    within each conversation (ordered by turn_idx) — the KG's
+    conversation-flow edges. One window shuffle on conv_id."""
+    from pyspark.sql import Window
+    intents = (triples.filter(F.col("pred") == "intent")
+               .select("conv_id", "turn_idx",
+                       F.col("obj").alias("intent")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (intents
+            .withColumn("prev_intent", F.lag("intent").over(w))
+            .filter(F.col("prev_intent").isNotNull())
+            .groupBy("prev_intent", F.col("intent").alias("next_intent"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def intent_distribution(triples: DataFrame) -> DataFrame:
     """Per-intent triple counts — the pipeline's headline rollup."""
     return (triples.filter(F.col("pred") == "intent")
