@@ -45,41 +45,49 @@ def _engine_from_json(model_json: str) -> NluEngine:
     engine = _ENGINE_CACHE.get(key)
     if engine is None:
         engine = NluEngine.from_dict(json.loads(model_json))
-        # Worker-lifetime parse memos — the executor-side analogue of the
-        # reference's per-(text, scope) parse cache
-        # (entity_parser/entity_parser.py:22-55):
-        # 1. datetime-mention spans are anchor-INdependent (the anchor only
-        #    affects resolution values), so a text with no snips/datetime
-        #    mention parses identically under every anchor → cached per
-        #    text alone. This is the common case in transcript corpora and
-        #    is what keeps per-worker unique work bounded at scale.
-        # 2. texts with datetime mentions resolve against midnight of the
-        #    anchor (entities/builtin.py), so (text, date) is a complete
-        #    key for them.
-        from functools import lru_cache
-
-        probe_anchor = _dt.datetime(2000, 1, 6)
-
-        @lru_cache(maxsize=262144)
-        def has_datetime(text: str) -> bool:
-            return bool(engine._bundle.parse_builtin(
-                text, ("snips/datetime",), probe_anchor))
-
-        @lru_cache(maxsize=131072)
-        def parse_keyed(text, date):
-            return engine.parse(
-                text, anchor=None if date is None else
-                _dt.datetime(date.year, date.month, date.day))
-
-        def parse_dated(text, date):
-            if date is not None and not has_datetime(text):
-                date = None
-            return parse_keyed(text, date)
-
-        engine.parse_dated = parse_dated
+        engine.parse_dated = make_dated_memo(
+            engine, lambda text, anchor: engine.parse(text, anchor=anchor))
         _ENGINE_CACHE.clear()  # one model per executor at a time
         _ENGINE_CACHE[key] = engine
     return engine
+
+
+def make_dated_memo(engine: NluEngine, fn, maxsize: int = 131072):
+    """Worker-lifetime memo for any (text, anchor)->result function — the
+    executor-side analogue of the reference's per-(text, scope) parse cache
+    (entity_parser/entity_parser.py:22-55):
+    1. datetime-mention *spans* are anchor-INdependent (the anchor only
+       affects resolution values), so a text with no snips/datetime mention
+       evaluates identically under every anchor → cached per text alone.
+       This is the common case in transcript corpora and is what keeps
+       per-worker unique work bounded at scale.
+    2. texts with datetime mentions resolve against midnight of the anchor
+       (entities/builtin.py), so (text, date) is a complete key for them.
+
+    Returns ``memoized(text, date)`` where date is a ``datetime.date`` or
+    None.
+    """
+    from functools import lru_cache
+
+    probe_anchor = _dt.datetime(2000, 1, 6)
+
+    @lru_cache(maxsize=262144)
+    def has_datetime(text: str) -> bool:
+        return bool(engine._bundle.parse_builtin(
+            text, ("snips/datetime",), probe_anchor))
+
+    @lru_cache(maxsize=maxsize)
+    def keyed(text, date):
+        anchor = None if date is None else \
+            _dt.datetime(date.year, date.month, date.day)
+        return fn(text, anchor)
+
+    def memoized(text, date):
+        if date is not None and not has_datetime(text):
+            date = None
+        return keyed(text, date)
+
+    return memoized
 
 
 def canonical_obj(slot_value: dict) -> str:
@@ -217,12 +225,8 @@ def rank_intents(df, model_json: str, top_n: int = 3):
 
     def kernel(batches):
         engine = _engine_from_json(bc.value)
-        from functools import lru_cache
 
-        @lru_cache(maxsize=65536)
-        def ranked(text, date):
-            anchor = None if date is None else \
-                _dt.datetime(date.year, date.month, date.day)
+        def _rank(text, anchor):
             out = []
             for res in engine.get_intents(text, anchor=anchor):
                 if res["intentName"] is not None:
@@ -231,6 +235,8 @@ def rank_intents(df, model_json: str, top_n: int = 3):
                 if len(out) >= top_n:
                     break
             return tuple(out)
+
+        ranked = make_dated_memo(engine, _rank, maxsize=65536)
 
         for pdf in batches:
             rows = []
