@@ -91,10 +91,13 @@ class NluEngine:
         dataset = validate_and_format_dataset(dataset)
         resources = get_resources(dataset["language"])
 
-        gazetteer = GazetteerParser.build({
-            name: entity["utterances"]
-            for name, entity in dataset["entities"].items()
-            if not is_builtin_entity(name)})
+        custom_entities = {name: entity
+                           for name, entity in dataset["entities"].items()
+                           if not is_builtin_entity(name)}
+        gazetteer = GazetteerParser.build(
+            {name: e["utterances"] for name, e in custom_entities.items()},
+            strictness={name: e.get("matching_strictness", 1.0)
+                        for name, e in custom_entities.items()})
         self._bundle = EntityBundle(gazetteer, BuiltinEntityParser())
 
         self.intent_parsers = []

@@ -4,9 +4,12 @@ normalized token streams.
 From-scratch replacement for the reference's Rust ``GazetteerEntityParser``
 (wrapped at /root/reference/snips_nlu/entity_parser/custom_entity_parser.py:
 25-52, built at :80-111). The dictionary maps raw values (incl. synonyms
-and fit-time string variations) to canonical values; matching is
-token-exact on normalized tokens (``matching_strictness`` < 1.0 fuzzy
-matching is not implemented — every shipped fixture uses 1.0).
+and fit-time string variations) to canonical values. Matching is
+token-exact on normalized tokens; entities configured with
+``matching_strictness`` < 1.0 additionally match ordered token
+subsequences of a dictionary value covering at least that fraction of the
+value's tokens (the public gazetteer-entity-parser ``parser_threshold``
+semantics: minimum fraction of entity-value tokens that must match).
 
 The compiled trie is built once on the driver from the gazetteer dimension
 table and broadcast to executors; ``parse`` runs per Arrow batch. This is
@@ -30,18 +33,25 @@ class GazetteerParser:
         # entity -> trie over normalized token sequences
         self._tries: dict[str, dict] = {}
         self._max_len: dict[str, int] = {}
+        # fuzzy matching state (only for entities with strictness < 1.0)
+        self._strictness: dict[str, float] = {}
+        self._values: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+        self._token_index: dict[str, dict[str, list[int]]] = {}
         # bounded per-instance memo (the reference keeps a LimitedSizeDict
         # of 1000 entries per parser, entity_parser/entity_parser.py:22-55)
         self._parse_memo = lru_cache(maxsize=2048)(self._parse_impl)
 
     # -- build (driver side) ------------------------------------------------
     @classmethod
-    def build(cls, entity_utterances: dict[str, dict[str, str]]
+    def build(cls, entity_utterances: dict[str, dict[str, str]],
+              strictness: dict[str, float] | None = None
               ) -> "GazetteerParser":
         """entity_utterances: {entity_name: {raw_value: canonical_value}}
         — the compiled gazetteer produced by dataset validation
-        (ref: dataset/validation.py:174-248)."""
+        (ref: dataset/validation.py:174-248). ``strictness`` maps entity →
+        matching_strictness (default 1.0 = exact)."""
         parser = cls()
+        strictness = strictness or {}
         for entity, utterances in entity_utterances.items():
             trie: dict = {}
             max_len = 0
@@ -59,6 +69,22 @@ class GazetteerParser:
                 max_len = max(max_len, len(toks))
             parser._tries[entity] = trie
             parser._max_len[entity] = max_len
+            s = float(strictness.get(entity, 1.0))
+            if s < 1.0:
+                parser._strictness[entity] = s
+                values: list[tuple[tuple[str, ...], str]] = []
+                index: dict[str, list[int]] = {}
+                for raw in sorted(utterances):
+                    toks = tuple(normalize(t.value)
+                                 for t in tokenize(raw))
+                    if not toks:
+                        continue
+                    vid = len(values)
+                    values.append((toks, utterances[raw]))
+                    for tok in set(toks):
+                        index.setdefault(tok, []).append(vid)
+                parser._values[entity] = values
+                parser._token_index[entity] = index
         return parser
 
     @property
@@ -110,7 +136,65 @@ class GazetteerParser:
                         "resolved_value": {"kind": "Custom",
                                            "value": best_resolved},
                     })
-        return tuple(sorted(mentions, key=lambda m: (m["start"], m["end"])))
+            if entity in self._strictness:
+                mentions.extend(
+                    self._fuzzy_matches(entity, text, tokens, norm))
+        # drop fuzzy matches duplicating an exact span
+        seen: set = set()
+        unique = []
+        for m in sorted(mentions, key=lambda m: (m["start"], m["end"])):
+            key = (m["entity_kind"], m["start"], m["end"])
+            if key not in seen:
+                seen.add(key)
+                unique.append(m)
+        return tuple(unique)
+
+    def _fuzzy_matches(self, entity, text, tokens, norm):
+        """Ordered-subsequence matches covering ≥ strictness of a value's
+        tokens. Text tokens are consumed contiguously; value tokens may be
+        skipped."""
+        threshold = self._strictness[entity]
+        values = self._values[entity]
+        index = self._token_index[entity]
+        out = []
+        n = len(tokens)
+        for i in range(n):
+            cands = index.get(norm[i])
+            if not cands:
+                continue
+            best = None  # (matched, -v_len, end_idx, resolved)
+            for vid in cands:
+                v_toks, resolved = values[vid]
+                k = 0
+                matched = 0
+                end_idx = i - 1
+                t = i
+                while t < n and k < len(v_toks):
+                    try:
+                        k = v_toks.index(norm[t], k)
+                    except ValueError:
+                        break
+                    matched += 1
+                    end_idx = t
+                    k += 1
+                    t += 1
+                if matched and matched / len(v_toks) >= threshold:
+                    cand = (matched, -len(v_toks), end_idx, resolved)
+                    if best is None or cand > best:
+                        best = cand
+            if best is not None:
+                matched, _, end_idx, resolved = best
+                start = tokens[i].start
+                end = tokens[end_idx].end
+                out.append({
+                    "value": text[start:end],
+                    "start": start,
+                    "end": end,
+                    "entity_kind": entity,
+                    "resolved_value": {"kind": "Custom",
+                                       "value": resolved},
+                })
+        return out
 
     # -- persistence ---------------------------------------------------------
     def to_dict(self) -> dict:
@@ -128,8 +212,10 @@ class GazetteerParser:
             acc: dict[str, str] = {}
             walk(trie, [], acc)
             out[entity] = acc
-        return {"entity_utterances": out}
+        return {"entity_utterances": out,
+                "strictness": dict(self._strictness)}
 
     @classmethod
     def from_dict(cls, d: dict) -> "GazetteerParser":
-        return cls.build(d["entity_utterances"])
+        return cls.build(d["entity_utterances"],
+                         strictness=d.get("strictness"))

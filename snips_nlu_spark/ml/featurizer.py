@@ -34,9 +34,15 @@ def entity_feature_name(entity: str) -> str:
 
 
 class Featurizer:
-    def __init__(self, pvalue_threshold: float = PVALUE_THRESHOLD) -> None:
+    def __init__(self, pvalue_threshold: float = PVALUE_THRESHOLD,
+                 added_cooccurrence_feature_ratio: float = 0.0) -> None:
         self.pvalue_threshold = pvalue_threshold
+        # en default ratio is 0.0 (config_en.py:127) — cooccurrence
+        # features are opt-in
+        self.added_cooccurrence_feature_ratio = \
+            added_cooccurrence_feature_ratio
         self.vectorizer = TfidfVectorizer()
+        self.cooccurrence = None
         self.builtin_scope: list[str] = []
         self.custom_scope: list[str] = []
 
@@ -106,7 +112,15 @@ class Featurizer:
         kept_ngrams = [ng for ng, i in self.vectorizer.vocabulary.items()
                        if i in keep]
         self.vectorizer.limit_vocabulary(kept_ngrams)
-        return self.vectorizer.transform(docs)
+        x_out = self.vectorizer.transform(docs)
+        if self.added_cooccurrence_feature_ratio > 0:
+            from .cooccurrence import CooccurrenceVectorizer
+            top_k = int(self.added_cooccurrence_feature_ratio
+                        * len(self.vectorizer.vocabulary))
+            self.cooccurrence = CooccurrenceVectorizer()
+            x_cooc = self.cooccurrence.fit_select(docs, classes, top_k)
+            x_out = np.hstack([x_out, x_cooc])
+        return x_out
 
     def transform_texts(self, texts: list[str], entity_bundle,
                         anchors=None) -> np.ndarray:
@@ -114,19 +128,32 @@ class Featurizer:
             anchors = [None] * len(texts)
         docs = [self.enrich_text(t, entity_bundle, a)
                 for t, a in zip(texts, anchors)]
-        return self.vectorizer.transform(docs)
+        x = self.vectorizer.transform(docs)
+        if self.cooccurrence is not None and self.cooccurrence.word_pairs:
+            x = np.hstack([x, self.cooccurrence.transform(docs)])
+        return x
 
     # ------------------------------------------------------------------- io
     def to_dict(self) -> dict:
         return {"pvalue_threshold": self.pvalue_threshold,
+                "added_cooccurrence_feature_ratio":
+                    self.added_cooccurrence_feature_ratio,
                 "vectorizer": self.vectorizer.to_dict(),
+                "cooccurrence": None if self.cooccurrence is None
+                else self.cooccurrence.to_dict(),
                 "builtin_scope": self.builtin_scope,
                 "custom_scope": self.custom_scope}
 
     @classmethod
     def from_dict(cls, d: dict) -> "Featurizer":
-        f = cls(pvalue_threshold=d["pvalue_threshold"])
+        f = cls(pvalue_threshold=d["pvalue_threshold"],
+                added_cooccurrence_feature_ratio=d.get(
+                    "added_cooccurrence_feature_ratio", 0.0))
         f.vectorizer = TfidfVectorizer.from_dict(d["vectorizer"])
+        if d.get("cooccurrence"):
+            from .cooccurrence import CooccurrenceVectorizer
+            f.cooccurrence = CooccurrenceVectorizer.from_dict(
+                d["cooccurrence"])
         f.builtin_scope = list(d["builtin_scope"])
         f.custom_scope = list(d["custom_scope"])
         return f

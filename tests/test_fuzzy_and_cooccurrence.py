@@ -1,0 +1,90 @@
+"""Fuzzy gazetteer matching (matching_strictness < 1.0) and the
+cooccurrence vectorizer (opt-in, §2.5)."""
+
+import numpy as np
+
+from snips_nlu_spark.entities.gazetteer import GazetteerParser
+from snips_nlu_spark.ml.cooccurrence import CooccurrenceVectorizer
+
+
+def test_fuzzy_gazetteer_partial_match():
+    gaz = GazetteerParser.build(
+        {"artist": {"the rolling stones": "The Rolling Stones",
+                    "daft punk": "Daft Punk"}},
+        strictness={"artist": 0.5})
+    # 2 of 3 tokens → ratio 0.66 ≥ 0.5
+    ms = gaz.parse("play rolling stones now", scope=["artist"])
+    assert ms and ms[0]["resolved_value"]["value"] == "The Rolling Stones"
+    assert ms[0]["value"] == "rolling stones"
+    # 1 of 2 tokens → 0.5 ≥ 0.5
+    ms2 = gaz.parse("some daft tune", scope=["artist"])
+    assert ms2 and ms2[0]["resolved_value"]["value"] == "Daft Punk"
+
+
+def test_fuzzy_gazetteer_below_threshold_no_match():
+    gaz = GazetteerParser.build(
+        {"artist": {"the rolling stones": "The Rolling Stones"}},
+        strictness={"artist": 0.7})
+    # 1 of 3 tokens = 0.33 < 0.7
+    assert gaz.parse("stones everywhere", scope=["artist"]) == []
+
+
+def test_strict_entity_unaffected_by_fuzzy_machinery():
+    gaz = GazetteerParser.build(
+        {"drink": {"green tea": "green tea"}},
+        strictness={"drink": 1.0})
+    assert gaz.parse("a tea please", scope=["drink"]) == []
+    assert gaz.parse("a green tea please", scope=["drink"])[0][
+        "value"] == "green tea"
+
+
+def test_fuzzy_roundtrip_through_dict():
+    gaz = GazetteerParser.build(
+        {"artist": {"daft punk": "Daft Punk"}},
+        strictness={"artist": 0.5})
+    clone = GazetteerParser.from_dict(gaz.to_dict())
+    assert clone.parse("daft stuff", scope=["artist"]) == \
+        gaz.parse("daft stuff", scope=["artist"])
+
+
+def test_cooccurrence_pairs_and_selection():
+    v = CooccurrenceVectorizer(window_size=None)
+    texts = ["turn light on", "turn light off", "play some music",
+             "play loud music"]
+    classes = np.array([0, 0, 1, 1])
+    x = v.fit_select(texts, classes, top_k=4)
+    assert x.shape == (4, 4)
+    assert len(v.word_pairs) == 4
+    # transform is binary and consistent
+    x2 = v.transform(["turn light on"])
+    assert set(np.unique(x2)) <= {0.0, 1.0}
+
+
+def test_featurizer_with_cooccurrence_ratio():
+    from snips_nlu_spark.dataset import validate_and_format_dataset
+    from snips_nlu_spark.engine import EntityBundle
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    from snips_nlu_spark.fixtures import lights_dataset
+    from snips_nlu_spark.ml.featurizer import Featurizer
+
+    ds = validate_and_format_dataset(lights_dataset())
+    gaz = GazetteerParser.build(
+        {n: e["utterances"] for n, e in ds["entities"].items()})
+    bundle = EntityBundle(gaz, BuiltinEntityParser())
+
+    utterances = [u for i in ds["intents"].values()
+                  for u in i["utterances"]]
+    classes = np.array([k for k, i in enumerate(ds["intents"].values())
+                        for _ in i["utterances"]])
+    f = Featurizer(added_cooccurrence_feature_ratio=0.5)
+    x = f.fit_transform(utterances, classes, ds, bundle)
+    n_tfidf = len(f.vectorizer.vocabulary)
+    assert x.shape[1] == n_tfidf + len(f.cooccurrence.word_pairs)
+    assert len(f.cooccurrence.word_pairs) <= int(0.5 * n_tfidf)
+    # inference path concatenates the same blocks
+    xt = f.transform_texts(["switch on the light"], bundle)
+    assert xt.shape[1] == x.shape[1]
+    # roundtrip
+    clone = Featurizer.from_dict(f.to_dict())
+    assert np.allclose(
+        clone.transform_texts(["switch on the light"], bundle), xt)
