@@ -33,13 +33,18 @@ class GazetteerParser:
         # entity -> trie over normalized token sequences
         self._tries: dict[str, dict] = {}
         self._max_len: dict[str, int] = {}
+        # merged trie across all entities: one walk per text position
+        # instead of one per entity (terminals: {entity: resolved})
+        self._merged: dict = {}
         # fuzzy matching state (only for entities with strictness < 1.0)
         self._strictness: dict[str, float] = {}
         self._values: dict[str, list[tuple[tuple[str, ...], str]]] = {}
         self._token_index: dict[str, dict[str, list[int]]] = {}
         # bounded per-instance memo (the reference keeps a LimitedSizeDict
-        # of 1000 entries per parser, entity_parser/entity_parser.py:22-55)
-        self._parse_memo = lru_cache(maxsize=2048)(self._parse_impl)
+        # of 1000 entries per parser, entity_parser/entity_parser.py:22-55);
+        # the scan is scope-independent, so one memo entry serves every
+        # scoped probe of the same text
+        self._scan_memo = lru_cache(maxsize=2048)(self._scan_all)
 
     # -- build (driver side) ------------------------------------------------
     @classmethod
@@ -69,6 +74,17 @@ class GazetteerParser:
                 max_len = max(max_len, len(toks))
             parser._tries[entity] = trie
             parser._max_len[entity] = max_len
+            # merge into the shared trie (longest match per entity is
+            # found in the same walk)
+            for raw in sorted(utterances):
+                toks = [normalize(t.value) for t in tokenize(raw)]
+                if not toks:
+                    continue
+                node = parser._merged
+                for t in toks:
+                    node = node.setdefault(t, {})
+                node.setdefault(_END, {}).setdefault(
+                    entity, utterances[raw])
             s = float(strictness.get(entity, 1.0))
             if s < 1.0:
                 parser._strictness[entity] = s
@@ -95,50 +111,52 @@ class GazetteerParser:
     def parse(self, text: str, scope: Sequence[str] | None = None
               ) -> list[dict]:
         """Longest dictionary match per (entity, start token); returns
-        mention dicts sorted by span. Memoized per (text, scope) — treat
-        the returned mention dicts as immutable."""
-        scope_key = tuple(self.entities) if scope is None \
-            else tuple(sorted(scope))
-        return list(self._parse_memo(text, scope_key))
+        mention dicts sorted by span. The underlying scan is memoized per
+        text (scope-independent) — treat the returned dicts as
+        immutable."""
+        matches = self._scan_memo(text)
+        if scope is not None:
+            wanted = set(scope)
+            matches = [m for m in matches if m["entity_kind"] in wanted]
+        return list(matches)
 
-    def _parse_impl(self, text: str, scope: tuple[str, ...]) -> tuple:
+    def _scan_all(self, text: str) -> tuple:
+        """One merged-trie walk per start position finds the longest match
+        of EVERY entity simultaneously; fuzzy entities add their
+        subsequence matches."""
         tokens = tokenize(text)
         if not tokens:
             return ()
         norm = [normalize(t.value) for t in tokens]
-        mentions: list[dict] = []
         n = len(tokens)
-        for entity in scope:
-            trie = self._tries.get(entity)
-            if not trie:
-                continue
-            for i in range(n):
-                node = trie
-                best_end = -1
-                best_resolved = None
-                j = i
-                while j < n:
-                    node = node.get(norm[j])
-                    if node is None:
-                        break
-                    if _END in node:
-                        best_end = j
-                        best_resolved = node[_END]
-                    j += 1
-                if best_end >= 0:
-                    start = tokens[i].start
-                    end = tokens[best_end].end
-                    mentions.append({
-                        "value": text[start:end],
-                        "start": start,
-                        "end": end,
-                        "entity_kind": entity,
-                        "resolved_value": {"kind": "Custom",
-                                           "value": best_resolved},
-                    })
-            if entity in self._strictness:
-                mentions.extend(
-                    self._fuzzy_matches(entity, text, tokens, norm))
+        mentions: list[dict] = []
+        for i in range(n):
+            node = self._merged
+            per_entity: dict[str, tuple[int, str]] = {}
+            j = i
+            while j < n:
+                node = node.get(norm[j])
+                if node is None:
+                    break
+                terminals = node.get(_END)
+                if terminals:
+                    for entity, resolved in terminals.items():
+                        per_entity[entity] = (j, resolved)
+                j += 1
+            for entity, (end_idx, resolved) in per_entity.items():
+                start = tokens[i].start
+                end = tokens[end_idx].end
+                mentions.append({
+                    "value": text[start:end],
+                    "start": start,
+                    "end": end,
+                    "entity_kind": entity,
+                    "resolved_value": {"kind": "Custom",
+                                       "value": resolved},
+                })
+        for entity in self._strictness:
+            mentions.extend(self._fuzzy_matches(entity, text, tokens,
+                                                norm))
         # drop fuzzy matches duplicating an exact span
         seen: set = set()
         unique = []
