@@ -144,6 +144,41 @@ class NluEngine:
             none_proba = max(none_proba, res["intent"]["probability"])
         return empty_result(text, none_proba)
 
+    def parse_batch(self, texts: list[str], anchors=None) -> list[dict]:
+        """Unscoped batch parse: row i is identical to
+        ``parse(texts[i], anchor=anchors[i])``. Parsers that expose
+        ``parse_batch`` (the probabilistic stage: one classifier matmul
+        per batch) get the whole miss-set at once; others run per row."""
+        anchors = anchors or [None] * len(texts)
+        results: list = [None] * len(texts)
+        none_proba = [0.0] * len(texts)
+        pending = list(range(len(texts)))
+        for parser in self.intent_parsers:
+            if not pending:
+                break
+            if hasattr(parser, "parse_batch"):
+                sub = parser.parse_batch(
+                    [texts[i] for i in pending], self._bundle,
+                    [anchors[i] for i in pending])
+            else:
+                sub = [parser.parse(texts[i], self._bundle,
+                                    anchor=anchors[i]) for i in pending]
+            still = []
+            for i, res in zip(pending, sub):
+                if res["intent"]["intentName"] is not None:
+                    resolved = self._resolve_slots(texts[i], res["slots"],
+                                                   anchors[i])
+                    results[i] = parsing_result(texts[i], res["intent"],
+                                                resolved)
+                else:
+                    none_proba[i] = max(none_proba[i],
+                                        res["intent"]["probability"])
+                    still.append(i)
+            pending = still
+        for i in pending:
+            results[i] = empty_result(texts[i], none_proba[i])
+        return results
+
     def get_intents(self, text: str, anchor=None) -> list[dict]:
         """Merge per-parser ranked lists by max proba
         (ref: nlu_engine.py:200-227)."""

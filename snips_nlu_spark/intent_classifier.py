@@ -47,14 +47,27 @@ class LogRegIntentClassifier:
     def get_intents(self, text: str, entity_bundle,
                     anchor=None) -> list[dict]:
         """Full ranked list, None intent included."""
-        x = self.featurizer.transform_texts([text], entity_bundle,
-                                            [anchor])
-        proba = self.classifier.predict_proba(x)[0]
-        # map class index -> intent name; classes_ are ints
+        return self.get_intents_batch([text], entity_bundle, [anchor])[0]
+
+    def get_intents_batch(self, texts: list[str], entity_bundle,
+                          anchors=None) -> list[list[dict]]:
+        """Vectorized ranking: one feature matrix + one matmul for the
+        whole batch (the Arrow-batch fast path); the single-text
+        ``get_intents`` delegates here, so both paths share one code
+        path by construction."""
+        x = self.featurizer.transform_texts(texts, entity_bundle, anchors)
+        proba = self.classifier.predict_proba(x)
+        return [self._ranked_from_proba(row) for row in proba]
+
+    def _ranked_from_proba(self, proba_row) -> list[dict]:
         results = []
-        for cls_idx, p in zip(self.classifier.classes_, proba):
+        for cls_idx, p in zip(self.classifier.classes_, proba_row):
             intent = self.intent_list[int(cls_idx)]
-            results.append({"intentName": intent, "probability": float(p)})
+            # round to 12 dp: matrix-matrix (batch) and vector-matrix
+            # (single) BLAS paths differ in the last ulp; rounding makes
+            # batch and single rankings byte-identical
+            results.append({"intentName": intent,
+                            "probability": round(float(p), 12)})
         # classes absent from training (shouldn't happen) get 0
         seen = {r["intentName"] for r in results}
         for intent in self.intent_list:

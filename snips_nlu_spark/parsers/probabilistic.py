@@ -71,6 +71,25 @@ class ProbabilisticIntentParser:
             results.append(extraction_result(res, slots))
         return results
 
+    def parse_batch(self, texts: list[str], entity_bundle,
+                    anchors=None) -> list[dict]:
+        """Vectorized unscoped parse of many texts: one classifier matmul,
+        then per-row CRF only for non-None intents. Row i is identical to
+        ``parse(texts[i], ...)`` (same ranking code path)."""
+        ranked_all = self.intent_classifier.get_intents_batch(
+            texts, entity_bundle, anchors)
+        anchors = anchors or [None] * len(texts)
+        out = []
+        for text, ranked, anchor in zip(texts, ranked_all, anchors):
+            best = ranked[0]
+            if best["intentName"] is None:
+                out.append(empty_result(text, best["probability"]))
+            else:
+                slots = self.get_slots(text, entity_bundle,
+                                       best["intentName"], anchor=anchor)
+                out.append(parsing_result(text, best, slots))
+        return out
+
     def get_intents(self, text, entity_bundle, anchor=None):
         return self.intent_classifier.get_intents(text, entity_bundle,
                                                   anchor=anchor)

@@ -45,11 +45,24 @@ def _engine_from_json(model_json: str) -> NluEngine:
     engine = _ENGINE_CACHE.get(key)
     if engine is None:
         engine = NluEngine.from_dict(json.loads(model_json))
-        engine.parse_dated = make_dated_memo(
-            engine, lambda text, anchor: engine.parse(text, anchor=anchor))
+        from functools import lru_cache
+
+        probe_anchor = _dt.datetime(2000, 1, 6)
+
+        @lru_cache(maxsize=262144)
+        def has_datetime(text: str) -> bool:
+            return bool(engine._bundle.parse_builtin(
+                text, ("snips/datetime",), probe_anchor))
+
+        engine.has_datetime = has_datetime
+        # worker-lifetime (text[, date]) -> result memo, batch-fillable
+        engine.parse_memo = {}
         _ENGINE_CACHE.clear()  # one model per executor at a time
         _ENGINE_CACHE[key] = engine
     return engine
+
+
+_PARSE_MEMO_CAP = 131072
 
 
 def make_dated_memo(engine: NluEngine, fn, maxsize: int = 131072):
@@ -148,32 +161,54 @@ def parse_cached(engine: NluEngine, text: str, ts):
 
 
 def _parse_batch(engine: NluEngine, pdf: pd.DataFrame) -> pd.DataFrame:
-    rows: list[tuple] = []
-    parse_dated = getattr(engine, "parse_dated", None)
-    if parse_dated is None:  # direct use outside _engine_from_json
-        cache: dict[tuple, dict] = {}
-
-        def parse_dated(text, date):  # noqa: ANN001
-            key = (text, date)
-            r = cache.get(key)
-            if r is None:
-                anchor = None if date is None else \
-                    _dt.datetime(date.year, date.month, date.day)
-                r = cache[key] = engine.parse(text, anchor=anchor)
-            return r
+    """Batch kernel: resolve each row's memo key ((text) for
+    datetime-free texts, (text, date) otherwise — see engine.has_datetime
+    in _engine_from_json), batch-parse all memo misses in ONE
+    ``engine.parse_batch`` call (one classifier matmul for the whole
+    miss-set), then assemble triples."""
+    has_datetime = getattr(engine, "has_datetime", None)
+    memo = getattr(engine, "parse_memo", None)
+    if memo is None:
+        memo = {}
 
     conv_ids = pdf["conv_id"].to_numpy()
     turn_idxs = pdf["turn_idx"].to_numpy()
     texts = pdf["text"].to_numpy()
     tss = pdf["ts"].to_numpy() if "ts" in pdf.columns else [None] * len(pdf)
     ts_series = pd.to_datetime(pd.Series(tss))
-    for conv_id, turn_idx, text, ts in zip(conv_ids, turn_idxs, texts,
-                                           ts_series):
+
+    # pass 1: memo keys per row
+    keys: list = []
+    for text, ts in zip(texts, ts_series):
         if text is None:
+            keys.append(None)
             continue
+        text = str(text)
         date = None if pd.isna(ts) else ts.date()
-        result = parse_dated(str(text), date)
-        rows.extend(triples_from_result(result, str(conv_id),
+        if date is not None and has_datetime is not None \
+                and not has_datetime(text):
+            date = None
+        keys.append((text, date))
+
+    # pass 2: batch-parse the unique misses
+    misses = [k for k in dict.fromkeys(k for k in keys if k is not None)
+              if k not in memo]
+    if misses:
+        anchors = [None if d is None else _dt.datetime(d.year, d.month,
+                                                       d.day)
+                   for _, d in misses]
+        parsed = engine.parse_batch([t for t, _ in misses], anchors)
+        if len(memo) + len(misses) > _PARSE_MEMO_CAP:
+            memo.clear()
+        for k, res in zip(misses, parsed):
+            memo[k] = res
+
+    # pass 3: assemble triples
+    rows: list[tuple] = []
+    for conv_id, turn_idx, key in zip(conv_ids, turn_idxs, keys):
+        if key is None:
+            continue
+        rows.extend(triples_from_result(memo[key], str(conv_id),
                                         int(turn_idx)))
     return pd.DataFrame(rows, columns=TRIPLE_COLUMNS)
 
