@@ -78,7 +78,12 @@ def _scale_input(spark):
 
 
 def _warm(spark, model_json, df, cpus: int) -> None:
+    from pyspark.sql import functions as F
     from snips_nlu_spark.spark.stages import parse_transcripts
+    # prime the OS page cache with the actual data pages (count() alone
+    # reads only parquet metadata), so both parallelism levels see
+    # identical I/O conditions (ROADMAP item: bench stability)
+    df.agg(F.sum(F.length("text"))).collect()
     parse_transcripts(df.limit(cpus * 100), model_json).count()
 
 
