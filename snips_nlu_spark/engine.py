@@ -134,6 +134,10 @@ class NluEngine:
                 results.append({"intent": res, "slots": slots})
             return results
 
+        # each parser's empty-result probability OVERWRITES the previous
+        # one (last parser wins), matching the reference's parse loop
+        # (nlu_engine.py:135-198) — so unmatched texts report the
+        # probabilistic classifier's None score, not lookup's 1.0
         none_proba = 0.0
         for parser in self.intent_parsers:
             res = parser.parse(text, self._bundle, intents=intents,
@@ -141,7 +145,7 @@ class NluEngine:
             if res["intent"]["intentName"] is not None:
                 resolved = self._resolve_slots(text, res["slots"], anchor)
                 return parsing_result(text, res["intent"], resolved)
-            none_proba = max(none_proba, res["intent"]["probability"])
+            none_proba = res["intent"]["probability"]
         return empty_result(text, none_proba)
 
     def parse_batch(self, texts: list[str], anchors=None) -> list[dict]:
@@ -171,8 +175,8 @@ class NluEngine:
                     results[i] = parsing_result(texts[i], res["intent"],
                                                 resolved)
                 else:
-                    none_proba[i] = max(none_proba[i],
-                                        res["intent"]["probability"])
+                    # last parser wins (mirror of parse())
+                    none_proba[i] = res["intent"]["probability"]
                     still.append(i)
             pending = still
         for i in pending:
@@ -190,6 +194,29 @@ class NluEngine:
                         best[name]["probability"]:
                     best[name] = res
         return sorted(best.values(), key=lambda r: -r["probability"])
+
+    def get_intents_batch(self, texts: list[str],
+                          anchors=None) -> list[list[dict]]:
+        """Batch n-best: row i identical to ``get_intents(texts[i])``.
+        Parsers exposing ``get_intents_batch`` (the probabilistic stage:
+        one classifier matmul) get the whole batch at once."""
+        anchors = anchors or [None] * len(texts)
+        merged: list[dict] = [{} for _ in texts]
+        for parser in self.intent_parsers:
+            if hasattr(parser, "get_intents_batch"):
+                per_row = parser.get_intents_batch(texts, self._bundle,
+                                                   anchors)
+            else:
+                per_row = [parser.get_intents(t, self._bundle, anchor=a)
+                           for t, a in zip(texts, anchors)]
+            for best, ranked in zip(merged, per_row):
+                for res in ranked:
+                    name = res["intentName"]
+                    if name not in best or res["probability"] > \
+                            best[name]["probability"]:
+                        best[name] = res
+        return [sorted(b.values(), key=lambda r: -r["probability"])
+                for b in merged]
 
     def get_slots(self, text: str, intent: str | None, anchor=None):
         if intent is None:

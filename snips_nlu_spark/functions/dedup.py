@@ -136,48 +136,87 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
                           F.col("b.doc_id").alias("doc_b"))
                   .distinct())
 
-    # exact verification of candidates only
-    verified = (_pair_jaccard(sh)
-                .join(candidates, ["doc_a", "doc_b"])
-                .filter(F.col("jaccard") >= threshold)
-                .select("doc_a", "doc_b",
-                        F.round("jaccard", 6).alias("jaccard")))
-    return verified
+    # exact verification of candidates ONLY: join each candidate pair to
+    # the two docs' shingle sets and intersect. Cost is O(|candidates|) —
+    # the all-pairs co-shingle join never runs (that join is exactly the
+    # quadratic blowup LSH exists to avoid; see round-1 VERDICT).
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shset"),
+        F.count(F.lit(1)).alias("n_shingles"))
+    sa = doc_sets.select(F.col("doc_id").alias("doc_a"),
+                         F.col("shset").alias("set_a"),
+                         F.col("n_shingles").alias("na"))
+    sb = doc_sets.select(F.col("doc_id").alias("doc_b"),
+                         F.col("shset").alias("set_b"),
+                         F.col("n_shingles").alias("nb"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jaccard = (inter.cast("double")
+               / (F.col("na") + F.col("nb") - inter).cast("double"))
+    return (candidates
+            .join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document over word tokens, vectorized numpy per
     Arrow batch (bit unpack + sign aggregation — not expressible as a
     fixed-size JVM expression tree without 64 agg columns)."""
+    import re
+
     import numpy as np
     import pandas as pd
 
+    word_re = re.compile(_WORD_RE)
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    def fnv1a_batch(tokens: np.ndarray) -> np.ndarray:
+        """Vectorized FNV-1a over a unique-token array: one numpy pass per
+        byte POSITION (≈ max token length iterations), not per byte —
+        identical outputs to the per-char fold (golden-tested)."""
+        enc = [t.encode("utf8") for t in tokens]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64,
+                           count=len(enc))
+        max_len = int(lens.max()) if len(lens) else 0
+        mat = np.zeros((len(enc), max_len), dtype=np.uint8)
+        for i, e in enumerate(enc):
+            mat[i, :len(e)] = np.frombuffer(e, dtype=np.uint8)
+        h = np.full(len(enc), 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for pos in range(max_len):
+            live = lens > pos
+            h[live] = (h[live] ^ mat[live, pos].astype(np.uint64)) * prime
+        return h
+
     def kernel(batches):
         for pdf in batches:
-            import re
-            sigs = []
-            for text in pdf["text"].astype(str):
-                tokens = re.findall("[a-z0-9]+", text.lower())
-                if not tokens:
-                    sigs.append(0)
-                    continue
-                # deterministic 64-bit token hashes (FNV-1a, numpy)
-                hs = np.zeros(len(tokens), dtype=np.uint64)
-                for idx, tok in enumerate(tokens):
-                    h = np.uint64(0xCBF29CE484222325)
-                    for ch in tok.encode("utf8"):
-                        h = np.uint64((int(h) ^ ch)
-                                      * 0x100000001B3 % (1 << 64))
-                    hs[idx] = h
-                bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64))
-                          & np.uint64(1)).astype(np.int64)
-                votes = (2 * bits_m - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for bpos in np.nonzero(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(bpos)
-                sigs.append(int(np.int64(sig)))  # two's complement bigint
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "simhash": pd.array(sigs, dtype="int64")})
+            token_lists = [word_re.findall(str(t).lower())
+                           for t in pdf["text"]]
+            counts = np.fromiter((len(t) for t in token_lists),
+                                 dtype=np.int64, count=len(token_lists))
+            sigs = np.zeros(len(token_lists), dtype=np.uint64)
+            nonempty = counts > 0
+            if nonempty.any():
+                flat = np.array(
+                    [tok for toks in token_lists for tok in toks],
+                    dtype=object)
+                uniq, inv = np.unique(flat, return_inverse=True)
+                hs = fnv1a_batch(uniq)[inv]
+                # per-doc bit votes in one reduceat over doc segments
+                contrib = (((hs[:, None] >> bit_idx) & np.uint64(1))
+                           .astype(np.int32) * 2 - 1)
+                offsets = np.concatenate(
+                    ([0], np.cumsum(counts[nonempty])[:-1]))
+                votes = np.add.reduceat(contrib, offsets, axis=0)
+                sigs[nonempty] = (
+                    ((votes > 0).astype(np.uint64) << bit_idx)
+                    .sum(axis=1, dtype=np.uint64))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                # two's-complement bigint (same bits as the uint64 sig)
+                "simhash": pd.array(sigs.view(np.int64), dtype="int64")})
 
     return documents.select("doc_id", "text").mapInPandas(
         kernel, "doc_id long, simhash long")

@@ -94,6 +94,12 @@ class ProbabilisticIntentParser:
         return self.intent_classifier.get_intents(text, entity_bundle,
                                                   anchor=anchor)
 
+    def get_intents_batch(self, texts, entity_bundle, anchors=None):
+        """One classifier matmul for the whole batch (row i identical to
+        ``get_intents(texts[i])`` — shared ranking code path)."""
+        return self.intent_classifier.get_intents_batch(
+            texts, entity_bundle, anchors)
+
     def get_slots(self, text, entity_bundle, intent, anchor=None):
         if intent is None:
             return []

@@ -1,13 +1,25 @@
 """Checkpointed KG build with per-partition lineage + exact resume.
 
 The transcript table is bucketed by ``pmod(xxhash64(conv_id), n_buckets)``;
-each bucket is an atomic commit unit. A lineage table
-(run-scoped parquet) records per bucket: turn count, triple count, a
-value fingerprint, and status. Resume = anti-join pending buckets against
-committed lineage — re-running a partially-completed build reprocesses
-only missing buckets and converges to the identical final state
+the bucket is the commit unit. A lineage ledger (parquet partitioned by
+bucket) records per bucket: turn count, triple count, a value fingerprint,
+and status. Resume = anti-join pending buckets against committed lineage.
+
+Convergence guarantee: both the triple store and the ledger are written
+with DYNAMIC PARTITION OVERWRITE on the bucket key, and any pending
+bucket's partition dirs are cleared up front — so re-running after a
+failure at ANY point (mid triple write, between triple and lineage
+writes, mid lineage write) replaces partial output instead of appending
+to it, and the store converges to the identical final state
 (BASELINE.json north_rule: "resumable from checkpoint with per-partition
-lineage + metrics").
+lineage + metrics"). Round-1 ADVICE flagged the append-mode variant:
+a failure between the triple append and the lineage append made resume
+re-append every bucket, duplicating rows.
+
+``n_buckets`` defaults to input-scaled (~250k turns per bucket, floor 64)
+and is pinned in ``_meta.json`` so a resume always reuses the original
+bucket mapping — changing the bucket count mid-build would silently remap
+conv_ids across commit units.
 
 On a real cluster the parquet sink would be an Iceberg table (bucket
 transform partitioning + snapshot commits); the commit protocol here is
@@ -16,6 +28,8 @@ the same shape with plain parquet dirs.
 
 from __future__ import annotations
 
+import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +41,8 @@ from .stages import parse_transcripts
 LINEAGE_SCHEMA = ("bucket int, n_turns long, n_triples long, "
                   "fingerprint long, status string")
 
+TURNS_PER_BUCKET = 250_000
+
 
 def _bucketed(transcripts: DataFrame, n_buckets: int) -> DataFrame:
     return transcripts.withColumn(
@@ -34,13 +50,45 @@ def _bucketed(transcripts: DataFrame, n_buckets: int) -> DataFrame:
         F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
 
 
+def _commit_marker(lineage_path: str) -> Path:
+    return Path(lineage_path) / "_COMMITTED.json"
+
+
 def _completed_buckets(spark: SparkSession, lineage_path: str) -> list[int]:
-    if not (Path(lineage_path) / "_SUCCESS").exists():
+    """Buckets recorded in the atomically-renamed commit marker — the
+    single commit point of the protocol. (Dynamic partition overwrite
+    writes no root _SUCCESS; bucket dirs appearing without the marker
+    mean the run died inside the commit window and those buckets are
+    reprocessed + overwritten on resume.)"""
+    marker = _commit_marker(lineage_path)
+    if not marker.exists():
         return []
-    rows = (spark.read.parquet(lineage_path)
-            .filter(F.col("status") == "done")
-            .select("bucket").distinct().collect())
-    return [r["bucket"] for r in rows]
+    return list(json.loads(marker.read_text("utf8"))["buckets"])
+
+
+def _write_commit_marker(lineage_path: str, buckets: list[int]) -> None:
+    marker = _commit_marker(lineage_path)
+    tmp = marker.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"buckets": sorted(buckets)}),
+                   encoding="utf8")
+    tmp.replace(marker)  # atomic rename = the commit
+
+
+def _pin_n_buckets(out: Path, requested: int | None,
+                   transcripts: DataFrame) -> int:
+    """Resolve the bucket count: an existing build's pinned value always
+    wins (resume must keep the conv_id→bucket mapping); otherwise use the
+    caller's value or derive one from the input size."""
+    meta_path = out / "_meta.json"
+    if meta_path.exists():
+        return int(json.loads(meta_path.read_text("utf8"))["n_buckets"])
+    if requested is None:
+        n_turns = transcripts.count()
+        requested = max(64, -(-n_turns // TURNS_PER_BUCKET))
+    out.mkdir(parents=True, exist_ok=True)
+    meta_path.write_text(json.dumps({"n_buckets": int(requested)}),
+                         encoding="utf8")
+    return int(requested)
 
 
 def triple_fingerprint_col():
@@ -54,20 +102,29 @@ def triple_fingerprint_col():
     ).alias("fingerprint")
 
 
+def _clear_partitions(root: str, buckets: list[int]) -> None:
+    for b in buckets:
+        part = Path(root) / f"bucket={b}"
+        if part.exists():
+            shutil.rmtree(part)
+
+
 def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
-             out_dir: str, n_buckets: int = 64,
+             out_dir: str, n_buckets: int | None = None,
              resume: bool = True) -> dict:
     """Run (or resume) the full KG build. Returns summary counts.
 
     Layout under ``out_dir``:
       triples/bucket=<b>/...   — partitioned triple store
-      lineage/                 — per-bucket commit records
+      lineage/bucket=<b>/...   — per-bucket commit records
       nodes/, edges/           — rollups (recomputed at the end)
+      _meta.json               — pinned n_buckets
     """
     out = Path(out_dir)
     triples_path = str(out / "triples")
     lineage_path = str(out / "lineage")
 
+    n_buckets = _pin_n_buckets(out, n_buckets, transcripts)
     bucketed = _bucketed(transcripts, n_buckets)
     done = _completed_buckets(spark, lineage_path) if resume else []
     pending = bucketed
@@ -76,6 +133,14 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
 
     n_pending_turns = pending.count()
     if n_pending_turns:
+        # drop any partial output a failed prior attempt left in pending
+        # buckets (dynamic overwrite only replaces partitions that get new
+        # rows; a bucket that now yields 0 triples must not keep stale
+        # files)
+        pending_buckets = [b for b in range(n_buckets) if b not in done]
+        _clear_partitions(triples_path, pending_buckets)
+        _clear_partitions(lineage_path, pending_buckets)
+
         # repartition the parse output on the bucket key so each task owns
         # exactly one bucket dir (without this, every parse task spills a
         # file into every bucket: tasks × buckets small files)
@@ -83,11 +148,13 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
                                      extra_columns=("bucket",))
                    .repartition(n_buckets, F.col("bucket"))
                    .persist())
-        triples.write.partitionBy("bucket").mode("append") \
-            .parquet(triples_path)
+        (triples.write.partitionBy("bucket").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(triples_path))
 
-        # lineage: every pending bucket gets a row, even if 0 triples;
-        # stats come from the persisted parse output — one parse total
+        # lineage: every pending bucket with turns gets a row, even if 0
+        # triples; stats come from the persisted parse output — one parse
+        # total
         turns_per_bucket = pending.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_turns"))
         stats = triples.groupBy("bucket").agg(
@@ -96,18 +163,30 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         lineage = (turns_per_bucket.join(stats, "bucket", "left")
                    .na.fill({"n_triples": 0, "fingerprint": 0})
                    .withColumn("status", F.lit("done")))
-        lineage.write.mode("append").parquet(lineage_path)
+        (lineage.write.partitionBy("bucket").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(lineage_path))
         triples.unpersist()
+        # commit point: publish the done-set (= every bucket with a ledger
+        # row, prior commits included — buckets that had no turns stay
+        # pending so later input for them is still picked up) with an
+        # atomic rename. Reading the just-written ledger back is a scan of
+        # the tiny ledger only, not of the input.
+        committed = [r["bucket"] for r in
+                     spark.read.parquet(lineage_path)
+                     .select("bucket").distinct().collect()]
+        _write_commit_marker(lineage_path, committed)
 
     summary = {"pending_turns": int(n_pending_turns),
-               "resumed_buckets": len(done)}
+               "resumed_buckets": len(done),
+               "n_buckets": n_buckets}
     if n_pending_turns == 0 and done and (Path(out / "nodes")).exists():
         # no-op resume: everything committed, rollups already built
         total = (spark.read.parquet(lineage_path)
                  .agg(F.sum("n_triples")).collect()[0][0])
         summary["n_triples"] = int(total or 0)
         return summary
-    if (Path(triples_path) / "_SUCCESS").exists():
+    if Path(triples_path).exists():
         all_triples = spark.read.parquet(triples_path)
         deduped = dedup_triples(all_triples).persist()
         nodes_rollup(deduped).write.mode("overwrite") \

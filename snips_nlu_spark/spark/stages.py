@@ -65,44 +65,6 @@ def _engine_from_json(model_json: str) -> NluEngine:
 _PARSE_MEMO_CAP = 131072
 
 
-def make_dated_memo(engine: NluEngine, fn, maxsize: int = 131072):
-    """Worker-lifetime memo for any (text, anchor)->result function — the
-    executor-side analogue of the reference's per-(text, scope) parse cache
-    (entity_parser/entity_parser.py:22-55):
-    1. datetime-mention *spans* are anchor-INdependent (the anchor only
-       affects resolution values), so a text with no snips/datetime mention
-       evaluates identically under every anchor → cached per text alone.
-       This is the common case in transcript corpora and is what keeps
-       per-worker unique work bounded at scale.
-    2. texts with datetime mentions resolve against midnight of the anchor
-       (entities/builtin.py), so (text, date) is a complete key for them.
-
-    Returns ``memoized(text, date)`` where date is a ``datetime.date`` or
-    None.
-    """
-    from functools import lru_cache
-
-    probe_anchor = _dt.datetime(2000, 1, 6)
-
-    @lru_cache(maxsize=262144)
-    def has_datetime(text: str) -> bool:
-        return bool(engine._bundle.parse_builtin(
-            text, ("snips/datetime",), probe_anchor))
-
-    @lru_cache(maxsize=maxsize)
-    def keyed(text, date):
-        anchor = None if date is None else \
-            _dt.datetime(date.year, date.month, date.day)
-        return fn(text, anchor)
-
-    def memoized(text, date):
-        if date is not None and not has_datetime(text):
-            date = None
-        return keyed(text, date)
-
-    return memoized
-
-
 def canonical_obj(slot_value: dict) -> str:
     """Canonical string form of a resolved slot value for the KG ``obj``
     column. Scalar kinds collapse to their natural string; structured kinds
@@ -190,25 +152,32 @@ def _parse_batch(engine: NluEngine, pdf: pd.DataFrame) -> pd.DataFrame:
             date = None
         keys.append((text, date))
 
-    # pass 2: batch-parse the unique misses
-    misses = [k for k in dict.fromkeys(k for k in keys if k is not None)
-              if k not in memo]
+    # pass 2: batch-parse the unique misses. ``local`` holds every result
+    # the current batch needs (memo hits + fresh parses) so pass 3 never
+    # depends on `memo` surviving an overflow eviction — clearing the
+    # worker memo while this batch's hit keys are excluded from `misses`
+    # must not crash pass 3.
+    unique_keys = dict.fromkeys(k for k in keys if k is not None)
+    local = {k: memo[k] for k in unique_keys if k in memo}
+    misses = [k for k in unique_keys if k not in local]
     if misses:
         anchors = [None if d is None else _dt.datetime(d.year, d.month,
                                                        d.day)
                    for _, d in misses]
         parsed = engine.parse_batch([t for t, _ in misses], anchors)
+        local.update(zip(misses, parsed))
         if len(memo) + len(misses) > _PARSE_MEMO_CAP:
+            # evict cold entries only; re-seed with this batch's working
+            # set (recently-used keys are the likeliest to repeat)
             memo.clear()
-        for k, res in zip(misses, parsed):
-            memo[k] = res
+        memo.update(local)
 
-    # pass 3: assemble triples
+    # pass 3: assemble triples (served from the batch-local dict)
     rows: list[tuple] = []
     for conv_id, turn_idx, key in zip(conv_ids, turn_idxs, keys):
         if key is None:
             continue
-        rows.extend(triples_from_result(memo[key], str(conv_id),
+        rows.extend(triples_from_result(local[key], str(conv_id),
                                         int(turn_idx)))
     return pd.DataFrame(rows, columns=TRIPLE_COLUMNS)
 
@@ -260,32 +229,58 @@ def rank_intents(df, model_json: str, top_n: int = 3):
 
     def kernel(batches):
         engine = _engine_from_json(bc.value)
-
-        def _rank(text, anchor):
-            out = []
-            for res in engine.get_intents(text, anchor=anchor):
-                if res["intentName"] is not None:
-                    out.append((res["intentName"],
-                                float(res["probability"])))
-                if len(out) >= top_n:
-                    break
-            return tuple(out)
-
-        ranked = make_dated_memo(engine, _rank, maxsize=65536)
+        has_datetime = getattr(engine, "has_datetime", None)
+        memo: dict = {}  # worker-lifetime (text[, date]) -> top_n tuple
 
         for pdf in batches:
-            rows = []
             ts_series = pd.to_datetime(pdf["ts"]) if "ts" in pdf.columns \
                 else pd.Series([None] * len(pdf))
-            for conv_id, turn_idx, text, ts in zip(
-                    pdf["conv_id"], pdf["turn_idx"], pdf["text"],
-                    ts_series):
+            # pass 1: memo keys (datetime-free texts key on text alone,
+            # same insight as _parse_batch)
+            keys: list = []
+            for text, ts in zip(pdf["text"], ts_series):
                 if text is None:
+                    keys.append(None)
                     continue
                 date = None if pd.isna(ts) else ts.date()
+                if date is not None and has_datetime is not None \
+                        and not has_datetime(str(text)):
+                    date = None
+                keys.append((str(text), date))
+
+            # pass 2: ONE engine.get_intents_batch call for the miss-set
+            # (one classifier matmul — same shape as the parse kernel)
+            unique_keys = dict.fromkeys(k for k in keys if k is not None)
+            local = {k: memo[k] for k in unique_keys if k in memo}
+            misses = [k for k in unique_keys if k not in local]
+            if misses:
+                anchors = [None if d is None
+                           else _dt.datetime(d.year, d.month, d.day)
+                           for _, d in misses]
+                ranked_all = engine.get_intents_batch(
+                    [t for t, _ in misses], anchors)
+                for k, ranked in zip(misses, ranked_all):
+                    out = []
+                    for res in ranked:
+                        if res["intentName"] is not None:
+                            out.append((res["intentName"],
+                                        float(res["probability"])))
+                        if len(out) >= top_n:
+                            break
+                    local[k] = tuple(out)
+                if len(memo) + len(misses) > _PARSE_MEMO_CAP:
+                    memo.clear()
+                memo.update(local)
+
+            # pass 3: assemble
+            rows = []
+            for conv_id, turn_idx, key in zip(pdf["conv_id"],
+                                              pdf["turn_idx"], keys):
+                if key is None:
+                    continue
                 subj = f"{conv_id}:{int(turn_idx)}"
-                for rank, (intent, proba) in enumerate(
-                        ranked(str(text), date), start=1):
+                for rank, (intent, proba) in enumerate(local[key],
+                                                       start=1):
                     rows.append((str(conv_id), int(turn_idx), subj,
                                  intent, proba, rank))
             yield pd.DataFrame(rows, columns=[

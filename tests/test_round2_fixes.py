@@ -1,0 +1,191 @@
+"""Round-2 regression tests: memo-overflow eviction, none_proba
+last-parser-wins, SimHash vectorized-kernel golden parity, MinHash-LSH
+candidate-scoped verification plan."""
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from snips_nlu_spark.engine import NluEngine
+    bundle = REPO / "oracle" / "model_bundle.json"
+    return NluEngine.from_dict(json.loads(bundle.read_text("utf8")))
+
+
+def test_parse_memo_overflow_keeps_batch_hits(engine, monkeypatch):
+    """Eviction at the memo cap must not drop entries the CURRENT batch
+    still needs (round-1 ADVICE high: memo.clear() erased this batch's
+    cache-hit keys, so pass 3 crashed with KeyError)."""
+    from snips_nlu_spark.spark import stages
+
+    monkeypatch.setattr(stages, "_PARSE_MEMO_CAP", 1)
+    engine.parse_memo = {}
+    engine.has_datetime = lambda text: False
+
+    pdf1 = pd.DataFrame({
+        "conv_id": ["c0"], "turn_idx": [0],
+        "text": ["make me a coffee"], "ts": [None]})
+    out1 = stages._parse_batch(engine, pdf1)
+    assert ("make me a coffee", None) in engine.parse_memo
+
+    # second batch: one memo HIT + two misses → overflow eviction fires
+    pdf2 = pd.DataFrame({
+        "conv_id": ["c0", "c0", "c0"], "turn_idx": [0, 1, 2],
+        "text": ["make me a coffee", "turn on the lights in the kitchen",
+                 "gibberish nothing matches here"],
+        "ts": [None, None, None]})
+    out2 = stages._parse_batch(engine, pdf2)  # crashed before the fix
+    hit_rows = out2[out2["turn_idx"] == 0]
+    assert hit_rows[["subj", "pred", "obj"]].apply(tuple, axis=1).tolist() \
+        == [(f"c0:0", r.pred, r.obj) for r in
+            out1.itertuples()] != []
+    del engine.parse_memo, engine.has_datetime
+
+
+def test_none_proba_last_parser_wins(engine):
+    """Unmatched texts must report the LAST parser's empty-result score
+    (the probabilistic classifier's None proba), not lookup's 1.0 —
+    reference nlu_engine.py parse-loop semantics."""
+    text = "xqzv blorp unmatched gibberish"
+    res = engine.parse(text)
+    assert res["intent"]["intentName"] is None
+    prob_parser = engine.intent_parsers[-1]
+    expected = prob_parser.parse(text, engine._bundle)
+    assert res["intent"]["probability"] == \
+        expected["intent"]["probability"] < 1.0
+    # batch path mirrors the single path exactly
+    batch = engine.parse_batch([text])
+    assert batch[0]["intent"]["probability"] == \
+        res["intent"]["probability"]
+
+
+def test_get_intents_batch_matches_single(engine):
+    texts = ["make me a coffee", "xqzv blorp", ""]
+    batch = engine.get_intents_batch(texts)
+    for text, ranked in zip(texts, batch):
+        single = engine.get_intents(text)
+        assert [(r["intentName"], r["probability"]) for r in ranked] == \
+            [(r["intentName"], r["probability"]) for r in single]
+
+
+def _fnv1a_slow(token: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in token.encode("utf8"):
+        h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+def _simhash_slow(text: str, bits: int = 64) -> int:
+    import re
+    tokens = re.findall("[a-z0-9]+", text.lower())
+    if not tokens:
+        return 0
+    votes = [0] * bits
+    for tok in tokens:
+        h = _fnv1a_slow(tok)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(bits):
+        if votes[b] > 0:
+            sig |= 1 << b
+    # two's complement int64
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+@pytest.mark.spark
+def test_simhash_vectorized_golden(spark):
+    """The vectorized numpy kernel must emit byte-identical signatures to
+    the straightforward per-char FNV-1a fold it replaced."""
+    from snips_nlu_spark.functions.dedup import simhash_signatures
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "Text with MIXED case, punctuation!! and numbers 42 7x9"),
+        (2, ""),
+        (3, "...!!!"),  # no word tokens → signature 0
+        (4, "repeated repeated repeated words words"),
+        (5, "unicode café naïve über straße tokens"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_signatures(df).collect()}
+    want = {doc_id: _simhash_slow(text) for doc_id, text in docs}
+    assert got == want
+    assert got[2] == got[3] == 0
+
+
+@pytest.mark.spark
+def test_build_kg_resume_converges_after_crash_window(spark, tmp_path):
+    """A failure BETWEEN the triple write and the lineage write must not
+    duplicate rows on resume (round-1 ADVICE medium: append-mode writes
+    re-appended every bucket). Simulated by deleting the lineage ledger
+    after a full build — resume reprocesses everything and must converge
+    to the identical store."""
+    import shutil
+
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.lineage import build_kg
+    import __spark_entry__ as em
+
+    df = spark.createDataFrame(datagen.generate_pandas(0, 200))
+    mj = em._model_json()
+    out = tmp_path / "kg"
+    build_kg(spark, df, mj, str(out), n_buckets=4)
+    baseline = sorted(
+        tuple(r) for r in
+        spark.read.parquet(str(out / "triples"))
+        .drop("bucket").collect())
+
+    # crash window: triples committed, lineage lost
+    shutil.rmtree(out / "lineage")
+    summary = build_kg(spark, df, mj, str(out), n_buckets=4)
+    assert summary["resumed_buckets"] == 0
+    resumed = sorted(
+        tuple(r) for r in
+        spark.read.parquet(str(out / "triples"))
+        .drop("bucket").collect())
+    assert resumed == baseline  # no duplicates, identical final state
+
+
+@pytest.mark.spark
+def test_build_kg_derives_and_pins_n_buckets(spark, tmp_path):
+    """n_buckets=None derives from input size and is pinned in _meta.json
+    so resume keeps the conv_id→bucket mapping."""
+    import json as _json
+
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.lineage import build_kg
+    import __spark_entry__ as em
+
+    df = spark.createDataFrame(datagen.generate_pandas(0, 150))
+    out = tmp_path / "kg2"
+    s1 = build_kg(spark, df, em._model_json(), str(out))
+    assert s1["n_buckets"] == 64  # floor for small inputs
+    meta = _json.loads((out / "_meta.json").read_text("utf8"))
+    assert meta["n_buckets"] == 64
+    # a caller passing a DIFFERENT count on resume must not remap buckets
+    s2 = build_kg(spark, df, em._model_json(), str(out), n_buckets=8)
+    assert s2["n_buckets"] == 64 and s2["pending_turns"] == 0
+
+
+@pytest.mark.spark
+def test_minhash_plan_has_no_allpairs_verify(spark):
+    """The verification step must be candidate-driven (shingle-set
+    intersection), never the full co-shingle pair enumeration (round-1
+    VERDICT #2: LSH saved nothing at scale)."""
+    from snips_nlu_spark.functions.dedup import minhash_duplicate_pairs
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], ["doc_id", "text"])
+    out = minhash_duplicate_pairs(df, threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan
+    # the old verify path aggregated over an a.shingle = b.shingle
+    # self-join; the candidate-scoped plan has no such equi-join
+    import re
+    assert not re.search(r"shingle#\d+ = shingle#\d+", plan)
