@@ -65,6 +65,82 @@ EN_STEMS: dict[str, str] = {
 }
 
 
+# Common-words gazetteer backing the CRF ngram factories' rare_word
+# substitution (ref: feature_factory.py:222-318 NgramFactory — ngrams whose
+# words fall outside the gazetteer are replaced by the alias "rare_word").
+# The reference ships ~10k-word per-language frequency lists in its
+# resource packages; this compact committed stand-in covers the function
+# words + the transcript/fixture domain vocabulary, which is what the
+# substitution needs to separate common words from entity-value surface
+# forms. Stored stemmed (the en config uses "top_10000_words_stemmed").
+EN_COMMON_WORDS = frozenset(
+    {EN_STEMS.get(w, w) for w in EN_NOISE}
+    | set(EN_STOP_WORDS)
+    | set("""
+make brew prepare get give turn switch set put dim bright light
+want need would like please thanks thank hello hi hey okay ok yes
+check tell show find book weather forecast temperature rain snow sunny
+today tomorrow tonight morning afternoon evening night week weekend
+monday tuesday wednesday thursday friday saturday sunday
+january february march april may june july august september october
+november december
+zero one two three four five six seven eight nine ten eleven twelve
+thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty
+thirty forty fifty sixty seventy eighty ninety hundred thousand million
+first second third fourth fifth last next
+cup glass bottle big small large little more less
+room house home place city town country
+coffee tea milk water juice chocolate hot cold warm
+kitchen bedroom bathroom office garden
+red green blue yellow white black
+""".split()))
+
+# Word-cluster map backing the word_cluster CRF factory (ref:
+# feature_factory.py:335-376 WordClusterFactory; en default config uses
+# cluster "brown_clusters", config_en.py:93-100). Real Brown clusters are a
+# large corpus-derived artifact not shippable here; this committed map is a
+# small genuine clustering of the transcript/fixture vocabulary into
+# binary-path cluster ids with the same shape (word -> bit-string), so the
+# factory's semantics (cluster-id feature value, None when absent) are
+# exercised end-to-end.
+_CLUSTER_GROUPS = {
+    "000": "i you he she it we they me him her us them my your",
+    "0010": "the a an this that these those",
+    "0011": "is are was were be been am do does did have has had",
+    "0100": "and or but if then so because",
+    "0101": "to of in on at by for with from into onto about",
+    "0110": "monday tuesday wednesday thursday friday saturday sunday",
+    "01110": "january february march april may june july august september"
+             " october november december",
+    "01111": "today tomorrow tonight yesterday morning afternoon evening"
+             " night noon midnight week weekend month year",
+    "1000": "zero one two three four five six seven eight nine ten eleven"
+            " twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+            " nineteen twenty thirty forty fifty sixty seventy eighty"
+            " ninety hundred thousand million",
+    "10010": "hot cold iced warm chilled steaming",
+    "10011": "coffee tea espresso cappuccino latte mocha chocolate juice"
+             " water milk soda lemonade cocoa",
+    "10100": "kitchen bedroom bathroom garage hallway basement attic office"
+             " lounge cellar",
+    "10101": "red green blue yellow purple orange pink white black brown",
+    "10110": "light lights lamp lamps bulb bulbs",
+    "10111": "weather forecast temperature rain snow wind storm sunny"
+             " cloudy humid",
+    "11000": "make brew prepare fix pour serve",
+    "11001": "turn switch set adjust dim brighten toggle",
+    "11010": "book find search check show tell give get want need",
+    "11011": "please thanks thank hello hi hey okay yes no sure",
+    "11100": "cup cups glass glasses bottle bottles mug mugs shot shots",
+    "11101": "big small large little tiny huge bright dark",
+}
+EN_BROWN_CLUSTERS: dict[str, str] = {
+    word: path
+    for path, words in _CLUSTER_GROUPS.items()
+    for word in words.split()
+}
+
+
 def get_resources(language: str = "en") -> dict:
     """Resource bundle for a language (only ``en`` is shipped)."""
     if language != "en":
@@ -74,6 +150,6 @@ def get_resources(language: str = "en") -> dict:
         "stop_words": set(EN_STOP_WORDS),
         "noise": list(EN_NOISE),
         "stems": dict(EN_STEMS),
-        "gazetteers": {},
-        "word_clusters": {},
+        "gazetteers": {"top_10000_words_stemmed": set(EN_COMMON_WORDS)},
+        "word_clusters": {"brown_clusters": dict(EN_BROWN_CLUSTERS)},
     }

@@ -1,11 +1,15 @@
 """CRF slot filler: feature factories + train/decode.
 
-Feature factories follow /root/reference/snips_nlu/slot_filler/
-feature_factory.py:119-619 with the en default set and offsets
-(default_configs/config_en.py:14-100). Unavailable resources are degraded
-explicitly: no common-words gazetteer (ngrams stay literal words), no
-brown clusters (word_cluster factory omitted), no stemming (en featurizer
-default is already unstemmed).
+Feature factories mirror /root/reference/snips_nlu/slot_filler/
+feature_factory.py:119-619 and are config-driven like the reference's
+``feature_factory_configs`` (default_configs/config_en.py:14-100): the
+full en default set — gazetteer-backed stemmed ngrams (rare_word
+substitution), is_digit/is_first/is_last, shape ngrams, entity_match
+(split by extensibility, drop-out on the extensible group),
+builtin_entity_match, word_cluster — plus the registered-but-not-default
+prefix / suffix / length factories. New factories can be registered with
+``register_feature_factory`` (the open-registry hook, mirroring
+``CRFFeatureFactory.register``, feature_factory.py:60-75).
 
 One CRF per intent (ref: probabilistic_intent_parser.py:82-95); training
 data is the augmented utterance set (min 200/intent,
@@ -15,21 +19,199 @@ config_en.py:108-112); decode = Viterbi → ``tags_to_slots``
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from .entities.builtin import is_builtin_entity
 from .ml.augmentation import augment_utterances
 from .ml.crf import LinearChainCRF
+from .resources import get_resources
 from .tagging import (TaggingScheme, negative_tagging, positive_tagging,
                       tags_to_slots, utterance_to_sample)
-from .textcore import Token, get_shape, normalize, tokenize
+from .textcore import (Token, get_shape, get_word_chunk, normalize,
+                       tokenize)
 
 CRF_MIN_UTTERANCES = 200  # ref: config_en.py:108-112
 
 
+@lru_cache(maxsize=8)
+def _cached_resources(language: str) -> dict:
+    return get_resources(language)
+
+
 # ---------------------------------------------------------------------------
-# feature factories — each returns dict entries {name: value} per token
+# feature factory registry — config-driven, open for extension
 # ---------------------------------------------------------------------------
+
+FEATURE_FACTORIES: dict = {}
+
+
+def register_feature_factory(name: str):
+    """Register a CRF feature factory under ``name`` so it can be used in
+    ``feature_factory_configs`` (ref: CRFFeatureFactory.register,
+    feature_factory.py:60-75). The factory is a callable
+    ``(args, feature_set, ctx) -> iterable[(base_name, series)]`` where
+    ``series[i]`` is the feature value at token i (None = absent)."""
+    def deco(fn):
+        FEATURE_FACTORIES[name] = fn
+        return fn
+    return deco
+
+
+# en default feature set (ref: default_configs/config_en.py:14-100)
+EN_DEFAULT_FEATURES: list[dict] = [
+    {"factory_name": "ngram", "offsets": [-2, -1, 0, 1, 2],
+     "args": {"n": 1, "use_stemming": True,
+              "common_words_gazetteer_name": "top_10000_words_stemmed"}},
+    {"factory_name": "ngram", "offsets": [-2, 1],
+     "args": {"n": 2, "use_stemming": True,
+              "common_words_gazetteer_name": "top_10000_words_stemmed"}},
+    {"factory_name": "is_digit", "offsets": [-1, 0, 1], "args": {}},
+    {"factory_name": "is_first", "offsets": [-2, -1, 0], "args": {}},
+    {"factory_name": "is_last", "offsets": [0, 1, 2], "args": {}},
+    {"factory_name": "shape_ngram", "offsets": [0], "args": {"n": 1}},
+    {"factory_name": "shape_ngram", "offsets": [-1, 0], "args": {"n": 2}},
+    {"factory_name": "shape_ngram", "offsets": [-1], "args": {"n": 3}},
+    {"factory_name": "entity_match", "offsets": [-2, -1, 0],
+     "args": {"tagging_scheme_code": int(TaggingScheme.BILOU),
+              "entity_filter": {"automatically_extensible": False}}},
+    {"factory_name": "entity_match", "offsets": [-2, -1, 0],
+     "drop_out": 0.5,
+     "args": {"tagging_scheme_code": int(TaggingScheme.BILOU),
+              "entity_filter": {"automatically_extensible": True}}},
+    {"factory_name": "builtin_entity_match", "offsets": [-2, -1, 0],
+     "args": {"tagging_scheme_code": int(TaggingScheme.BIO)}},
+    {"factory_name": "word_cluster", "offsets": [-2, -1, 0, 1],
+     "args": {"cluster_name": "brown_clusters", "use_stemming": False}},
+]
+
+
+def _norm_words(args: dict, fs: "FeatureSet", ctx: dict) -> list[str]:
+    """Normalized (and optionally stemmed) token values."""
+    stems = fs.resources.get("stems", {})
+    use_stemming = args.get("use_stemming", False)
+    out = []
+    for v in ctx["values"]:
+        w = normalize(v)
+        if use_stemming:
+            w = stems.get(w, w)
+        out.append(w)
+    return out
+
+
+@register_feature_factory("ngram")
+def _ngram_factory(args, fs, ctx):
+    """ref: feature_factory.py:194-280 — n-gram of normalized/stemmed
+    words; out-of-gazetteer words are replaced by the alias 'rare_word'
+    when a common-words gazetteer is configured."""
+    n = args["n"]
+    words = _norm_words(args, fs, ctx)
+    gaz_name = args.get("common_words_gazetteer_name")
+    if gaz_name is not None:
+        gaz = fs.resources.get("gazetteers", {}).get(gaz_name, frozenset())
+        words = [w if w in gaz else "rare_word" for w in words]
+    n_tok = len(words)
+    series = [" ".join(words[i:i + n]) if i + n <= n_tok else None
+              for i in range(n_tok)]
+    yield f"ngram_{n}", series
+
+
+@register_feature_factory("is_digit")
+def _is_digit_factory(args, fs, ctx):
+    yield "is_digit", ["1" if v.isdigit() else None for v in ctx["values"]]
+
+
+@register_feature_factory("is_first")
+def _is_first_factory(args, fs, ctx):
+    n = len(ctx["values"])
+    yield "is_first", ["1" if i == 0 else None for i in range(n)]
+
+
+@register_feature_factory("is_last")
+def _is_last_factory(args, fs, ctx):
+    n = len(ctx["values"])
+    yield "is_last", ["1" if i == n - 1 else None for i in range(n)]
+
+
+@register_feature_factory("prefix")
+def _prefix_factory(args, fs, ctx):
+    """ref: feature_factory.py:143-160"""
+    size = args["prefix_size"]
+    yield f"prefix_{size}", [
+        get_word_chunk(normalize(v), size, 0) for v in ctx["values"]]
+
+
+@register_feature_factory("suffix")
+def _suffix_factory(args, fs, ctx):
+    """ref: feature_factory.py:163-180"""
+    size = args["suffix_size"]
+    yield f"suffix_{size}", [
+        get_word_chunk(normalize(v), size, len(normalize(v)), reverse=True)
+        for v in ctx["values"]]
+
+
+@register_feature_factory("length")
+def _length_factory(args, fs, ctx):
+    """ref: feature_factory.py:183-189"""
+    yield "length", [str(len(v)) for v in ctx["values"]]
+
+
+@register_feature_factory("shape_ngram")
+def _shape_ngram_factory(args, fs, ctx):
+    """ref: feature_factory.py:283-331"""
+    n = args["n"]
+    values = ctx["values"]
+    n_tok = len(values)
+    series = [" ".join(get_shape(v) for v in values[i:i + n])
+              if i + n <= n_tok else None for i in range(n_tok)]
+    yield f"shape_ngram_{n}", series
+
+
+@register_feature_factory("word_cluster")
+def _word_cluster_factory(args, fs, ctx):
+    """ref: feature_factory.py:335-376 — the cluster id the normalized
+    (optionally stemmed) token belongs to, None when unknown."""
+    cluster_name = args["cluster_name"]
+    cluster = fs.resources.get("word_clusters", {}).get(cluster_name, {})
+    words = _norm_words(args, fs, ctx)
+    yield f"word_cluster_{cluster_name}", [cluster.get(w) for w in words]
+
+
+@register_feature_factory("entity_match")
+def _entity_match_factory(args, fs, ctx):
+    """ref: feature_factory.py:379-509 — one feature per custom entity in
+    scope, scheme-prefixed over matched spans; ``entity_filter``
+    restricts to (non-)automatically-extensible entities."""
+    scheme = TaggingScheme(args.get("tagging_scheme_code",
+                                    int(TaggingScheme.BILOU)))
+    filt = args.get("entity_filter") or {}
+    ext_map = fs.entity_scopes.get("extensible", {})
+    n = len(ctx["values"])
+    for entity in fs.entity_scopes.get("custom", []):
+        if "automatically_extensible" in filt and \
+                ext_map.get(entity, False) != \
+                filt["automatically_extensible"]:
+            continue
+        feats = [None] * n
+        mentions = fs.bundle.parse_custom(ctx["text"], [entity])
+        _tag_mentions(mentions, ctx["tokens"], feats, scheme)
+        yield f"entity_match_{entity}", feats
+
+
+@register_feature_factory("builtin_entity_match")
+def _builtin_entity_match_factory(args, fs, ctx):
+    """ref: feature_factory.py:512-619"""
+    scheme = TaggingScheme(args.get("tagging_scheme_code",
+                                    int(TaggingScheme.BIO)))
+    n = len(ctx["values"])
+    for kind in fs.entity_scopes.get("builtin", []):
+        feats = [None] * n
+        mentions = fs.bundle.parse_builtin(ctx["text"], [kind],
+                                           ctx["anchor"])
+        _tag_mentions(mentions, ctx["tokens"], feats, scheme)
+        yield f"builtin_entity_match_{kind[6:]}", feats
+
 
 def _offset_name(name: str, offset: int) -> str:
     if offset == 0:
@@ -38,74 +220,44 @@ def _offset_name(name: str, offset: int) -> str:
 
 
 class FeatureSet:
-    """Computes per-token feature dicts for a token sequence, applying each
-    base feature at its configured offsets (ref: feature.py:51-61)."""
+    """Computes per-token feature dicts for a token sequence, running each
+    configured factory and applying its offsets (ref: feature.py:51-61 —
+    the feature at position i reads the base series at i+offset)."""
 
     def __init__(self, entity_scopes: dict, entity_bundle,
-                 tagging_scheme=TaggingScheme.BILOU) -> None:
-        self.entity_scopes = entity_scopes  # {"custom": [...], "builtin": [...]}
+                 features_config: list[dict] | None = None,
+                 resources: dict | None = None) -> None:
+        # {"custom": [...], "builtin": [...], "extensible": {name: bool}}
+        self.entity_scopes = entity_scopes
         self.bundle = entity_bundle
-        self.scheme = tagging_scheme
+        self.features_config = features_config or EN_DEFAULT_FEATURES
+        self.resources = resources if resources is not None \
+            else _cached_resources("en")
 
     def compute(self, text: str, tokens: list[Token],
-                drop_out: dict[str, float] | None = None,
                 random_state: np.random.RandomState | None = None,
                 anchor=None) -> list[dict]:
+        """``random_state`` is only passed at train time; it gates the
+        per-config feature drop-out (ref: crf_slot_filler.py:205-208)."""
         n = len(tokens)
-        values = [t.value for t in tokens]
-        lowers = [v.lower() for v in values]
-
-        base: dict[str, list] = {}
-        # ngram n=1 (lowercased word), offsets [-2..2]
-        base["ngram_1"] = lowers
-        # ngram n=2, offsets [-2, 1]
-        base["ngram_2"] = [
-            " ".join(lowers[i:i + 2]) if i + 1 < n else None
-            for i in range(n)]
-        base["is_digit"] = ["1" if v.isdigit() else None for v in values]
-        base["is_first"] = ["1" if i == 0 else None for i in range(n)]
-        base["is_last"] = ["1" if i == n - 1 else None for i in range(n)]
-        base["shape_ngram_1"] = [get_shape(v) for v in values]
-        base["shape_ngram_2"] = [
-            " ".join(get_shape(v) for v in values[i:i + 2])
-            if i + 1 < n else None for i in range(n)]
-        base["shape_ngram_3"] = [
-            " ".join(get_shape(v) for v in values[i:i + 3])
-            if i + 2 < n else None for i in range(n)]
-
-        # entity_match_<entity> with BILOU prefixes (factory ref:
-        # feature_factory.py:344-452); builtin_entity_match_<kind> with BIO
-        for entity in self.entity_scopes.get("custom", []):
-            feats = [None] * n
-            if not (drop_out and random_state is not None
-                    and random_state.rand() < drop_out.get(entity, 0.0)):
-                mentions = self.bundle.parse_custom(text, [entity])
-                _tag_mentions(mentions, tokens, feats, TaggingScheme.BILOU)
-            base[f"entity_match_{entity}"] = feats
-        for kind in self.entity_scopes.get("builtin", []):
-            feats = [None] * n
-            mentions = self.bundle.parse_builtin(text, [kind], anchor)
-            _tag_mentions(mentions, tokens, feats, TaggingScheme.BIO)
-            base[f"builtin_entity_match_{kind[6:]}"] = feats
-
-        offsets_map = {
-            "ngram_1": (-2, -1, 0, 1, 2),
-            "ngram_2": (-2, 1),
-            "is_digit": (-1, 0, 1),
-            "is_first": (-2, -1, 0),
-            "is_last": (0, 1, 2),
-            "shape_ngram_1": (0,),
-            "shape_ngram_2": (-1, 0),
-            "shape_ngram_3": (-1,),
-        }
+        ctx = {"text": text, "tokens": tokens,
+               "values": [t.value for t in tokens], "anchor": anchor}
         out: list[dict] = [dict() for _ in range(n)]
-        for name, series in base.items():
-            offs = offsets_map.get(name, (-2, -1, 0))
-            for i in range(n):
-                for off in offs:
-                    j = i - off
-                    if 0 <= j < n and series[i] is not None:
-                        out[j][_offset_name(name, off)] = series[i]
+        for cfg in self.features_config:
+            factory = FEATURE_FACTORIES[cfg["factory_name"]]
+            drop = cfg.get("drop_out", 0.0)
+            offs = tuple(cfg.get("offsets", (0,)))
+            for name, series in factory(cfg.get("args", {}), self, ctx):
+                if drop and random_state is not None \
+                        and random_state.rand() < drop:
+                    continue
+                for i in range(n):
+                    if series[i] is None:
+                        continue
+                    for off in offs:
+                        j = i - off
+                        if 0 <= j < n:
+                            out[j][_offset_name(name, off)] = series[i]
         return out
 
 
@@ -128,32 +280,46 @@ def _tag_mentions(mentions, tokens, feats, scheme) -> None:
 class CRFSlotFiller:
     """ref: slot_filler/crf_slot_filler.py — one per intent."""
 
-    def __init__(self, tagging_scheme=TaggingScheme.BIO) -> None:
+    def __init__(self, tagging_scheme=TaggingScheme.BIO,
+                 features_config: list[dict] | None = None,
+                 language: str = "en") -> None:
         self.scheme = TaggingScheme(tagging_scheme)
+        self.features_config = features_config or EN_DEFAULT_FEATURES
+        self.language = language
         self.crf = LinearChainCRF()
         self.slot_name_mapping: dict[str, str] = {}
-        self.entity_scopes: dict = {"custom": [], "builtin": []}
+        self.entity_scopes: dict = {"custom": [], "builtin": [],
+                                    "extensible": {}}
+        self._feature_set: FeatureSet | None = None
+
+    def _get_feature_set(self, entity_bundle) -> FeatureSet:
+        if self._feature_set is None \
+                or self._feature_set.bundle is not entity_bundle:
+            self._feature_set = FeatureSet(
+                self.entity_scopes, entity_bundle, self.features_config,
+                _cached_resources(self.language))
+        return self._feature_set
 
     def fit(self, dataset: dict, intent: str, entity_bundle,
             random_state: np.random.RandomState) -> "CRFSlotFiller":
+        self.language = dataset.get("language", "en")
         mapping = {}
         for utt in dataset["intents"][intent]["utterances"]:
             for chunk in utt["data"]:
                 if chunk.get("slot_name"):
                     mapping[chunk["slot_name"]] = chunk["entity"]
         self.slot_name_mapping = mapping
+        customs = sorted({e for e in mapping.values()
+                          if not is_builtin_entity(e)})
         self.entity_scopes = {
-            "custom": sorted({e for e in mapping.values()
-                              if not is_builtin_entity(e)}),
+            "custom": customs,
             "builtin": sorted({e for e in mapping.values()
                                if is_builtin_entity(e)}),
+            "extensible": {
+                e: bool(dataset["entities"][e]["automatically_extensible"])
+                for e in customs},
         }
-        feature_set = FeatureSet(self.entity_scopes, entity_bundle)
-        # train-time drop-out on extensible entity match features
-        # (ref: config_en.py drop_out 0.5; crf_slot_filler.py:205-208)
-        drop_out = {
-            e: 0.5 for e in self.entity_scopes["custom"]
-            if dataset["entities"][e]["automatically_extensible"]}
+        feature_set = self._get_feature_set(entity_bundle)
 
         augmented = augment_utterances(dataset, intent, CRF_MIN_UTTERANCES,
                                        random_state)
@@ -170,8 +336,7 @@ class CRFSlotFiller:
                 continue
             text = "".join(c["text"] for c in utt["data"])
             feats = feature_set.compute(
-                text, list(sample["tokens"]), drop_out=drop_out,
-                random_state=random_state)
+                text, list(sample["tokens"]), random_state=random_state)
             sequences.append(feats)
             tag_sequences.append(sample["tags"])
         self.crf.fit(sequences, tag_sequences)
@@ -181,7 +346,7 @@ class CRFSlotFiller:
         tokens = list(tokenize(text))
         if not tokens:
             return []
-        feature_set = FeatureSet(self.entity_scopes, entity_bundle)
+        feature_set = self._get_feature_set(entity_bundle)
         feats = feature_set.compute(text, tokens, anchor=anchor)
         tags = self.crf.predict_single(feats)
         slots = tags_to_slots(text, tokens, tags, self.scheme,
@@ -195,15 +360,19 @@ class CRFSlotFiller:
 
     def to_dict(self) -> dict:
         return {"tagging_scheme": int(self.scheme),
+                "features_config": self.features_config,
+                "language": self.language,
                 "crf": self.crf.to_dict(),
                 "slot_name_mapping": self.slot_name_mapping,
                 "entity_scopes": self.entity_scopes}
 
     @classmethod
     def from_dict(cls, d: dict) -> "CRFSlotFiller":
-        sf = cls(tagging_scheme=TaggingScheme(d["tagging_scheme"]))
-        sf.crf = LinearChainCRF.from_dict(d["crf"])
+        sf = cls(tagging_scheme=TaggingScheme(d["tagging_scheme"]),
+                 features_config=d.get("features_config"),
+                 language=d.get("language", "en"))
         sf.slot_name_mapping = dict(d["slot_name_mapping"])
+        sf.crf = LinearChainCRF.from_dict(d["crf"])
         sf.entity_scopes = d["entity_scopes"]
         return sf
 
