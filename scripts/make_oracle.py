@@ -121,6 +121,93 @@ def make_oracle(engine: NluEngine, sf: float) -> Path:
     return out
 
 
+def _fnv1a(token: str) -> int:
+    """Per-char FNV-1a fold — deliberately the SLOW independent
+    implementation (the Spark kernel is a vectorized numpy rewrite;
+    tests/test_round2_fixes.py pins their equality, and this oracle keeps
+    the driver gate independent of the vectorized code path)."""
+    h = 0xCBF29CE484222325
+    for ch in token.encode("utf8"):
+        h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+def make_simhash_oracle(sf: float) -> Path:
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"/root/testdata/sf{sf:g}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sigs = []
+    for text in docs["text"].astype(str):
+        tokens = re.findall("[a-z0-9]+", text.lower())
+        votes = [0] * 64
+        for tok in tokens:
+            h = _fnv1a(tok)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    table = pa.table({"doc_id": docs["doc_id"],
+                      "simhash": pa.array(sigs, type=pa.int64())})
+    out = ORACLE_DIR / f"simhash_sf{sf:g}.parquet"
+    pq.write_table(table, out)
+    print(f"sf={sf}: simhash oracle -> {len(sigs)} rows -> {out}")
+    return out
+
+
+def make_lsh_topk_oracle(sf: float, k: int = 5, n_queries: int = 20,
+                         n_tables: int = 8, n_bits: int = 8,
+                         dim: int = 64, seed: int = 42) -> Path:
+    """Pure-numpy re-execution of functions/similarity.lsh_bucketed_topk
+    (same hyperplanes, independent candidate generation + scoring) — the
+    differential for the Spark bucket-join plumbing."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
+    vec_ids = emb["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    planes = np.random.RandomState(seed).randn(n_tables, n_bits, dim)
+    proj = mat @ planes.reshape(n_tables * n_bits, dim).T
+    bits = (proj >= 0).reshape(len(mat), n_tables, n_bits)
+    buckets = (bits * (1 << np.arange(n_bits))).sum(axis=2)  # (n, T)
+
+    def round6(x: float) -> float:  # HALF_UP like Spark's F.round
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    rows = []
+    q_idx = np.nonzero(vec_ids < n_queries)[0]
+    for qi in q_idx:
+        cand = np.zeros(len(mat), dtype=bool)
+        for t in range(n_tables):
+            cand |= buckets[:, t] == buckets[qi, t]
+        cand[qi] = False
+        idxs = np.nonzero(cand)[0]
+        sims = []
+        for ci in idxs:
+            denom = norms[qi] * norms[ci]
+            sim = float(mat[qi] @ mat[ci] / denom) if denom > 0 else 0.0
+            sims.append((round6(sim), int(vec_ids[ci])))
+        sims.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (sim, nid) in enumerate(sims[:k], start=1):
+            rows.append((int(vec_ids[qi]), nid, sim, rank))
+    table = pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "sim": pa.array([r[2] for r in rows], type=pa.float64()),
+        "rank": pa.array([r[3] for r in rows], type=pa.int32())})
+    out = ORACLE_DIR / f"lsh_topk_sf{sf:g}.parquet"
+    pq.write_table(table, out)
+    print(f"sf={sf}: lsh topk oracle -> {len(rows)} rows -> {out}")
+    return out
+
+
 if __name__ == "__main__":
     sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01]
     engine = build_engine()
@@ -128,3 +215,6 @@ if __name__ == "__main__":
     for sf in sfs:
         make_oracle(engine, sf)
         make_intents_oracle(engine, sf)
+        if sf == 0.01:  # the driver's gate scale
+            make_simhash_oracle(sf)
+            make_lsh_topk_oracle(sf)

@@ -23,8 +23,6 @@ from .dataset import validate_and_format_dataset
 from .entities.builtin import BuiltinEntityParser, is_builtin_entity
 from .entities.gazetteer import GazetteerParser
 from .parsers.common import get_slot_name_mappings
-from .parsers.deterministic import DeterministicIntentParser
-from .parsers.lookup import LookupIntentParser
 from .resources import get_resources
 from .result import (builtin_slot, custom_slot, empty_result,
                      intent_classification_result, parsing_result)
@@ -51,26 +49,17 @@ class EntityBundle:
 
 
 def _make_parser(unit_name: str):
-    from .parsers.probabilistic import ProbabilisticIntentParser
-    if unit_name == "lookup_intent_parser":
-        return LookupIntentParser()
-    if unit_name == "deterministic_intent_parser":
-        return DeterministicIntentParser()
-    if unit_name == "probabilistic_intent_parser":
-        return ProbabilisticIntentParser()
-    raise ValueError(f"unknown parser unit {unit_name!r}")
+    """Open registry dispatch (mirrors ProcessingUnit.by_name, ref:
+    pipeline/processing_unit.py:28-72) — custom parsers registered with
+    ``registry.register_intent_parser`` slot into the cascade without
+    editing this module."""
+    from .registry import intent_parser_class
+    return intent_parser_class(unit_name)()
 
 
 def _parser_from_dict(d: dict):
-    from .parsers.probabilistic import ProbabilisticIntentParser
-    unit = d["unit_name"]
-    if unit == "lookup_intent_parser":
-        return LookupIntentParser.from_dict(d)
-    if unit == "deterministic_intent_parser":
-        return DeterministicIntentParser.from_dict(d)
-    if unit == "probabilistic_intent_parser":
-        return ProbabilisticIntentParser.from_dict(d)
-    raise ValueError(f"unknown parser unit {unit!r}")
+    from .registry import intent_parser_class
+    return intent_parser_class(d["unit_name"]).from_dict(d)
 
 
 class NluEngine:
@@ -103,11 +92,8 @@ class NluEngine:
         self.intent_parsers = []
         for unit in self.parser_units:
             parser = _make_parser(unit)
-            if unit == "probabilistic_intent_parser":
-                parser.fit(dataset, resources, self._bundle,
-                           random_seed=self.random_seed)
-            else:
-                parser.fit(dataset, resources)
+            parser.fit(dataset, resources, self._bundle,
+                       random_seed=self.random_seed)
             self.intent_parsers.append(parser)
 
         self.dataset_metadata = {

@@ -17,6 +17,8 @@ float summation orders.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
@@ -56,11 +58,32 @@ def brute_force_topk(embeddings: DataFrame, k: int = 5,
 
 
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42):
-    """Deterministic random hyperplanes (driver-side numpy, broadcast as
-    literal arrays — tables × bits × dim doubles, a few KB)."""
-    import numpy as np
+    """Deterministic random hyperplanes (driver-side numpy, captured by
+    the Arrow signature kernel — tables × bits × dim doubles, a few KB)."""
     rng = np.random.RandomState(seed)
     return rng.randn(n_tables, n_bits, dim)
+
+
+def _bucket_udf(planes):
+    """Arrow-batched signature kernel: ONE numpy matmul computes every
+    table's sign-bucket for the whole batch (replaces the round-1 plan
+    that inlined tables×bits×dim literal columns — thousands of literals
+    bloating the expression tree)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_bits, dim = planes.shape
+    flat_t = planes.reshape(n_tables * n_bits, dim).T  # (dim, T*B)
+    pows = 1 << np.arange(n_bits)
+
+    @pandas_udf("array<int>")
+    def buckets(col: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        proj = mat @ flat_t                       # (n, T*B)
+        bits = (proj >= 0).reshape(len(mat), n_tables, n_bits)
+        vals = (bits * pows).sum(axis=2).astype("int32")
+        return pd.Series(list(vals))
+
+    return buckets
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5,
@@ -70,42 +93,18 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5,
     """Random-hyperplane LSH ANN: per-table sign-bucket join, exact
     re-scoring of candidates, per-query top-k."""
     planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    buckets = _bucket_udf(planes)
 
-    def bucket_col(vec, table: int):
-        bits = []
-        for b in range(n_bits):
-            plane = F.array(*[F.lit(float(x)) for x in planes[table, b]])
-            proj = F.aggregate(
-                F.zip_with(vec, plane,
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, v: acc + v)
-            bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for bit in bits[1:]:
-            out = out + bit
-        return out
-
-    corpus = embeddings.select(F.col("vec_id").alias("neighbor_id"),
-                               F.col("embedding").alias("v"))
-    queries = (embeddings.filter(F.col("vec_id") < n_queries)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q")))
-
-    corpus_b = []
-    query_b = []
-    for t in range(n_tables):
-        corpus_b.append(corpus.select(
-            "neighbor_id", "v", F.lit(t).alias("table"),
-            bucket_col(F.col("v"), t).alias("bucket")))
-        query_b.append(queries.select(
-            "query_id", "q", F.lit(t).alias("table"),
-            bucket_col(F.col("q"), t).alias("bucket")))
-    corpus_all = corpus_b[0]
-    for extra in corpus_b[1:]:
-        corpus_all = corpus_all.unionByName(extra)
-    query_all = query_b[0]
-    for extra in query_b[1:]:
-        query_all = query_all.unionByName(extra)
+    signed = embeddings.withColumn("buckets",
+                                   buckets(F.col("embedding")))
+    corpus_all = signed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+        F.posexplode("buckets").alias("table", "bucket"))
+    query_all = (signed.filter(F.col("vec_id") < n_queries)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("q"),
+                         F.posexplode("buckets").alias("table", "bucket")))
 
     candidates = (corpus_all.join(
         F.broadcast(query_all), ["table", "bucket"])

@@ -14,6 +14,7 @@ from __future__ import annotations
 import re
 
 from ..entities.builtin import is_builtin_entity
+from ..registry import register_intent_parser
 from ..result import (empty_result, extraction_result,
                       intent_classification_result, parsing_result,
                       unresolved_slot)
@@ -28,8 +29,8 @@ MAX_QUERIES = 100            # ref: pipeline/configs/intent_parser.py:74-78
 MAX_PATTERN_LENGTH = 1000
 
 
+@register_intent_parser("deterministic_intent_parser")
 class DeterministicIntentParser:
-    unit_name = "deterministic_intent_parser"
 
     def __init__(self, ignore_stop_words: bool = True,
                  max_queries: int = MAX_QUERIES,
@@ -53,8 +54,8 @@ class DeterministicIntentParser:
         return bool(self.patterns)
 
     # ------------------------------------------------------------------ fit
-    def fit(self, dataset: dict, resources: dict
-            ) -> "DeterministicIntentParser":
+    def fit(self, dataset: dict, resources: dict, entity_bundle=None,
+            random_seed: int = 42) -> "DeterministicIntentParser":
         self._stop_words = set(resources["stop_words"]) \
             if self.ignore_stop_words else set()
         self._stop_words_whitelist = get_stop_words_whitelist(

@@ -16,10 +16,12 @@ executors and the batch kernel calls :meth:`parse` per row.
 
 from __future__ import annotations
 
+import logging
 from collections import defaultdict
 from itertools import combinations
 
 from ..entities.builtin import is_builtin_entity
+from ..registry import register_intent_parser
 from ..result import (empty_result, extraction_result,
                       intent_classification_result, parsing_result,
                       unresolved_slot)
@@ -28,11 +30,13 @@ from ..textcore import (deduplicate_overlapping_mentions,
 from .common import (get_entity_scopes, get_slot_name_mappings,
                      get_stop_words_whitelist, preprocess_text)
 
+_LOG = logging.getLogger(__name__)
+
 MAX_ENTITIES_PER_SCOPE = 8  # bounds the 2^n candidate subsets per turn
 
 
+@register_intent_parser("lookup_intent_parser")
 class LookupIntentParser:
-    unit_name = "lookup_intent_parser"
 
     def __init__(self, ignore_stop_words: bool = True) -> None:
         self.ignore_stop_words = ignore_stop_words
@@ -51,7 +55,8 @@ class LookupIntentParser:
         return bool(self._intents_names)
 
     # ------------------------------------------------------------------ fit
-    def fit(self, dataset: dict, resources: dict) -> "LookupIntentParser":
+    def fit(self, dataset: dict, resources: dict, entity_bundle=None,
+            random_seed: int = 42) -> "LookupIntentParser":
         stop_words = set(resources["stop_words"]) \
             if self.ignore_stop_words else set()
         self._stop_words = stop_words
@@ -91,6 +96,31 @@ class LookupIntentParser:
                     self._map[key] = val
         for key in ambiguous:
             self._map.pop(key, None)
+
+        # per-(group, entity-kind) mention budget: the max number of
+        # placeholders of that kind in any single training utterance of
+        # the group — used as the overflow fallback when a text carries
+        # more mentions than the subset-enumeration bound (see
+        # _candidates; keeps the likeliest participants instead of an
+        # arbitrary prefix)
+        per_intent_max: dict[str, dict[str, int]] = {}
+        for intent_name, intent in dataset["intents"].items():
+            agg: dict[str, int] = {}
+            for utt in intent["utterances"]:
+                counts: dict[str, int] = {}
+                for chunk in utt["data"]:
+                    if chunk.get("slot_name"):
+                        counts[chunk["entity"]] = \
+                            counts.get(chunk["entity"], 0) + 1
+                for e, c in counts.items():
+                    agg[e] = max(agg.get(e, 0), c)
+            per_intent_max[intent_name] = agg
+        for g in self._entity_scopes:
+            mp: dict[str, int] = {}
+            for intent_name in g["intent_group"]:
+                for e, c in per_intent_max.get(intent_name, {}).items():
+                    mp[e] = max(mp.get(e, 0), c)
+            g["max_per_kind"] = mp
         return self
 
     def _intent_stop_words(self, intent: str) -> set[str]:
@@ -181,7 +211,27 @@ class LookupIntentParser:
             if scope["custom"]:
                 mentions += entity_bundle.parse_custom(text, scope["custom"])
             mentions = deduplicate_overlapping_mentions(mentions)
-            mentions = mentions[:MAX_ENTITIES_PER_SCOPE]
+            if len(mentions) > MAX_ENTITIES_PER_SCOPE:
+                # DIVERGENCE from the reference (documented in README):
+                # it enumerates all 2^n entity subsets; we bound n at
+                # MAX_ENTITIES_PER_SCOPE. Overflow fallback: keep, in
+                # text order, at most as many mentions of each kind as
+                # any training utterance of this group actually uses —
+                # the mentions a key can contain — before truncating.
+                budget = dict(group.get("max_per_kind") or {})
+                if budget:
+                    kept = []
+                    for m in mentions:
+                        if budget.get(m["entity_kind"], 0) > 0:
+                            budget[m["entity_kind"]] -= 1
+                            kept.append(m)
+                    mentions = kept
+                if len(mentions) > MAX_ENTITIES_PER_SCOPE:
+                    _LOG.warning(
+                        "lookup parser: truncating %d mentions to %d; "
+                        "exact-match recall may be reduced for this text",
+                        len(mentions), MAX_ENTITIES_PER_SCOPE)
+                    mentions = mentions[:MAX_ENTITIES_PER_SCOPE]
 
             # cleaned original text depends only on the intent — hoisted
             # out of the entity-subset loop

