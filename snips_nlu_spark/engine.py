@@ -87,7 +87,8 @@ class NluEngine:
             {name: e["utterances"] for name, e in custom_entities.items()},
             strictness={name: e.get("matching_strictness", 1.0)
                         for name, e in custom_entities.items()})
-        self._bundle = EntityBundle(gazetteer, BuiltinEntityParser())
+        self._bundle = EntityBundle(
+            gazetteer, BuiltinEntityParser(language=dataset["language"]))
 
         self.intent_parsers = []
         for unit in self.parser_units:
@@ -279,8 +280,11 @@ class NluEngine:
         engine = cls(parser_units=tuple(d["parser_units"]),
                      random_seed=d["random_seed"])
         engine.dataset_metadata = d["dataset_metadata"]
+        language = (d.get("dataset_metadata") or {}).get(
+            "language_code", "en")
         engine._bundle = EntityBundle(
-            GazetteerParser.from_dict(d["gazetteer"]), BuiltinEntityParser())
+            GazetteerParser.from_dict(d["gazetteer"]),
+            BuiltinEntityParser(language=language))
         engine.intent_parsers = [_parser_from_dict(p)
                                  for p in d["intent_parsers"]]
         return engine

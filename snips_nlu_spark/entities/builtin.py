@@ -26,8 +26,8 @@ import re
 from typing import Callable, Sequence
 
 from ..textcore import Token, tokenize
-from .numbers import (NUMBER_WORDS, ordinal_word_to_number, words_to_number,
-                      ORDINAL_WORDS)
+from .numbers import (number_words, ordinal_word_to_number,
+                      ordinal_words, words_to_number)
 
 BUILTIN_KINDS = (
     "snips/number", "snips/ordinal", "snips/percentage", "snips/temperature",
@@ -71,28 +71,31 @@ def _digit_candidates(tokens: Sequence[Token]) -> list[dict]:
     return out
 
 
-def _word_candidates(tokens: Sequence[Token]) -> list[dict]:
+def _word_candidates(tokens: Sequence[Token],
+                     language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
+    words = number_words(language)
+    glue = ("et",) if language == "fr" else ("and", "a", "an")
     out = []
     i = 0
     n = len(tokens)
     while i < n:
-        if tokens[i].value.lower() in NUMBER_WORDS:
+        if tokens[i].value.lower() in words:
             j = i
-            while j + 1 < n and tokens[j + 1].value.lower() in NUMBER_WORDS:
+            while j + 1 < n and tokens[j + 1].value.lower() in words:
                 j += 1
             # trim glue from the edges until the phrase parses
             lo, hi = i, j
             while lo <= hi:
                 phrase = " ".join(t.value.lower()
                                   for t in tokens[lo:hi + 1])
-                num = words_to_number(phrase)
+                num = words_to_number(phrase, language)
                 if num is not None:
                     out.append({"tok_start": lo, "tok_end": hi, "num": num})
                     break
-                if tokens[hi].value.lower() in ("and", "a", "an"):
+                if tokens[hi].value.lower() in glue:
                     hi -= 1
-                elif tokens[lo].value.lower() in ("and", "a", "an"):
+                elif tokens[lo].value.lower() in glue:
                     lo += 1
                 else:
                     break
@@ -102,8 +105,9 @@ def _word_candidates(tokens: Sequence[Token]) -> list[dict]:
     return out
 
 
-def _number_candidates(tokens: Sequence[Token]) -> list[dict]:
-    cands = _digit_candidates(tokens) + _word_candidates(tokens)
+def _number_candidates(tokens: Sequence[Token],
+                       language: str = "en") -> list[dict]:
+    cands = _digit_candidates(tokens) + _word_candidates(tokens, language)
     return sorted(cands, key=lambda c: c["tok_start"])
 
 
@@ -119,7 +123,7 @@ def _mention(text: str, tokens: Sequence[Token], tok_start: int, tok_end: int,
 # per-kind scanners
 # ---------------------------------------------------------------------------
 
-def _scan_number(text, tokens, cands, anchor):
+def _scan_number(text, tokens, cands, anchor, lang="en"):
     return [
         _mention(text, tokens, c["tok_start"], c["tok_end"], "snips/number",
                  {"kind": "Number", "value": c["num"]})
@@ -127,30 +131,45 @@ def _scan_number(text, tokens, cands, anchor):
     ]
 
 
-_ORDINAL_SUFFIX_RE = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
+_ORDINAL_SUFFIX_RE = {
+    "en": re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE),
+    "fr": re.compile(r"^(\d+)(er|ère|ere|e|ème|eme)$", re.IGNORECASE),
+}
 
 
-def _scan_ordinal(text, tokens, cands, anchor):
+def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
     out = []
+    suffix_re = _ORDINAL_SUFFIX_RE[lang]
+    words = ordinal_words(lang)
     for i, t in enumerate(tokens):
-        m = _ORDINAL_SUFFIX_RE.match(t.value)
+        m = suffix_re.match(t.value)
         if m:
             out.append(_mention(text, tokens, i, i, "snips/ordinal",
                                 {"kind": "Ordinal", "value": int(m.group(1))}))
-        elif t.value.lower() in ORDINAL_WORDS:
+        elif t.value.lower() in words:
             out.append(_mention(
                 text, tokens, i, i, "snips/ordinal",
                 {"kind": "Ordinal",
-                 "value": ordinal_word_to_number(t.value)}))
+                 "value": ordinal_word_to_number(t.value, lang)}))
     return out
 
 
-def _scan_percentage(text, tokens, cands, anchor):
+_PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent")}
+
+
+def _scan_percentage(text, tokens, cands, anchor, lang="en"):
     out = []
+    n = len(tokens)
     for c in cands:
         nxt = c["tok_end"] + 1
-        if nxt < len(tokens) and tokens[nxt].value.lower() in ("%", "percent"):
+        if nxt < n and tokens[nxt].value.lower() in _PERCENT_WORDS[lang]:
             out.append(_mention(text, tokens, c["tok_start"], nxt,
+                                "snips/percentage",
+                                {"kind": "Percentage", "value": c["num"]}))
+        elif lang == "fr" and nxt + 1 < n \
+                and tokens[nxt].value.lower() == "pour" \
+                and tokens[nxt + 1].value.lower() == "cent":
+            out.append(_mention(text, tokens, c["tok_start"], nxt + 1,
                                 "snips/percentage",
                                 {"kind": "Percentage", "value": c["num"]}))
     return out
@@ -160,7 +179,11 @@ _TEMP_UNITS = {"celsius": "celsius", "c": "celsius",
                "fahrenheit": "fahrenheit", "f": "fahrenheit"}
 
 
-def _scan_temperature(text, tokens, cands, anchor):
+_DEGREE_WORDS = {"en": ("degree", "degrees", "°"),
+                 "fr": ("degré", "degrés", "degre", "degres", "°")}
+
+
+def _scan_temperature(text, tokens, cands, anchor, lang="en"):
     out = []
     n = len(tokens)
     for c in cands:
@@ -168,7 +191,7 @@ def _scan_temperature(text, tokens, cands, anchor):
         if nxt >= n:
             continue
         w = tokens[nxt].value.lower()
-        if w in ("degree", "degrees", "°"):
+        if w in _DEGREE_WORDS[lang]:
             end = nxt
             unit = None
             if nxt + 1 < n and tokens[nxt + 1].value.lower() in _TEMP_UNITS:
@@ -186,7 +209,7 @@ _CURRENCY_WORDS = {"dollar": "$", "dollars": "$", "buck": "$", "bucks": "$",
                    "pound": "GBP", "pounds": "GBP"}
 
 
-def _scan_money(text, tokens, cands, anchor):
+def _scan_money(text, tokens, cands, anchor, lang="en"):
     out = []
     n = len(tokens)
     for c in cands:
@@ -207,13 +230,24 @@ def _scan_money(text, tokens, cands, anchor):
 
 
 _DURATION_UNITS = {
-    "second": "seconds", "seconds": "seconds", "sec": "seconds",
-    "minute": "minutes", "minutes": "minutes", "min": "minutes",
-    "hour": "hours", "hours": "hours",
-    "day": "days", "days": "days",
-    "week": "weeks", "weeks": "weeks",
-    "month": "months", "months": "months",
-    "year": "years", "years": "years",
+    "en": {
+        "second": "seconds", "seconds": "seconds", "sec": "seconds",
+        "minute": "minutes", "minutes": "minutes", "min": "minutes",
+        "hour": "hours", "hours": "hours",
+        "day": "days", "days": "days",
+        "week": "weeks", "weeks": "weeks",
+        "month": "months", "months": "months",
+        "year": "years", "years": "years",
+    },
+    "fr": {
+        "seconde": "seconds", "secondes": "seconds", "sec": "seconds",
+        "minute": "minutes", "minutes": "minutes", "min": "minutes",
+        "heure": "hours", "heures": "hours",
+        "jour": "days", "jours": "days", "journée": "days",
+        "semaine": "weeks", "semaines": "weeks",
+        "mois": "months",
+        "an": "years", "ans": "years", "année": "years", "années": "years",
+    },
 }
 
 
@@ -225,13 +259,14 @@ def _duration_payload(field: str, value: float) -> dict:
     return payload
 
 
-def _scan_duration(text, tokens, cands, anchor):
+def _scan_duration(text, tokens, cands, anchor, lang="en"):
     out = []
     n = len(tokens)
+    units = _DURATION_UNITS[lang]
     for c in cands:
         nxt = c["tok_end"] + 1
-        if nxt < n and tokens[nxt].value.lower() in _DURATION_UNITS:
-            field = _DURATION_UNITS[tokens[nxt].value.lower()]
+        if nxt < n and tokens[nxt].value.lower() in units:
+            field = units[tokens[nxt].value.lower()]
             out.append(_mention(text, tokens, c["tok_start"], nxt,
                                 "snips/duration",
                                 _duration_payload(field, c["num"])))
@@ -240,14 +275,52 @@ def _scan_duration(text, tokens, cands, anchor):
 
 # --- datetime -------------------------------------------------------------
 
-_WEEKDAYS = {"monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
-             "friday": 4, "saturday": 5, "sunday": 6}
-_MONTHS = {"january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
-           "june": 6, "july": 7, "august": 8, "september": 9, "october": 10,
-           "november": 11, "december": 12}
-_DAYPARTS = {"morning": 8, "noon": 12, "afternoon": 15, "evening": 19,
-             "night": 21}
-_REL_DAYS = {"yesterday": -1, "today": 0, "tomorrow": 1}
+# per-language datetime word tables (the reference delegates these to its
+# per-language Rust grammars; fr surface forms follow the same shapes)
+_DT = {
+    "en": {
+        "weekdays": {"monday": 0, "tuesday": 1, "wednesday": 2,
+                     "thursday": 3, "friday": 4, "saturday": 5,
+                     "sunday": 6},
+        "months": {"january": 1, "february": 2, "march": 3, "april": 4,
+                   "may": 5, "june": 6, "july": 7, "august": 8,
+                   "september": 9, "october": 10, "november": 11,
+                   "december": 12},
+        "dayparts": {"morning": 8, "noon": 12, "afternoon": 15,
+                     "evening": 19, "night": 21},
+        "rel_days": {"yesterday": -1, "today": 0, "tomorrow": 1},
+        "tonight": "tonight",
+        "at_words": ("at", "in"),
+        "the_words": ("the",),
+        "day_prefix": ("on", "next", "this"),
+        "next_word": "next",
+        "periods": ("week", "month", "year"),
+        "period_map": {"week": "week", "month": "month", "year": "year"},
+        "weekday_suffix": (),
+        "range_open": {"from": ("to", "until", "till"),
+                       "between": ("and",)},
+    },
+    "fr": {
+        "weekdays": {"lundi": 0, "mardi": 1, "mercredi": 2, "jeudi": 3,
+                     "vendredi": 4, "samedi": 5, "dimanche": 6},
+        "months": {"janvier": 1, "février": 2, "fevrier": 2, "mars": 3,
+                   "avril": 4, "mai": 5, "juin": 6, "juillet": 7,
+                   "août": 8, "aout": 8, "septembre": 9, "octobre": 10,
+                   "novembre": 11, "décembre": 12, "decembre": 12},
+        "dayparts": {"matin": 8, "midi": 12, "soir": 19, "nuit": 21},
+        "rel_days": {"hier": -1, "demain": 1},
+        "tonight": None,
+        "at_words": ("à", "a", "vers"),
+        "the_words": ("le", "la"),
+        "day_prefix": ("le", "ce"),
+        "next_word": None,
+        "periods": (),
+        "period_map": {},
+        "weekday_suffix": ("prochain", "prochaine"),
+        "range_open": {"de": ("à", "a", "au"), "du": ("au",),
+                       "entre": ("et",)},
+    },
+}
 
 _TIME_RE = re.compile(r"^(\d{1,2})(?::(\d{2}))?$")
 
@@ -258,15 +331,105 @@ def _fmt_instant(d: _dt.datetime, grain: str) -> dict:
             "grain": grain, "precision": "Exact"}
 
 
-def _scan_datetime(text, tokens, cands, anchor):
-    """Bounded datetime grammar: [rel-day|weekday|month day|next X]
-    optionally combined with a following time-of-day / clock time; also
-    standalone clock times ("at 8pm") and dayparts ("tonight").
+def _fmt_interval(start: _dt.datetime, end: _dt.datetime) -> dict:
+    return {"kind": "TimeInterval",
+            "from": start.strftime("%Y-%m-%d %H:%M:%S"),
+            "to": end.strftime("%Y-%m-%d %H:%M:%S")}
+
+
+def _parse_iso_date(tokens, i, n):
+    """``2024-06-03`` (the tokenizer splits on '-': five tokens) →
+    (datetime, last_idx) or None."""
+    if i + 4 >= n:
+        return None
+    y, d1, mo, d2, dd = (tokens[i].value, tokens[i + 1].value,
+                         tokens[i + 2].value, tokens[i + 3].value,
+                         tokens[i + 4].value)
+    if not (re.fullmatch(r"\d{4}", y) and d1 == "-"
+            and re.fullmatch(r"\d{2}", mo) and d2 == "-"
+            and re.fullmatch(r"\d{2}", dd)):
+        return None
+    try:
+        return _dt.datetime(int(y), int(mo), int(dd)), i + 4
+    except ValueError:
+        return None
+
+
+def _parse_month_day(tokens, i, n, base_date, lang="en"):
+    """``june 3`` / ``june 3rd`` / ``3 juin`` → (datetime, last_idx) or
+    None; a past date rolls to next year."""
+    months = _DT[lang]["months"]
+    w = tokens[i].value.lower()
+    month = day_num = None
+    last = i + 1
+    if w in months and i + 1 < n:
+        # english order: month day
+        month = months[w]
+        m = _ORDINAL_SUFFIX_RE[lang].match(tokens[i + 1].value)
+        if m:
+            day_num = int(m.group(1))
+        elif tokens[i + 1].value.isdigit():
+            day_num = int(tokens[i + 1].value)
+    elif lang == "fr" and i + 1 < n \
+            and tokens[i + 1].value.lower() in months:
+        # french order: day month ("3 juin", "1er juin")
+        m = _ORDINAL_SUFFIX_RE[lang].match(tokens[i].value)
+        if m:
+            day_num = int(m.group(1))
+        elif tokens[i].value.isdigit():
+            day_num = int(tokens[i].value)
+        month = months[tokens[i + 1].value.lower()]
+    if month is None or not day_num or not 1 <= day_num <= 31:
+        return None
+    try:
+        day = base_date.replace(month=month, day=day_num)
+    except ValueError:
+        return None
+    if day < base_date:
+        day = day.replace(year=day.year + 1)
+    return day, last
+
+
+def _parse_point(tokens, i, n, base_date, lang="en"):
+    """A single range endpoint: rel-day / weekday / month-day / ISO date /
+    clock time. Returns (datetime, grain, last_idx, kind) or None."""
+    if i >= n:
+        return None
+    tables = _DT[lang]
+    w = tokens[i].value.lower()
+    if w in tables["rel_days"]:
+        return (base_date + _dt.timedelta(days=tables["rel_days"][w]),
+                "Day", i, "relday")
+    if w in tables["weekdays"]:
+        ahead = (tables["weekdays"][w] - base_date.weekday()) % 7
+        return (base_date + _dt.timedelta(days=ahead or 7), "Day", i,
+                "weekday")
+    iso = _parse_iso_date(tokens, i, n)
+    if iso is not None:
+        return iso[0], "Day", iso[1], "iso"
+    md = _parse_month_day(tokens, i, n, base_date, lang)
+    if md is not None:
+        return md[0], "Day", md[1], "monthday"
+    c = _parse_clock(tokens, i, n)
+    if c is not None:
+        hh, mm, last, _marked = c
+        return (base_date.replace(hour=hh, minute=mm),
+                "Minute" if mm else "Hour", last, "clock")
+    return None
+
+
+def _scan_datetime(text, tokens, cands, anchor, lang="en"):
+    """Bounded datetime grammar: ranges ("from monday to friday",
+    "between 8am and 10:30am", "de lundi à vendredi"), day-level anchors
+    (rel-day, weekday, month day, ISO date, next week/month/year)
+    optionally combined with a following daypart or clock time
+    ("next monday at 8pm", "demain à 8h30"), and standalone clock times.
 
     anchor: datetime the mention resolves against (the row's ts).
     """
     if anchor is None:
         anchor = _dt.datetime(2020, 1, 1, 0, 0, 0)
+    tables = _DT[lang]
     out = []
     n = len(tokens)
     base_date = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
@@ -275,45 +438,71 @@ def _scan_datetime(text, tokens, cands, anchor):
     def lower(i):
         return tokens[i].value.lower()
 
+    # pass 0: intervals — "from X to|until Y", "between X and Y"
+    i = 0
+    while i < n:
+        w = lower(i)
+        seps = tables["range_open"].get(w)
+        if seps is None:
+            i += 1
+            continue
+        p1 = _parse_point(tokens, i + 1, n, base_date, lang)
+        if p1 is None:
+            i += 1
+            continue
+        dt1, _g1, last1, kind1 = p1
+        if last1 + 1 >= n or lower(last1 + 1) not in seps:
+            i += 1
+            continue
+        p2 = _parse_point(tokens, last1 + 2, n, base_date, lang)
+        if p2 is None:
+            i += 1
+            continue
+        dt2, _g2, last2, kind2 = p2
+        if dt2 <= dt1:
+            # "monday to friday" = the friday AFTER that monday;
+            # "10pm and 2am" crosses midnight
+            dt2 += _dt.timedelta(days=7 if kind2 == "weekday" else 1)
+        used.update(range(i, last2 + 1))
+        out.append(_mention(text, tokens, i, last2, "snips/datetime",
+                            _fmt_interval(dt1, dt2)))
+        i = last2 + 1
+
     # pass 1: day-level anchors, optionally followed by a time part
     i = 0
     while i < n:
+        if i in used:
+            i += 1
+            continue
         w = lower(i)
         day = None
         grain = "Day"
         tok_start, tok_end = i, i
-        if w in _REL_DAYS:
-            day = base_date + _dt.timedelta(days=_REL_DAYS[w])
-        elif w == "tonight":
-            day = base_date.replace(hour=_DAYPARTS["night"])
+        if w in tables["rel_days"]:
+            day = base_date + _dt.timedelta(days=tables["rel_days"][w])
+        elif w == tables["tonight"]:
+            day = base_date.replace(hour=tables["dayparts"].get(
+                "night", 21))
             grain = "Hour"
-        elif w in _WEEKDAYS:
-            ahead = (_WEEKDAYS[w] - base_date.weekday()) % 7
+        elif w in tables["weekdays"]:
+            ahead = (tables["weekdays"][w] - base_date.weekday()) % 7
             day = base_date + _dt.timedelta(days=ahead or 7)
-            # absorb a leading "on"/"next"/"this"
-            if i > 0 and lower(i - 1) in ("on", "next", "this"):
+            # absorb a leading "on"/"next"/"this" (fr: "le"/"ce")
+            if i > 0 and i - 1 not in used \
+                    and lower(i - 1) in tables["day_prefix"]:
                 tok_start = i - 1
-        elif w in _MONTHS:
-            # "june 3", "june 3rd"
-            if i + 1 < n:
-                m = _ORDINAL_SUFFIX_RE.match(tokens[i + 1].value)
-                dnum = None
-                if m:
-                    dnum = int(m.group(1))
-                elif tokens[i + 1].value.isdigit():
-                    dnum = int(tokens[i + 1].value)
-                if dnum and 1 <= dnum <= 31:
-                    try:
-                        day = base_date.replace(month=_MONTHS[w], day=dnum)
-                    except ValueError:
-                        day = None
-                    if day is not None:
-                        if day < base_date:
-                            day = day.replace(year=day.year + 1)
-                        tok_end = i + 1
-        elif w == "next" and i + 1 < n and lower(i + 1) in ("week", "month",
-                                                            "year"):
-            unit = lower(i + 1)
+            # absorb a trailing "prochain"/"prochaine" (fr)
+            if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
+                tok_end = i + 1
+        elif w in tables["months"] or (
+                lang == "fr" and _parse_month_day(tokens, i, n, base_date,
+                                                  lang) is not None):
+            md = _parse_month_day(tokens, i, n, base_date, lang)
+            if md is not None:
+                day, tok_end = md
+        elif w == tables["next_word"] and i + 1 < n \
+                and lower(i + 1) in tables["periods"]:
+            unit = tables["period_map"][lower(i + 1)]
             if unit == "week":
                 day = base_date + _dt.timedelta(days=7 - base_date.weekday())
                 grain = "Week"
@@ -327,26 +516,33 @@ def _scan_datetime(text, tokens, cands, anchor):
                                         day=1)
                 grain = "Year"
             tok_end = i + 1
+        else:
+            iso = _parse_iso_date(tokens, i, n)
+            if iso is not None:
+                day, tok_end = iso
+                # absorb a leading "on"
+                if i > 0 and i - 1 not in used and lower(i - 1) == "on":
+                    tok_start = i - 1
 
         if day is None:
             i += 1
             continue
 
         # optional following time part: "tomorrow evening",
-        # "tomorrow at 8pm", "monday morning"
+        # "tomorrow at 8pm", "next monday at 8:30", "demain à 8h30"
         j = tok_end + 1
-        if j < n and lower(j) in ("at", "in"):
+        if j < n and lower(j) in tables["at_words"]:
             j += 1
-            if j < n and lower(j) == "the":
+            if j < n and lower(j) in tables["the_words"]:
                 j += 1
-        if j < n and lower(j) in _DAYPARTS and grain in ("Day",):
-            day = day.replace(hour=_DAYPARTS[lower(j)])
+        if j < n and lower(j) in tables["dayparts"] and grain in ("Day",):
+            day = day.replace(hour=tables["dayparts"][lower(j)])
             grain = "Hour"
             tok_end = j
-        else:
-            t = _parse_clock(tokens, tok_end + 1, n)
-            if t is not None and grain == "Day":
-                hh, mm, t_end = t
+        elif grain == "Day":
+            t = _parse_clock(tokens, j, n)
+            if t is not None:
+                hh, mm, t_end, _marked = t
                 day = day.replace(hour=hh, minute=mm)
                 grain = "Minute" if mm else "Hour"
                 tok_end = t_end
@@ -355,20 +551,22 @@ def _scan_datetime(text, tokens, cands, anchor):
                             "snips/datetime", _fmt_instant(day, grain)))
         i = tok_end + 1
 
-    # pass 2: standalone clock times ("at 8pm", "at 8:30")
+    # pass 2: standalone clock times ("at 8pm", "at 8:30", "9:15 am")
     i = 0
     while i < n:
         if i in used:
             i += 1
             continue
         start_i = i
-        if lower(i) == "at":
+        if lower(i) in tables["at_words"]:
             t = _parse_clock(tokens, i + 1, n)
         else:
-            t = _parse_clock(tokens, i, n) if _looks_clock(tokens, i, n) \
-                else None
+            t = _parse_clock(tokens, i, n)
+            # unprefixed times only count with an explicit marker
+            if t is not None and not t[3]:
+                t = None
         if t is not None:
-            hh, mm, t_end = t
+            hh, mm, t_end, _marked = t
             if not any(k in used for k in range(start_i, t_end + 1)):
                 day = base_date.replace(hour=hh, minute=mm)
                 used.update(range(start_i, t_end + 1))
@@ -381,48 +579,54 @@ def _scan_datetime(text, tokens, cands, anchor):
     return out
 
 
-def _looks_clock(tokens, i, n):
-    """Unprefixed times only count with an explicit am/pm/o'clock marker."""
-    m = _TIME_RE.match(tokens[i].value)
-    if not m:
-        return False
-    j = i + 1
-    if j < n and tokens[j].value.lower() in ("am", "pm"):
-        return True
-    if j + 1 < n and tokens[j].value.lower() == "o" \
-            and tokens[j + 1].value == "'":
-        return True
-    if j < n and tokens[j].value.lower() in ("oclock",):
-        return True
-    return False
-
-
 def _parse_clock(tokens, i, n):
-    """Parse ``8pm`` / ``8 pm`` / ``8:30`` / ``8 o'clock`` starting at token
-    i; returns (hour, minute, last_token_index) or None."""
+    """Parse ``8pm`` / ``8 pm`` / ``8:30`` / ``8:30pm`` / ``8 o'clock``
+    starting at token i (the tokenizer splits ':' into its own token).
+    Returns (hour, minute, last_token_index, has_marker) or None, where
+    has_marker is True when an explicit am/pm/o'clock marker was seen."""
     if i >= n:
         return None
     v = tokens[i].value.lower()
     m = re.match(r"^(\d{1,2})(am|pm)$", v)
     if m:
         hh = int(m.group(1)) % 12 + (12 if m.group(2) == "pm" else 0)
-        return hh, 0, i
+        return hh, 0, i, True
+    m = re.match(r"^(\d{1,2})h([0-5]\d)?$", v)  # french "8h"/"8h30"
+    if m:
+        hh = int(m.group(1))
+        if hh <= 23:
+            return hh, int(m.group(2) or 0), i, True
     m = _TIME_RE.match(v)
     if not m:
         return None
     hh, mm = int(m.group(1)), int(m.group(2) or 0)
+    explicit_minutes = m.group(2) is not None
+    last = i
+    # multi-token "hh : mm[am|pm]"
+    if not explicit_minutes and last + 2 < n \
+            and tokens[last + 1].value == ":":
+        m2 = re.match(r"^([0-5]\d)(am|pm)?$", tokens[last + 2].value.lower())
+        if m2:
+            mm = int(m2.group(1))
+            explicit_minutes = True
+            last += 2
+            if m2.group(2) is not None:
+                if hh > 12:
+                    return None
+                hh = hh % 12 + (12 if m2.group(2) == "pm" else 0)
+                return hh, mm, last, True
     if hh > 23 or mm > 59:
         return None
-    j = i + 1
-    if j < n and tokens[j].value.lower() in ("am", "pm"):
+    j = last + 1
+    if j < n and tokens[j].value.lower() in ("am", "pm") and hh <= 12:
         hh = hh % 12 + (12 if tokens[j].value.lower() == "pm" else 0)
-        return hh, mm, j
+        return hh, mm, j, True
     if j + 2 < n and tokens[j].value.lower() == "o" \
             and tokens[j + 1].value == "'" \
             and tokens[j + 2].value.lower() == "clock":
-        return hh, mm, j + 2
-    if m.group(2) is not None:  # explicit hh:mm stands alone
-        return hh, mm, i
+        return hh, mm, j + 2, True
+    if explicit_minutes:  # explicit hh:mm stands alone (no marker)
+        return hh, mm, last, False
     return None
 
 
@@ -440,9 +644,16 @@ _SCANNERS: dict[str, Callable] = {
 class BuiltinEntityParser:
     """Stateless scanner over the builtin kinds; one instance per executor
     (cheap — no compiled state beyond module-level tables). Parses are
-    memoized per (text, scope, anchor); treat results as immutable."""
+    memoized per (text, scope, anchor); treat results as immutable.
 
-    def __init__(self) -> None:
+    ``language`` selects the word tables (en/fr) — the reference reaches
+    the same effect by loading the per-language Rust grammar
+    (builtin_entity_parser.py:22-77)."""
+
+    def __init__(self, language: str = "en") -> None:
+        if language not in _DT:
+            raise ValueError(f"unsupported language: {language!r}")
+        self.language = language
         from functools import lru_cache
         self._parse_memo = lru_cache(maxsize=8192)(self._parse_impl)
 
@@ -456,10 +667,11 @@ class BuiltinEntityParser:
         tokens = tokenize(text)
         if not tokens:
             return ()
-        cands = _number_candidates(tokens)
+        cands = _number_candidates(tokens, self.language)
         mentions: list[dict] = []
         for kind in scope:
             scanner = _SCANNERS.get(kind)
             if scanner is not None:
-                mentions.extend(scanner(text, tokens, cands, anchor))
+                mentions.extend(scanner(text, tokens, cands, anchor,
+                                        self.language))
         return tuple(sorted(mentions, key=lambda m: (m["start"], m["end"])))

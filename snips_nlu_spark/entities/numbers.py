@@ -1,9 +1,13 @@
-"""English number words ↔ values.
+"""Number words ↔ values (en + fr).
 
 From-scratch replacement for the number grammar of the reference's Rust
 ``snips_nlu_parsers`` (snips/number kind, /root/reference/snips_nlu/
-constants.py:66-72). Pure functions; used by the builtin entity scanner and
-by gazetteer string variations.
+constants.py:66-72; the reference ships per-language grammars the same
+way). Pure functions; used by the builtin entity scanner and by gazetteer
+string variations. French covers the common composed forms (0-16, dix-sept
+..dix-neuf, tens with et-un/units/teens incl. soixante-dix forms,
+quatre-vingt(s) forms, cent/mille/million); exotic spellings (septante,
+huitante, nonante) are accepted as direct tens.
 """
 
 from __future__ import annotations
@@ -41,12 +45,141 @@ _ORDINAL_UNITS = {
 ORDINAL_WORDS = set(_ORDINAL_UNITS)
 
 
-def words_to_number(phrase: str) -> float | None:
-    """Parse an English number phrase ("twenty two", "a hundred and five",
-    "twenty-one") to its value; None when the phrase is not a number."""
+# --- French tables ----------------------------------------------------------
+
+_FR_UNITS = {
+    "zéro": 0, "zero": 0, "un": 1, "une": 1, "deux": 2, "trois": 3,
+    "quatre": 4, "cinq": 5, "six": 6, "sept": 7, "huit": 8, "neuf": 9,
+    "dix": 10, "onze": 11, "douze": 12, "treize": 13, "quatorze": 14,
+    "quinze": 15, "seize": 16,
+}
+_FR_TENS = {
+    "vingt": 20, "trente": 30, "quarante": 40, "cinquante": 50,
+    "soixante": 60,
+    # Belgian/Swiss direct tens
+    "septante": 70, "huitante": 80, "octante": 80, "nonante": 90,
+}
+_FR_SCALES = {"cent": 100, "cents": 100, "mille": 1000,
+              "million": 10 ** 6, "millions": 10 ** 6}
+_FR_GLUE = {"et"}
+
+FR_NUMBER_WORDS = (set(_FR_UNITS) | set(_FR_TENS) | set(_FR_SCALES)
+                   | _FR_GLUE | {"vingts"})
+
+_FR_ORDINALS = {
+    "premier": 1, "première": 1, "premiere": 1, "deuxième": 2,
+    "deuxieme": 2, "second": 2, "seconde": 2, "troisième": 3,
+    "troisieme": 3, "quatrième": 4, "quatrieme": 4, "cinquième": 5,
+    "cinquieme": 5, "sixième": 6, "sixieme": 6, "septième": 7,
+    "septieme": 7, "huitième": 8, "huitieme": 8, "neuvième": 9,
+    "neuvieme": 9, "dixième": 10, "dixieme": 10,
+}
+
+FR_ORDINAL_WORDS = set(_FR_ORDINALS)
+
+
+def _words_to_number_fr(words: list[str]) -> float | None:
+    """French composed numbers: 'vingt et un'=21, 'soixante quinze'=75,
+    'quatre vingt dix sept'=97, 'deux cents'=200, 'trois mille'=3000."""
+    total = 0
+    current = 0      # the 0-999 block being built
+    block_done = False  # units already attached → block complete
+    seen_value = False
+    i, n = 0, len(words)
+    while i < n:
+        w = words[i]
+        if w == "quatre" and i + 1 < n and words[i + 1] in ("vingt",
+                                                            "vingts"):
+            if block_done or current % 100 != 0:
+                return None
+            current += 80
+            seen_value = True
+            i += 2
+            # quatre-vingt-dix forms: a following unit/teen adds (81-99)
+            if i < n and words[i] in _FR_UNITS:
+                current += _FR_UNITS[words[i]]
+                block_done = True
+                # quatre vingt dix sept = 97 (dix + sept)
+                if words[i] == "dix" and i + 1 < n \
+                        and words[i + 1] in _FR_UNITS \
+                        and 1 <= _FR_UNITS[words[i + 1]] <= 9:
+                    current += _FR_UNITS[words[i + 1]]
+                    i += 1
+                i += 1
+            continue
+        if w in _FR_TENS:
+            if block_done or current % 100 != 0:
+                return None
+            current += _FR_TENS[w]
+            seen_value = True
+            i += 1
+            if i < n and words[i] == "et" and i + 1 < n \
+                    and words[i + 1] in ("un", "une", "onze"):
+                current += _FR_UNITS[words[i + 1]]
+                block_done = True
+                i += 2
+            elif i < n and words[i] in _FR_UNITS \
+                    and 1 <= _FR_UNITS[words[i]] <= (16 if w == "soixante"
+                                                     else 9):
+                # soixante quinze = 75; soixante dix sept = 77; teens only
+                # compose with soixante (no 'vingt douze')
+                current += _FR_UNITS[words[i]]
+                block_done = True
+                if words[i] == "dix" and i + 1 < n \
+                        and words[i + 1] in _FR_UNITS \
+                        and 1 <= _FR_UNITS[words[i + 1]] <= 9:
+                    current += _FR_UNITS[words[i + 1]]
+                    i += 1
+                i += 1
+            continue
+        if w in _FR_UNITS:
+            if block_done or (current and current % 100 != 0):
+                return None
+            current += _FR_UNITS[w]
+            seen_value = True
+            block_done = True
+            # dix-sept/huit/neuf
+            if w == "dix" and i + 1 < n and words[i + 1] in _FR_UNITS \
+                    and 1 <= _FR_UNITS[words[i + 1]] <= 9:
+                current += _FR_UNITS[words[i + 1]]
+                i += 1
+            i += 1
+            continue
+        if w in _FR_SCALES:
+            scale = _FR_SCALES[w]
+            if current == 0:
+                current = 1
+            current *= scale
+            if scale >= 1000:
+                total += current
+                current = 0
+            seen_value = True
+            block_done = False
+            i += 1
+            continue
+        return None
+    if not seen_value:
+        return None
+    return float(total + current)
+
+
+def number_words(language: str = "en") -> set[str]:
+    """Words that may start/continue a number phrase in ``language``."""
+    return FR_NUMBER_WORDS if language == "fr" else NUMBER_WORDS
+
+
+def ordinal_words(language: str = "en") -> set[str]:
+    return FR_ORDINAL_WORDS if language == "fr" else ORDINAL_WORDS
+
+
+def words_to_number(phrase: str, language: str = "en") -> float | None:
+    """Parse a number phrase ("twenty two", "a hundred and five",
+    "vingt et un") to its value; None when the phrase is not a number."""
     words = phrase.replace("-", " ").lower().split()
     if not words:
         return None
+    if language == "fr":
+        return _words_to_number_fr(words)
     total = 0
     current = 0
     seen_value = False
@@ -98,8 +231,10 @@ def words_to_number(phrase: str) -> float | None:
     return float(total + current)
 
 
-def ordinal_word_to_number(word: str) -> int | None:
-    """"third" → 3; single-word ordinals only."""
+def ordinal_word_to_number(word: str, language: str = "en") -> int | None:
+    """"third" / "troisième" → 3; single-word ordinals only."""
+    if language == "fr":
+        return _FR_ORDINALS.get(word.lower())
     return _ORDINAL_UNITS.get(word.lower())
 
 

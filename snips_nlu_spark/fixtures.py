@@ -261,6 +261,103 @@ def flights_dataset() -> dict:
     }
 
 
+def fr_dataset() -> dict:
+    """French fixture (round-2 language expansion): exercises the full
+    cascade — lookup keys with fr stop words, fr number grammar (un/une,
+    deux, vingt et un), fr datetime (demain, weekday, 8h30), synonym
+    canonicalization, extensible and non-extensible entities."""
+    return {
+        "language": "fr",
+        "intents": {
+            "preparerBoisson": {
+                "utterances": [
+                    {"data": [
+                        {"text": "fais moi "},
+                        {"text": "deux", "entity": "snips/number",
+                         "slot_name": "nombre_de_tasses"},
+                        {"text": " tasses de "},
+                        {"text": "café", "entity": "boisson",
+                         "slot_name": "boisson"},
+                    ]},
+                    {"data": [
+                        {"text": "prépare "},
+                        {"text": "une", "entity": "snips/number",
+                         "slot_name": "nombre_de_tasses"},
+                        {"text": " tasse de "},
+                        {"text": "thé", "entity": "boisson",
+                         "slot_name": "boisson"},
+                        {"text": " s il te plaît"},
+                    ]},
+                    {"data": [
+                        {"text": "je veux un "},
+                        {"text": "chocolat chaud", "entity": "boisson",
+                         "slot_name": "boisson"},
+                    ]},
+                    {"data": [
+                        {"text": "sers moi "},
+                        {"text": "trois", "entity": "snips/number",
+                         "slot_name": "nombre_de_tasses"},
+                        {"text": " "},
+                        {"text": "expresso", "entity": "boisson",
+                         "slot_name": "boisson"},
+                    ]},
+                ]
+            },
+            "reserverVol": {
+                "utterances": [
+                    {"data": [
+                        {"text": "réserve moi un vol pour "},
+                        {"text": "paris", "entity": "ville",
+                         "slot_name": "destination"},
+                        {"text": " "},
+                        {"text": "demain", "entity": "snips/datetime",
+                         "slot_name": "date_depart"},
+                    ]},
+                    {"data": [
+                        {"text": "je veux un billet pour "},
+                        {"text": "lyon", "entity": "ville",
+                         "slot_name": "destination"},
+                    ]},
+                    {"data": [
+                        {"text": "trouve un vol pour "},
+                        {"text": "marseille", "entity": "ville",
+                         "slot_name": "destination"},
+                        {"text": " "},
+                        {"text": "lundi", "entity": "snips/datetime",
+                         "slot_name": "date_depart"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "boisson": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "café", "synonyms": ["petit noir"]},
+                    {"value": "thé", "synonyms": ["thé vert"]},
+                    {"value": "expresso", "synonyms": ["espresso"]},
+                    {"value": "chocolat chaud", "synonyms": ["cacao"]},
+                ],
+            },
+            "ville": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "paris", "synonyms": []},
+                    {"value": "lyon", "synonyms": []},
+                    {"value": "marseille", "synonyms": []},
+                    {"value": "nice", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
 def combined_dataset() -> dict:
     """All three fixtures merged — the engine the KG pipeline broadcasts."""
     out = {"language": "en", "intents": {}, "entities": {}}

@@ -141,15 +141,99 @@ EN_BROWN_CLUSTERS: dict[str, str] = {
 }
 
 
+# --- French resources -------------------------------------------------------
+# Compact per-language set mirroring the reference's fr resource package
+# (the reference ships stop words / noise / stems / a top-10k gazetteer per
+# language; /root/reference/snips_nlu/default_configs/config_fr.py uses the
+# same "top_10000_words_stemmed" gazetteer name). Number words (un/une…)
+# are deliberately NOT stop words so number slots survive preprocessing.
+
+FR_STOP_WORDS = frozenset("""
+le la les l de du des au aux et ou mais donc or ni car que qui quoi dont
+je tu il elle on nous vous ils elles me te se moi toi lui leur
+ce cette ces cet mon ton son ma ta sa mes tes ses notre votre nos vos
+est sont suis es sommes êtes était étais étaient être avoir ai as a avons
+avez ont ne pas plus très bien tout tous toute toutes
+dans sur sous avec sans pour par chez vers entre
+y en si alors comme aussi encore déjà
+""".split())
+
+FR_NOISE = """
+le la les de des et que pour dans avec sur est sont était je tu il nous
+vous ils elle ont ete fait faire dit voir bien tout mais ou donc alors
+temps jour monde vie homme femme enfant maison ville pays chose mot
+merci bonjour bonsoir salut oui non peut faut va vient reste part
+pomme banane cerise fraise orange citron raisin peche poire abricot
+montagne riviere chateau jardin pont fenetre porte table chaise livre
+recherche traitement demande operation terminee succes verification
+systeme statut rapport genere service reconnu attente impossible
+appareil nouvelle configuration enregistree resultats tache terminee
+erreur avertissement sortie entree reponse donnees
+""".split()
+
+FR_STEMS: dict[str, str] = {
+    "tasses": "tasse", "cafés": "café", "cafes": "café",
+    "lumières": "lumière", "lumieres": "lumière",
+    "chambres": "chambre", "vols": "vol", "billets": "billet",
+    "prépares": "prépare", "préparés": "préparé",
+    "allumes": "allume", "allumées": "allumée", "éteins": "éteins",
+    "réserves": "réserve", "veux": "veut", "voudrais": "veut",
+}
+
+FR_COMMON_WORDS = frozenset(
+    {FR_STEMS.get(w, w) for w in FR_NOISE}
+    | set(FR_STOP_WORDS)
+    | set("""
+fais faire prépare faire donne mets met allume éteins règle réserve
+veut veux voudrais cherche trouve montre dis
+café thé lait eau jus chocolat tasse verre bouteille
+chaud froid glacé grand petit
+cuisine chambre salon bureau garage salle bain
+rouge vert bleu jaune blanc noir violet rose
+demain hier matin midi soir nuit semaine mois année
+lundi mardi mercredi jeudi vendredi samedi dimanche
+janvier février mars avril mai juin juillet août septembre octobre
+novembre décembre
+zéro un une deux trois quatre cinq six sept huit neuf dix onze douze
+vingt trente quarante cinquante soixante cent mille
+premier deuxième troisième dernier prochain
+vol avion billet météo température pluie neige
+""".split()))
+
+_RESOURCE_TABLES = {
+    "en": {
+        "stop_words": EN_STOP_WORDS,
+        "noise": EN_NOISE,
+        "stems": EN_STEMS,
+        "common_words": EN_COMMON_WORDS,
+        "clusters": EN_BROWN_CLUSTERS,
+    },
+    "fr": {
+        "stop_words": FR_STOP_WORDS,
+        "noise": FR_NOISE,
+        "stems": FR_STEMS,
+        "common_words": FR_COMMON_WORDS,
+        # no committed fr cluster map (the en default config is the only
+        # one that lists word_cluster; the factory degrades to no-feature
+        # when the map is empty)
+        "clusters": {},
+    },
+}
+
+
 def get_resources(language: str = "en") -> dict:
-    """Resource bundle for a language (only ``en`` is shipped)."""
-    if language != "en":
-        raise ValueError(f"unsupported language: {language!r}")
+    """Resource bundle for a language (``en`` and ``fr`` are shipped)."""
+    tables = _RESOURCE_TABLES.get(language)
+    if tables is None:
+        raise ValueError(
+            f"unsupported language: {language!r} "
+            f"(shipped: {sorted(_RESOURCE_TABLES)})")
     return {
-        "language": "en",
-        "stop_words": set(EN_STOP_WORDS),
-        "noise": list(EN_NOISE),
-        "stems": dict(EN_STEMS),
-        "gazetteers": {"top_10000_words_stemmed": set(EN_COMMON_WORDS)},
-        "word_clusters": {"brown_clusters": dict(EN_BROWN_CLUSTERS)},
+        "language": language,
+        "stop_words": set(tables["stop_words"]),
+        "noise": list(tables["noise"]),
+        "stems": dict(tables["stems"]),
+        "gazetteers": {
+            "top_10000_words_stemmed": set(tables["common_words"])},
+        "word_clusters": {"brown_clusters": dict(tables["clusters"])},
     }
