@@ -77,14 +77,24 @@ def _scale_input(spark):
     return spark.read.parquet(str(path))
 
 
-def _warm(spark, model_json, df, cpus: int) -> None:
-    from pyspark.sql import functions as F
+def _warm_engine(spark, model_json, df, cpus: int) -> None:
+    """Fork Python workers + ship the broadcast + build the engine once
+    per worker (one-time costs a long-running job amortizes)."""
     from snips_nlu_spark.spark.stages import parse_transcripts
-    # prime the OS page cache with the actual data pages (count() alone
-    # reads only parquet metadata), so both parallelism levels see
-    # identical I/O conditions (ROADMAP item: bench stability)
-    df.agg(F.sum(F.length("text"))).collect()
     parse_transcripts(df.limit(cpus * 100), model_json).count()
+
+
+def _prime_cache(df) -> None:
+    """Prime the OS page cache with the actual data pages (count() alone
+    reads only parquet metadata), so both parallelism levels see
+    identical I/O conditions."""
+    from pyspark.sql import functions as F
+    df.agg(F.sum(F.length("text"))).collect()
+
+
+def _warm(spark, model_json, df, cpus: int) -> None:
+    _prime_cache(df)
+    _warm_engine(spark, model_json, df, cpus)
 
 
 def _timed_parse(spark, model_json, df, repeats: int = 1) -> dict:
@@ -130,6 +140,13 @@ def main() -> None:
     queries["graph_rollups"] = round(time.time() - t0, 3)
     triples.unpersist()
 
+    # q2b: n-best intent ranking (round-1 verdict: was the slowest
+    # per-turn kernel; now batched through one classifier matmul)
+    from snips_nlu_spark.spark.stages import rank_intents
+    t0 = time.time()
+    rank_intents(transcripts, model_json, top_n=3).count()
+    queries["intent_nbest"] = round(time.time() - t0, 3)
+
     # q3: checkpointed end-to-end build (parse + partitioned write +
     # lineage + rollup sinks)
     from snips_nlu_spark.spark.lineage import build_kg
@@ -154,6 +171,18 @@ def main() -> None:
     }
 
     if SCALING:
+        # unprimed pair FIRST (engine warm, page cache in whatever state
+        # the machine is in — round-1 verdict: report this alongside the
+        # primed number, it measured 0.80-1.07 across runs), then the
+        # primed pair (identical I/O conditions at both levels — the
+        # pipeline-scaling measurement)
+        unprimed = {}
+        for cpus in (SCALE_N, 4 * SCALE_N):
+            s = _fresh_spark(cpus)
+            df = _scale_input(s)
+            _warm_engine(s, model_json, df, cpus)
+            unprimed[cpus] = _timed_parse(s, model_json, df)
+            s.stop()
         scale = {}
         for cpus in (SCALE_N, 4 * SCALE_N):
             s = _fresh_spark(cpus)
@@ -164,6 +193,8 @@ def main() -> None:
             s.stop()
         thr_n = scale[SCALE_N]["turns_per_sec"]
         thr_4n = scale[4 * SCALE_N]["turns_per_sec"]
+        u_n = unprimed[SCALE_N]["turns_per_sec"]
+        u_4n = unprimed[4 * SCALE_N]["turns_per_sec"]
         result["scaling"] = {
             "scale_sf": SCALE_SF,
             "n_turns": scale[SCALE_N]["n_turns"],
@@ -171,6 +202,9 @@ def main() -> None:
             "turns_per_sec_n": round(thr_n, 1),
             "turns_per_sec_4n": round(thr_4n, 1),
             "efficiency_n_to_4n": round(thr_4n / (4 * thr_n), 3),
+            "unprimed_turns_per_sec_n": round(u_n, 1),
+            "unprimed_turns_per_sec_4n": round(u_4n, 1),
+            "unprimed_efficiency_n_to_4n": round(u_4n / (4 * u_n), 3),
         }
 
     print(json.dumps(result))

@@ -20,7 +20,8 @@ import json
 from pathlib import Path
 
 from .dataset import validate_and_format_dataset
-from .entities.builtin import BuiltinEntityParser, is_builtin_entity
+from .entities.builtin import (BuiltinEntityParser,
+                               is_builtin_entity, is_gazetteer_entity)
 from .entities.gazetteer import GazetteerParser
 from .parsers.common import get_slot_name_mappings
 from .resources import get_resources
@@ -87,8 +88,12 @@ class NluEngine:
             {name: e["utterances"] for name, e in custom_entities.items()},
             strictness={name: e.get("matching_strictness", 1.0)
                         for name, e in custom_entities.items()})
+        gazetteer_scope = sorted(e for e in dataset["entities"]
+                                 if is_gazetteer_entity(e))
         self._bundle = EntityBundle(
-            gazetteer, BuiltinEntityParser(language=dataset["language"]))
+            gazetteer, BuiltinEntityParser(
+                language=dataset["language"],
+                gazetteer_entities=gazetteer_scope))
 
         self.intent_parsers = []
         for unit in self.parser_units:
@@ -105,6 +110,7 @@ class NluEngine:
                 for name, entity in dataset["entities"].items()
                 if not is_builtin_entity(name)},
             "slot_name_mappings": get_slot_name_mappings(dataset),
+            "gazetteer_entity_scope": gazetteer_scope,
         }
         return self
 
@@ -280,11 +286,12 @@ class NluEngine:
         engine = cls(parser_units=tuple(d["parser_units"]),
                      random_seed=d["random_seed"])
         engine.dataset_metadata = d["dataset_metadata"]
-        language = (d.get("dataset_metadata") or {}).get(
-            "language_code", "en")
+        meta = d.get("dataset_metadata") or {}
         engine._bundle = EntityBundle(
             GazetteerParser.from_dict(d["gazetteer"]),
-            BuiltinEntityParser(language=language))
+            BuiltinEntityParser(
+                language=meta.get("language_code", "en"),
+                gazetteer_entities=meta.get("gazetteer_entity_scope", ())))
         engine.intent_parsers = [_parser_from_dict(p)
                                  for p in d["intent_parsers"]]
         return engine

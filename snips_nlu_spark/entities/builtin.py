@@ -34,10 +34,52 @@ BUILTIN_KINDS = (
     "snips/amountOfMoney", "snips/duration", "snips/datetime",
 )
 
+# gazetteer-backed builtin entities (ref: builtin_entity_parser.py:52-77
+# gazetteer_entity_scope; payload kinds per the snips ontology, e.g.
+# {"kind": "MusicArtist", "value": "Daft Punk"})
+GAZETTEER_KINDS = {
+    "snips/musicArtist": "MusicArtist",
+    "snips/musicAlbum": "MusicAlbum",
+    "snips/musicTrack": "MusicTrack",
+    "snips/city": "City",
+    "snips/country": "Country",
+    "snips/region": "Region",
+}
+
+_EXTRA_GAZETTEER_VALUES: dict = {}
+
+
+def register_builtin_gazetteer_values(kind: str, language: str,
+                                      values) -> None:
+    """Extend (or define) the value list of a gazetteer builtin entity —
+    the in-process equivalent of the reference's
+    ``snips-nlu download-entity`` (cli/download_entity.py)."""
+    if kind not in GAZETTEER_KINDS:
+        raise ValueError(f"not a gazetteer builtin entity: {kind!r}")
+    key = (language, kind)
+    _EXTRA_GAZETTEER_VALUES.setdefault(key, [])
+    _EXTRA_GAZETTEER_VALUES[key].extend(values)
+
+
+def _gazetteer_values(language: str, kind: str) -> list[str]:
+    from ..resources import BUILTIN_GAZETTEER_VALUES
+    base = BUILTIN_GAZETTEER_VALUES.get((language, kind))
+    extra = _EXTRA_GAZETTEER_VALUES.get((language, kind), [])
+    if base is None and not extra:
+        raise ValueError(
+            f"Gazetteer entity {kind!r} is not supported in language "
+            f"{language!r}")
+    return list(base or ()) + list(extra)
+
 
 def is_builtin_entity(name: str) -> bool:
     """ref: entity_parser/builtin_entity_parser.py:80-83"""
     return name.startswith("snips/")
+
+
+def is_gazetteer_entity(name: str) -> bool:
+    """ref: entity_parser/builtin_entity_parser.py:134-137"""
+    return name in GAZETTEER_KINDS
 
 
 # ---------------------------------------------------------------------------
@@ -650,16 +692,27 @@ class BuiltinEntityParser:
     the same effect by loading the per-language Rust grammar
     (builtin_entity_parser.py:22-77)."""
 
-    def __init__(self, language: str = "en") -> None:
+    def __init__(self, language: str = "en",
+                 gazetteer_entities=()) -> None:
         if language not in _DT:
             raise ValueError(f"unsupported language: {language!r}")
         self.language = language
+        self.gazetteer_entities = tuple(sorted(gazetteer_entities))
+        self._gazetteer = None
+        if self.gazetteer_entities:
+            from .gazetteer import GazetteerParser
+            self._gazetteer = GazetteerParser.build({
+                kind: {v: v for v in _gazetteer_values(language, kind)}
+                for kind in self.gazetteer_entities})
         from functools import lru_cache
         self._parse_memo = lru_cache(maxsize=8192)(self._parse_impl)
 
     def parse(self, text: str, scope: Sequence[str] | None = None,
               anchor: _dt.datetime | None = None) -> list[dict]:
-        scope_key = BUILTIN_KINDS if scope is None else tuple(sorted(scope))
+        if scope is None:
+            scope_key = BUILTIN_KINDS + self.gazetteer_entities
+        else:
+            scope_key = tuple(sorted(scope))
         return list(self._parse_memo(text, scope_key, anchor))
 
     def _parse_impl(self, text: str, scope: tuple[str, ...],
@@ -674,4 +727,16 @@ class BuiltinEntityParser:
             if scanner is not None:
                 mentions.extend(scanner(text, tokens, cands, anchor,
                                         self.language))
+            elif self._gazetteer is not None \
+                    and kind in self.gazetteer_entities:
+                for m in self._gazetteer.parse(text, scope=[kind]):
+                    resolved = m["resolved_value"]
+                    if isinstance(resolved, dict):
+                        resolved = resolved["value"]
+                    mentions.append({
+                        "value": m["value"], "start": m["start"],
+                        "end": m["end"], "entity_kind": kind,
+                        "resolved_value": {
+                            "kind": GAZETTEER_KINDS[kind],
+                            "value": resolved}})
         return tuple(sorted(mentions, key=lambda m: (m["start"], m["end"])))

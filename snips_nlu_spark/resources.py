@@ -200,6 +200,40 @@ premier deuxième troisième dernier prochain
 vol avion billet météo température pluie neige
 """.split()))
 
+# Value lists backing the gazetteer builtin entities (ref: the reference
+# downloads per-language gazetteer resources via `snips-nlu download-entity
+# snips/musicArtist en`, cli/download_entity.py, and builds a Rust
+# gazetteer parser over them, entity_parser/builtin_entity_parser.py:
+# 52-77 and :100-131). These compact committed lists play that role here;
+# users extend them with
+# ``entities.builtin.register_builtin_gazetteer_values``.
+BUILTIN_GAZETTEER_VALUES: dict[tuple[str, str], tuple[str, ...]] = {
+    ("en", "snips/musicArtist"): (
+        "Daft Punk", "The Beatles", "Miles Davis", "Nina Simone",
+        "David Bowie", "Radiohead", "Johnny Cash", "Aretha Franklin",
+        "Bob Dylan", "Billie Holiday", "The Rolling Stones",
+        "Stevie Wonder", "Joni Mitchell", "Leonard Cohen", "Kraftwerk",
+        "John Coltrane", "Ella Fitzgerald", "Pink Floyd", "Queen",
+        "Prince",
+    ),
+    ("fr", "snips/musicArtist"): (
+        "Daft Punk", "Édith Piaf", "Serge Gainsbourg", "Jacques Brel",
+        "Charles Aznavour", "Stromae", "Air", "Phoenix",
+        "Françoise Hardy", "Georges Brassens", "MC Solaar", "Justice",
+    ),
+    ("en", "snips/city"): (
+        "Paris", "London", "New York", "Tokyo", "Berlin", "Madrid",
+        "Rome", "Oslo", "Sydney", "Toronto", "Chicago", "Seattle",
+        "Amsterdam", "Lisbon", "Vienna", "Prague", "Dublin",
+        "San Francisco", "Los Angeles", "Boston",
+    ),
+    ("fr", "snips/city"): (
+        "Paris", "Lyon", "Marseille", "Toulouse", "Nice", "Nantes",
+        "Strasbourg", "Montpellier", "Bordeaux", "Lille", "Rennes",
+        "Grenoble",
+    ),
+}
+
 _RESOURCE_TABLES = {
     "en": {
         "stop_words": EN_STOP_WORDS,

@@ -70,7 +70,8 @@ def canonical_obj(slot_value: dict) -> str:
     column. Scalar kinds collapse to their natural string; structured kinds
     to compact sorted JSON."""
     kind = slot_value.get("kind")
-    if kind == "Custom":
+    if kind in ("Custom", "MusicArtist", "MusicAlbum", "MusicTrack",
+                "City", "Country", "Region"):
         return str(slot_value["value"])
     if kind in ("Number", "Percentage"):
         v = slot_value["value"]
