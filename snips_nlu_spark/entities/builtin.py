@@ -365,6 +365,9 @@ _DT = {
 }
 
 _TIME_RE = re.compile(r"^(\d{1,2})(?::(\d{2}))?$")
+_CLOCK_AMPM_RE = re.compile(r"^(\d{1,2})(am|pm)$")
+_CLOCK_FR_RE = re.compile(r"^(\d{1,2})h([0-5]\d)?$")
+_CLOCK_MM_RE = re.compile(r"^([0-5]\d)(am|pm)?$")
 
 
 def _fmt_instant(d: _dt.datetime, grain: str) -> dict:
@@ -476,9 +479,10 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
     n = len(tokens)
     base_date = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
     used: set[int] = set()
+    lows = [t.value.lower() for t in tokens]
 
     def lower(i):
-        return tokens[i].value.lower()
+        return lows[i]
 
     # pass 0: intervals — "from X to|until Y", "between X and Y"
     i = 0
@@ -629,11 +633,11 @@ def _parse_clock(tokens, i, n):
     if i >= n:
         return None
     v = tokens[i].value.lower()
-    m = re.match(r"^(\d{1,2})(am|pm)$", v)
+    m = _CLOCK_AMPM_RE.match(v)
     if m:
         hh = int(m.group(1)) % 12 + (12 if m.group(2) == "pm" else 0)
         return hh, 0, i, True
-    m = re.match(r"^(\d{1,2})h([0-5]\d)?$", v)  # french "8h"/"8h30"
+    m = _CLOCK_FR_RE.match(v)  # french "8h"/"8h30"
     if m:
         hh = int(m.group(1))
         if hh <= 23:
@@ -647,7 +651,7 @@ def _parse_clock(tokens, i, n):
     # multi-token "hh : mm[am|pm]"
     if not explicit_minutes and last + 2 < n \
             and tokens[last + 1].value == ":":
-        m2 = re.match(r"^([0-5]\d)(am|pm)?$", tokens[last + 2].value.lower())
+        m2 = _CLOCK_MM_RE.match(tokens[last + 2].value.lower())
         if m2:
             mm = int(m2.group(1))
             explicit_minutes = True

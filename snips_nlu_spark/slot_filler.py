@@ -251,13 +251,18 @@ class FeatureSet:
                 if drop and random_state is not None \
                         and random_state.rand() < drop:
                     continue
+                # offset names are per-(feature, offset), not per-token —
+                # format them once outside the token loop
+                off_names = [(off, _offset_name(name, off))
+                             for off in offs]
                 for i in range(n):
-                    if series[i] is None:
+                    value = series[i]
+                    if value is None:
                         continue
-                    for off in offs:
+                    for off, off_name in off_names:
                         j = i - off
                         if 0 <= j < n:
-                            out[j][_offset_name(name, off)] = series[i]
+                            out[j][off_name] = value
         return out
 
 
