@@ -40,6 +40,7 @@ class GazetteerParser:
         self._strictness: dict[str, float] = {}
         self._values: dict[str, list[tuple[tuple[str, ...], str]]] = {}
         self._token_index: dict[str, dict[str, list[int]]] = {}
+        self._gaz_stop_words: dict[str, set[str]] = {}
         # bounded per-instance memo (the reference keeps a LimitedSizeDict
         # of 1000 entries per parser, entity_parser/entity_parser.py:22-55);
         # the scan is scope-independent, so one memo entry serves every
@@ -47,6 +48,8 @@ class GazetteerParser:
         self._scan_memo = lru_cache(maxsize=2048)(self._scan_all)
 
     # -- build (driver side) ------------------------------------------------
+    STOPWORDS_FRACTION = 1e-3  # ref: custom_entity_parser.py:108
+
     @classmethod
     def build(cls, entity_utterances: dict[str, dict[str, str]],
               strictness: dict[str, float] | None = None
@@ -54,7 +57,14 @@ class GazetteerParser:
         """entity_utterances: {entity_name: {raw_value: canonical_value}}
         — the compiled gazetteer produced by dataset validation
         (ref: dataset/validation.py:174-248). ``strictness`` maps entity →
-        matching_strictness (default 1.0 = exact)."""
+        matching_strictness (default 1.0 = exact).
+
+        Per entity, the top ``int(STOPWORDS_FRACTION × |vocabulary|)``
+        most frequent value tokens are derived as gazetteer stop words
+        (ref: custom_entity_parser.py:134-180) — fuzzy matches must
+        contain at least one non-stop token and the strictness fraction
+        is computed over non-stop tokens. Zero at fixture-scale vocab
+        sizes; bites on large real gazetteers."""
         parser = cls()
         strictness = strictness or {}
         for entity, utterances in entity_utterances.items():
@@ -101,6 +111,15 @@ class GazetteerParser:
                         index.setdefault(tok, []).append(vid)
                 parser._values[entity] = values
                 parser._token_index[entity] = index
+                # derived gazetteer stop words (frequency over raw values)
+                freq: dict[str, int] = {}
+                for toks, _resolved in values:
+                    for tok in toks:
+                        freq[tok] = freq.get(tok, 0) + 1
+                n_stop = int(cls.STOPWORDS_FRACTION * len(freq))
+                top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+                parser._gaz_stop_words[entity] = {
+                    tok for tok, _ in top[:n_stop]}
         return parser
 
     @property
@@ -169,22 +188,29 @@ class GazetteerParser:
 
     def _fuzzy_matches(self, entity, text, tokens, norm):
         """Ordered-subsequence matches covering ≥ strictness of a value's
-        tokens. Text tokens are consumed contiguously; value tokens may be
-        skipped."""
+        non-stop tokens. Text tokens are consumed contiguously; value
+        tokens may be skipped. Gazetteer stop words never start a match
+        and don't count toward the strictness fraction."""
         threshold = self._strictness[entity]
         values = self._values[entity]
         index = self._token_index[entity]
+        stop = self._gaz_stop_words.get(entity, set())
         out = []
         n = len(tokens)
         for i in range(n):
+            if norm[i] in stop:
+                continue
             cands = index.get(norm[i])
             if not cands:
                 continue
             best = None  # (matched, -v_len, end_idx, resolved)
             for vid in cands:
                 v_toks, resolved = values[vid]
+                n_scored = sum(1 for vt in v_toks if vt not in stop) \
+                    or len(v_toks)
                 k = 0
                 matched = 0
+                scored = 0
                 end_idx = i - 1
                 t = i
                 while t < n and k < len(v_toks):
@@ -193,10 +219,12 @@ class GazetteerParser:
                     except ValueError:
                         break
                     matched += 1
+                    if norm[t] not in stop:
+                        scored += 1
                     end_idx = t
                     k += 1
                     t += 1
-                if matched and matched / len(v_toks) >= threshold:
+                if scored and scored / n_scored >= threshold:
                     cand = (matched, -len(v_toks), end_idx, resolved)
                     if best is None or cand > best:
                         best = cand

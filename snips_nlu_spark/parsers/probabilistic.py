@@ -126,6 +126,9 @@ class ProbabilisticIntentParser:
         p = cls()
         p.intent_classifier = LogRegIntentClassifier.from_dict(
             d["intent_classifier"])
-        p.slot_fillers = {k: CRFSlotFiller.from_dict(v)
-                          for k, v in d["slot_fillers"].items()}
+        from ..registry import slot_filler_class
+        p.slot_fillers = {
+            k: slot_filler_class(
+                v.get("unit_name", "crf_slot_filler")).from_dict(v)
+            for k, v in d["slot_fillers"].items()}
         return p

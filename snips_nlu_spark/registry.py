@@ -41,3 +41,25 @@ def intent_parser_class(name: str) -> type:
             f"{sorted(INTENT_PARSERS)} (register custom units with "
             f"snips_nlu_spark.registry.register_intent_parser)")
     return INTENT_PARSERS[name]
+
+
+SLOT_FILLERS: dict[str, type] = {}
+
+
+def register_slot_filler(name: str):
+    """Class decorator: register a slot-filler unit under ``name``
+    (mirrors ``@SlotFiller.register``, ref slot_filler/slot_filler.py)."""
+    def deco(cls):
+        cls.unit_name = name
+        SLOT_FILLERS[name] = cls
+        return cls
+    return deco
+
+
+def slot_filler_class(name: str) -> type:
+    from . import slot_filler  # noqa: F401  (registers built-ins)
+    if name not in SLOT_FILLERS:
+        raise ValueError(
+            f"unknown slot filler unit {name!r}; registered units: "
+            f"{sorted(SLOT_FILLERS)}")
+    return SLOT_FILLERS[name]

@@ -24,6 +24,7 @@ from functools import lru_cache
 import numpy as np
 
 from .entities.builtin import is_builtin_entity
+from .registry import register_slot_filler
 from .ml.augmentation import augment_utterances
 from .ml.crf import LinearChainCRF
 from .resources import get_resources
@@ -282,6 +283,7 @@ def _tag_mentions(mentions, tokens, feats, scheme) -> None:
 
 # ---------------------------------------------------------------------------
 
+@register_slot_filler("crf_slot_filler")
 class CRFSlotFiller:
     """ref: slot_filler/crf_slot_filler.py — one per intent."""
 
@@ -364,7 +366,8 @@ class CRFSlotFiller:
         ]
 
     def to_dict(self) -> dict:
-        return {"tagging_scheme": int(self.scheme),
+        return {"unit_name": self.unit_name,
+                "tagging_scheme": int(self.scheme),
                 "features_config": self.features_config,
                 "language": self.language,
                 "crf": self.crf.to_dict(),
@@ -382,6 +385,7 @@ class CRFSlotFiller:
         return sf
 
 
+@register_slot_filler("keyword_slot_filler")
 class KeywordSlotFiller:
     """Exact token→(entity, slot) lookup — the reference's registered
     alternative unit (slot_filler/keyword_slot_filler.py:11-51); cheap
