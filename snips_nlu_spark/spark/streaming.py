@@ -4,8 +4,10 @@ The reference is strictly request/response (SURVEY.md §2.10); this module
 is the streaming extension: the same fused parse kernel runs under
 ``readStream`` with a watermark on ``ts`` and ``dropDuplicates`` on
 (conv_id, turn_idx) for late/replayed turns. Parsing is per-turn
-independent, so no stateful operator is needed — the only state is the
-dedup watermark.
+independent — the triple stream itself needs no state beyond the dedup
+watermark. Conversation-LEVEL outputs do need state:
+``streaming_conversation_rollup`` maintains a bounded per-conversation
+state via ``applyInPandasWithState`` (idle conversations time out).
 """
 
 from __future__ import annotations
@@ -36,6 +38,75 @@ def streaming_triples(stream_df: DataFrame, model_json: str,
                .withWatermark("ts", watermark)
                .dropDuplicates(["conv_id", "turn_idx", "ts"]))
     return parse_transcripts(deduped, model_json)
+
+
+CONV_STATE_SCHEMA = ("n_turns long, n_triples long, last_turn_idx int, "
+                     "last_intent string")
+CONV_ROLLUP_SCHEMA = ("conv_id string, n_turns long, n_triples long, "
+                      "last_turn_idx int, last_intent string")
+
+
+def streaming_conversation_rollup(stream_df: DataFrame, model_json: str,
+                                  idle_timeout_ms: int = 7_200_000
+                                  ) -> DataFrame:
+    """Custom STATEFUL streaming operator: incremental per-conversation
+    rollup via ``applyInPandasWithState`` keyed on conv_id.
+
+    State per conversation: (n_turns, n_triples, last_turn_idx,
+    last_intent). Each trigger folds that conversation's new triples into
+    the state and emits the updated rollup row; a conversation idle past
+    ``idle_timeout_ms`` (processing-time) has its state dropped — the
+    bounded-state requirement for an unbounded conversation keyspace at
+    10^12-turn scale. Updates are monotone merges, so the final row per
+    conversation equals the batch rollup regardless of how turns are
+    split across triggers (asserted in tests).
+
+    This is the query's ONLY stateful operator (Spark does not support
+    chaining the watermark-dedup stage before flatMapGroupsWithState in
+    update mode) — replay protection belongs upstream (the file source is
+    exactly-once) or downstream via the idempotent-merge property.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    triples = parse_transcripts(stream_df, model_json)
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            n_turns, n_triples, last_idx, last_intent = state.get
+        else:
+            n_turns, n_triples, last_idx, last_intent = 0, 0, -1, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_triples += len(pdf)
+            intents = pdf[pdf["pred"] == "intent"]
+            n_turns += len(intents)
+            if len(intents):
+                top = intents.loc[intents["turn_idx"].idxmax()]
+                if int(top["turn_idx"]) >= last_idx:
+                    last_idx = int(top["turn_idx"])
+                    last_intent = top["obj"]
+        state.update((n_turns, n_triples, last_idx, last_intent))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({
+            "conv_id": [conv_id], "n_turns": [n_turns],
+            "n_triples": [n_triples], "last_turn_idx": [last_idx],
+            "last_intent": [last_intent]})
+
+    return (triples
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=CONV_ROLLUP_SCHEMA,
+                stateStructType=CONV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
 
 
 def run_stream_to_parquet(spark: SparkSession, source_dir: str,

@@ -55,6 +55,58 @@ def test_streaming_dedups_replayed_turns(spark, tmp_path):
         ["subj", "pred", "obj", "span_start", "span_end"]).count()
 
 
+def test_streaming_stateful_conversation_rollup(spark, tmp_path):
+    """applyInPandasWithState rollup: per-conversation state folded
+    across micro-batches must converge to the batch-computed rollup,
+    however turns are split across triggers."""
+    from pyspark.sql import functions as F
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.stages import parse_transcripts
+    from snips_nlu_spark.spark.streaming import (
+        streaming_conversation_rollup, streaming_transcripts)
+    import __spark_entry__ as em
+
+    src = tmp_path / "src3"
+    pdf = datagen.generate_pandas(0, 240)
+    df = spark.createDataFrame(pdf)
+    # many small files → several micro-batches, conversations split
+    df.repartition(6).write.parquet(str(src))
+
+    rollup = streaming_conversation_rollup(
+        streaming_transcripts(spark, str(src), max_files_per_trigger=2),
+        em._model_json())
+    q = (rollup.writeStream.format("memory").queryName("conv_rollup")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got_rows = spark.sql("SELECT * FROM conv_rollup").collect()
+    # update mode emits one row per (conv, trigger); counts are monotone,
+    # so the final state is the max-n_triples row per conversation
+    final = {}
+    for r in got_rows:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["n_triples"] > cur["n_triples"]:
+            final[r["conv_id"]] = r
+    got = {c: (r["n_turns"], r["n_triples"], r["last_turn_idx"],
+               r["last_intent"]) for c, r in final.items()}
+
+    triples = parse_transcripts(df, em._model_json()).cache()
+    intents = triples.filter(F.col("pred") == "intent")
+    last = intents.groupBy("conv_id").agg(
+        F.max_by("obj", "turn_idx").alias("last_intent"),
+        F.max("turn_idx").alias("last_turn_idx"),
+        F.count(F.lit(1)).alias("n_turns"))
+    counts = triples.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_triples"))
+    want = {r["conv_id"]: (r["n_turns"], r["n_triples"],
+                           r["last_turn_idx"], r["last_intent"])
+            for r in last.join(counts, "conv_id").collect()}
+    triples.unpersist()
+    assert got == want
+
+
 def test_spark_submit_job(tmp_path):
     """Drive jobs/build_kg.py through spark-submit with --py-files (the
     north-rule execution mode)."""
