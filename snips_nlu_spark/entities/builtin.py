@@ -117,7 +117,8 @@ def _word_candidates(tokens: Sequence[Token],
                      language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
     words = number_words(language)
-    glue = ("et",) if language == "fr" else ("and", "a", "an")
+    glue = {"fr": ("et",), "es": ("y",)}.get(language,
+                                             ("and", "a", "an"))
     out = []
     i = 0
     n = len(tokens)
@@ -176,6 +177,7 @@ def _scan_number(text, tokens, cands, anchor, lang="en"):
 _ORDINAL_SUFFIX_RE = {
     "en": re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE),
     "fr": re.compile(r"^(\d+)(er|ère|ere|e|ème|eme)$", re.IGNORECASE),
+    "es": re.compile(r"^(\d+)(º|ª|o|a)$", re.IGNORECASE),
 }
 
 
@@ -196,7 +198,8 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
     return out
 
 
-_PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent")}
+_PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent"),
+                  "es": ("%", "porciento")}
 
 
 def _scan_percentage(text, tokens, cands, anchor, lang="en"):
@@ -208,9 +211,9 @@ def _scan_percentage(text, tokens, cands, anchor, lang="en"):
             out.append(_mention(text, tokens, c["tok_start"], nxt,
                                 "snips/percentage",
                                 {"kind": "Percentage", "value": c["num"]}))
-        elif lang == "fr" and nxt + 1 < n \
-                and tokens[nxt].value.lower() == "pour" \
-                and tokens[nxt + 1].value.lower() == "cent":
+        elif lang in ("fr", "es") and nxt + 1 < n \
+                and tokens[nxt].value.lower() in ("pour", "por") \
+                and tokens[nxt + 1].value.lower() in ("cent", "ciento"):
             out.append(_mention(text, tokens, c["tok_start"], nxt + 1,
                                 "snips/percentage",
                                 {"kind": "Percentage", "value": c["num"]}))
@@ -222,7 +225,8 @@ _TEMP_UNITS = {"celsius": "celsius", "c": "celsius",
 
 
 _DEGREE_WORDS = {"en": ("degree", "degrees", "°"),
-                 "fr": ("degré", "degrés", "degre", "degres", "°")}
+                 "fr": ("degré", "degrés", "degre", "degres", "°"),
+                 "es": ("grado", "grados", "°")}
 
 
 def _scan_temperature(text, tokens, cands, anchor, lang="en"):
@@ -248,7 +252,9 @@ def _scan_temperature(text, tokens, cands, anchor, lang="en"):
 _CURRENCY_SYMBOLS = {"$": "$", "€": "EUR", "£": "GBP"}
 _CURRENCY_WORDS = {"dollar": "$", "dollars": "$", "buck": "$", "bucks": "$",
                    "euro": "EUR", "euros": "EUR",
-                   "pound": "GBP", "pounds": "GBP"}
+                   "pound": "GBP", "pounds": "GBP",
+                   "dólares": "$", "dolares": "$", "dólar": "$",
+                   "dolar": "$", "pesos": "MXN", "peso": "MXN"}
 
 
 def _scan_money(text, tokens, cands, anchor, lang="en"):
@@ -289,6 +295,15 @@ _DURATION_UNITS = {
         "semaine": "weeks", "semaines": "weeks",
         "mois": "months",
         "an": "years", "ans": "years", "année": "years", "années": "years",
+    },
+    "es": {
+        "segundo": "seconds", "segundos": "seconds", "seg": "seconds",
+        "minuto": "minutes", "minutos": "minutes", "min": "minutes",
+        "hora": "hours", "horas": "hours",
+        "día": "days", "días": "days", "dia": "days", "dias": "days",
+        "semana": "weeks", "semanas": "weeks",
+        "mes": "months", "meses": "months",
+        "año": "years", "años": "years", "ano": "years", "anos": "years",
     },
 }
 
@@ -341,6 +356,28 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {"from": ("to", "until", "till"),
                        "between": ("and",)},
+    },
+    "es": {
+        "weekdays": {"lunes": 0, "martes": 1, "miércoles": 2,
+                     "miercoles": 2, "jueves": 3, "viernes": 4,
+                     "sábado": 5, "sabado": 5, "domingo": 6},
+        "months": {"enero": 1, "febrero": 2, "marzo": 3, "abril": 4,
+                   "mayo": 5, "junio": 6, "julio": 7, "agosto": 8,
+                   "septiembre": 9, "octubre": 10, "noviembre": 11,
+                   "diciembre": 12},
+        "dayparts": {"mediodía": 12, "mediodia": 12, "tarde": 15,
+                     "noche": 21, "madrugada": 4},
+        "rel_days": {"ayer": -1, "hoy": 0, "mañana": 1, "manana": 1},
+        "tonight": None,
+        "at_words": ("a", "por", "en"),
+        "the_words": ("la", "las", "el"),
+        "day_prefix": ("el", "este"),
+        "next_word": None,
+        "periods": (),
+        "period_map": {},
+        "weekday_suffix": ("próximo", "proximo", "próxima", "proxima"),
+        "range_open": {"de": ("a", "al"), "del": ("al",),
+                       "entre": ("y",)},
     },
     "fr": {
         "weekdays": {"lundi": 0, "mardi": 1, "mercredi": 2, "jeudi": 3,
@@ -401,8 +438,8 @@ def _parse_iso_date(tokens, i, n):
 
 
 def _parse_month_day(tokens, i, n, base_date, lang="en"):
-    """``june 3`` / ``june 3rd`` / ``3 juin`` → (datetime, last_idx) or
-    None; a past date rolls to next year."""
+    """``june 3`` / ``june 3rd`` / ``3 juin`` / ``3 de junio`` →
+    (datetime, last_idx) or None; a past date rolls to next year."""
     months = _DT[lang]["months"]
     w = tokens[i].value.lower()
     month = day_num = None
@@ -415,15 +452,19 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
             day_num = int(m.group(1))
         elif tokens[i + 1].value.isdigit():
             day_num = int(tokens[i + 1].value)
-    elif lang == "fr" and i + 1 < n \
-            and tokens[i + 1].value.lower() in months:
-        # french order: day month ("3 juin", "1er juin")
-        m = _ORDINAL_SUFFIX_RE[lang].match(tokens[i].value)
-        if m:
-            day_num = int(m.group(1))
-        elif tokens[i].value.isdigit():
-            day_num = int(tokens[i].value)
-        month = months[tokens[i + 1].value.lower()]
+    elif lang in ("fr", "es"):
+        # day-first order: "3 juin" / "1er juin" / "3 de junio"
+        j = i + 1
+        if lang == "es" and j < n and tokens[j].value.lower() == "de":
+            j += 1
+        if j < n and tokens[j].value.lower() in months:
+            m = _ORDINAL_SUFFIX_RE[lang].match(tokens[i].value)
+            if m:
+                day_num = int(m.group(1))
+            elif tokens[i].value.isdigit():
+                day_num = int(tokens[i].value)
+            month = months[tokens[j].value.lower()]
+            last = j
     if month is None or not day_num or not 1 <= day_num <= 31:
         return None
     try:
@@ -541,8 +582,9 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
         elif w in tables["months"] or (
-                lang == "fr" and _parse_month_day(tokens, i, n, base_date,
-                                                  lang) is not None):
+                lang in ("fr", "es")
+                and _parse_month_day(tokens, i, n, base_date,
+                                     lang) is not None):
             md = _parse_month_day(tokens, i, n, base_date, lang)
             if md is not None:
                 day, tok_end = md
@@ -605,7 +647,11 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             continue
         start_i = i
         if lower(i) in tables["at_words"]:
-            t = _parse_clock(tokens, i + 1, n)
+            j = i + 1
+            # "a las 8:30" — article between the preposition and the time
+            if j < n and lower(j) in tables["the_words"]:
+                j += 1
+            t = _parse_clock(tokens, j, n)
         else:
             t = _parse_clock(tokens, i, n)
             # unprefixed times only count with an explicit marker

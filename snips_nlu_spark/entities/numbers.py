@@ -1,4 +1,4 @@
-"""Number words ↔ values (en + fr).
+"""Number words ↔ values (en, fr, es).
 
 From-scratch replacement for the number grammar of the reference's Rust
 ``snips_nlu_parsers`` (snips/number kind, /root/reference/snips_nlu/
@@ -7,7 +7,9 @@ way). Pure functions; used by the builtin entity scanner and by gazetteer
 string variations. French covers the common composed forms (0-16, dix-sept
 ..dix-neuf, tens with et-un/units/teens incl. soixante-dix forms,
 quatre-vingt(s) forms, cent/mille/million); exotic spellings (septante,
-huitante, nonante) are accepted as direct tens.
+huitante, nonante) are accepted as direct tens. Spanish covers units incl.
+the fused dieci*/veinti* forms, tens with y-units, the hundreds words, and
+mil/millón.
 """
 
 from __future__ import annotations
@@ -163,23 +165,130 @@ def _words_to_number_fr(words: list[str]) -> float | None:
     return float(total + current)
 
 
+# --- Spanish tables ---------------------------------------------------------
+
+_ES_UNITS = {
+    "cero": 0, "un": 1, "una": 1, "uno": 1, "dos": 2, "tres": 3,
+    "cuatro": 4, "cinco": 5, "seis": 6, "siete": 7, "ocho": 8,
+    "nueve": 9, "diez": 10, "once": 11, "doce": 12, "trece": 13,
+    "catorce": 14, "quince": 15,
+    "dieciséis": 16, "dieciseis": 16, "diecisiete": 17, "dieciocho": 18,
+    "diecinueve": 19,
+    "veintiuno": 21, "veintiún": 21, "veintiun": 21, "veintidós": 22,
+    "veintidos": 22, "veintitrés": 23, "veintitres": 23,
+    "veinticuatro": 24, "veinticinco": 25, "veintiséis": 26,
+    "veintiseis": 26, "veintisiete": 27, "veintiocho": 28,
+    "veintinueve": 29,
+}
+_ES_TENS = {"veinte": 20, "treinta": 30, "cuarenta": 40, "cincuenta": 50,
+            "sesenta": 60, "setenta": 70, "ochenta": 80, "noventa": 90}
+_ES_HUNDREDS = {
+    "cien": 100, "ciento": 100, "doscientos": 200, "trescientos": 300,
+    "cuatrocientos": 400, "quinientos": 500, "seiscientos": 600,
+    "setecientos": 700, "ochocientos": 800, "novecientos": 900,
+}
+_ES_SCALES = {"mil": 1000, "millón": 10 ** 6, "millon": 10 ** 6,
+              "millones": 10 ** 6}
+_ES_GLUE = {"y"}
+
+ES_NUMBER_WORDS = (set(_ES_UNITS) | set(_ES_TENS) | set(_ES_HUNDREDS)
+                   | set(_ES_SCALES) | _ES_GLUE)
+
+_ES_ORDINALS = {
+    "primero": 1, "primera": 1, "primer": 1, "segundo": 2, "segunda": 2,
+    "tercero": 3, "tercera": 3, "tercer": 3, "cuarto": 4, "cuarta": 4,
+    "quinto": 5, "quinta": 5, "sexto": 6, "sexta": 6, "séptimo": 7,
+    "septimo": 7, "séptima": 7, "septima": 7, "octavo": 8, "octava": 8,
+    "noveno": 9, "novena": 9, "décimo": 10, "decimo": 10, "décima": 10,
+    "decima": 10,
+}
+
+ES_ORDINAL_WORDS = set(_ES_ORDINALS)
+
+
+def _words_to_number_es(words: list[str]) -> float | None:
+    """Spanish composed numbers: 'treinta y dos'=32, 'ciento cinco'=105,
+    'dos mil veinte'=2020."""
+    total = 0
+    current = 0
+    block_done = False
+    seen_value = False
+    i, n = 0, len(words)
+    while i < n:
+        w = words[i]
+        if w in _ES_HUNDREDS:
+            if block_done or current != 0:
+                return None
+            current += _ES_HUNDREDS[w]
+            seen_value = True
+            i += 1
+            continue
+        if w in _ES_TENS:
+            if block_done or current % 100 != 0:
+                return None
+            current += _ES_TENS[w]
+            seen_value = True
+            i += 1
+            if i + 1 < n and words[i] == "y" \
+                    and words[i + 1] in _ES_UNITS \
+                    and 1 <= _ES_UNITS[words[i + 1]] <= 9:
+                current += _ES_UNITS[words[i + 1]]
+                block_done = True
+                i += 2
+            continue
+        if w in _ES_UNITS:
+            if block_done or (current and current % 100 != 0):
+                return None
+            current += _ES_UNITS[w]
+            seen_value = True
+            block_done = True
+            i += 1
+            continue
+        if w in _ES_SCALES:
+            scale = _ES_SCALES[w]
+            if current == 0:
+                current = 1
+            current *= scale
+            total += current
+            current = 0
+            seen_value = True
+            block_done = False
+            i += 1
+            continue
+        return None
+    if not seen_value:
+        return None
+    return float(total + current)
+
+
 def number_words(language: str = "en") -> set[str]:
     """Words that may start/continue a number phrase in ``language``."""
-    return FR_NUMBER_WORDS if language == "fr" else NUMBER_WORDS
+    if language == "fr":
+        return FR_NUMBER_WORDS
+    if language == "es":
+        return ES_NUMBER_WORDS
+    return NUMBER_WORDS
 
 
 def ordinal_words(language: str = "en") -> set[str]:
-    return FR_ORDINAL_WORDS if language == "fr" else ORDINAL_WORDS
+    if language == "fr":
+        return FR_ORDINAL_WORDS
+    if language == "es":
+        return ES_ORDINAL_WORDS
+    return ORDINAL_WORDS
 
 
 def words_to_number(phrase: str, language: str = "en") -> float | None:
     """Parse a number phrase ("twenty two", "a hundred and five",
-    "vingt et un") to its value; None when the phrase is not a number."""
+    "vingt et un", "treinta y dos") to its value; None when the phrase is
+    not a number."""
     words = phrase.replace("-", " ").lower().split()
     if not words:
         return None
     if language == "fr":
         return _words_to_number_fr(words)
+    if language == "es":
+        return _words_to_number_es(words)
     total = 0
     current = 0
     seen_value = False
@@ -232,9 +341,11 @@ def words_to_number(phrase: str, language: str = "en") -> float | None:
 
 
 def ordinal_word_to_number(word: str, language: str = "en") -> int | None:
-    """"third" / "troisième" → 3; single-word ordinals only."""
+    """"third" / "troisième" / "tercero" → 3; single-word ordinals only."""
     if language == "fr":
         return _FR_ORDINALS.get(word.lower())
+    if language == "es":
+        return _ES_ORDINALS.get(word.lower())
     return _ORDINAL_UNITS.get(word.lower())
 
 

@@ -358,6 +358,93 @@ def fr_dataset() -> dict:
     }
 
 
+def es_dataset() -> dict:
+    """Spanish fixture (round-2 language expansion #2): lookup keys with
+    es stop words, es number grammar (dos, treinta y dos), es datetime
+    (mañana, lunes, a las 8:30), synonyms, extensibility."""
+    return {
+        "language": "es",
+        "intents": {
+            "prepararBebida": {
+                "utterances": [
+                    {"data": [
+                        {"text": "hazme "},
+                        {"text": "dos", "entity": "snips/number",
+                         "slot_name": "numero_de_tazas"},
+                        {"text": " tazas de "},
+                        {"text": "café", "entity": "bebida",
+                         "slot_name": "bebida"},
+                    ]},
+                    {"data": [
+                        {"text": "prepara "},
+                        {"text": "una", "entity": "snips/number",
+                         "slot_name": "numero_de_tazas"},
+                        {"text": " taza de "},
+                        {"text": "té", "entity": "bebida",
+                         "slot_name": "bebida"},
+                        {"text": " por favor"},
+                    ]},
+                    {"data": [
+                        {"text": "quiero un "},
+                        {"text": "chocolate caliente", "entity": "bebida",
+                         "slot_name": "bebida"},
+                    ]},
+                ]
+            },
+            "reservarVuelo": {
+                "utterances": [
+                    {"data": [
+                        {"text": "resérvame un vuelo a "},
+                        {"text": "madrid", "entity": "ciudad",
+                         "slot_name": "destino"},
+                        {"text": " "},
+                        {"text": "mañana", "entity": "snips/datetime",
+                         "slot_name": "fecha_salida"},
+                    ]},
+                    {"data": [
+                        {"text": "quiero un billete a "},
+                        {"text": "barcelona", "entity": "ciudad",
+                         "slot_name": "destino"},
+                    ]},
+                    {"data": [
+                        {"text": "busca un vuelo a "},
+                        {"text": "sevilla", "entity": "ciudad",
+                         "slot_name": "destino"},
+                        {"text": " el "},
+                        {"text": "lunes", "entity": "snips/datetime",
+                         "slot_name": "fecha_salida"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "bebida": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "café", "synonyms": ["cafecito"]},
+                    {"value": "té", "synonyms": ["té verde"]},
+                    {"value": "chocolate caliente", "synonyms": ["cacao"]},
+                ],
+            },
+            "ciudad": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "madrid", "synonyms": []},
+                    {"value": "barcelona", "synonyms": []},
+                    {"value": "sevilla", "synonyms": []},
+                    {"value": "valencia", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
 def combined_dataset() -> dict:
     """All three fixtures merged — the engine the KG pipeline broadcasts."""
     out = {"language": "en", "intents": {}, "entities": {}}

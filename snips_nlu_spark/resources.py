@@ -234,6 +234,57 @@ BUILTIN_GAZETTEER_VALUES: dict[tuple[str, str], tuple[str, ...]] = {
     ),
 }
 
+# --- Spanish resources -------------------------------------------------------
+
+ES_STOP_WORDS = frozenset("""
+el la los las lo de del al a en con por para sin sobre entre hacia
+y o pero si que como cuando donde quien cual
+yo tú tu él ella nosotros vosotros ellos ellas me te se le les nos os
+mi mis su sus nuestro nuestra este esta estos estas ese esa eso
+es son soy eres somos sois era eran fue ser estar estoy está están
+no sí ya muy más menos también todo todos toda todas
+""".split())
+
+ES_NOISE = """
+el la de que y a en un ser se no haber por con su para como estar
+tener le lo todo pero más hacer o poder decir este ir otro ese
+tiempo dia mundo vida hombre mujer casa ciudad pais cosa palabra
+gracias hola buenos dias buenas tardes noches si puede hay va viene
+manzana platano cereza fresa naranja limon uva melocoton pera
+montana rio castillo jardin puente ventana puerta mesa silla libro
+busqueda tratamiento solicitud operacion terminada exito verificacion
+sistema estado informe generado servicio reconocido espera imposible
+aparato nueva configuracion guardada resultados tarea terminada
+error advertencia salida entrada respuesta datos
+""".split()
+
+ES_STEMS: dict[str, str] = {
+    "tazas": "taza", "cafés": "café", "cafes": "café",
+    "luces": "luz", "habitaciones": "habitación", "vuelos": "vuelo",
+    "billetes": "billete", "prepara": "preparar", "quiero": "querer",
+    "enciende": "encender", "apaga": "apagar", "reserva": "reservar",
+}
+
+ES_COMMON_WORDS = frozenset(
+    {ES_STEMS.get(w, w) for w in ES_NOISE}
+    | set(ES_STOP_WORDS)
+    | set("""
+hazme haz prepara preparar pon poner dame dar enciende apaga ajusta
+reserva reservar busca encuentra muestra dime
+café té leche agua zumo jugo chocolate taza vaso botella
+caliente frío helado grande pequeño
+cocina dormitorio salón despacho garaje baño
+rojo verde azul amarillo blanco negro morado rosa
+mañana ayer hoy tarde noche semana mes año
+lunes martes miércoles jueves viernes sábado domingo
+enero febrero marzo abril mayo junio julio agosto septiembre octubre
+noviembre diciembre
+cero uno una dos tres cuatro cinco seis siete ocho nueve diez once
+doce veinte treinta cuarenta cincuenta cien mil
+primero segundo tercero último próximo
+vuelo avión billete tiempo temperatura lluvia nieve
+""".split()))
+
 _RESOURCE_TABLES = {
     "en": {
         "stop_words": EN_STOP_WORDS,
@@ -247,16 +298,23 @@ _RESOURCE_TABLES = {
         "noise": FR_NOISE,
         "stems": FR_STEMS,
         "common_words": FR_COMMON_WORDS,
-        # no committed fr cluster map (the en default config is the only
-        # one that lists word_cluster; the factory degrades to no-feature
-        # when the map is empty)
+        # no committed fr/es cluster maps (the en default config is the
+        # only one that lists word_cluster; the factory degrades to
+        # no-feature when the map is empty)
+        "clusters": {},
+    },
+    "es": {
+        "stop_words": ES_STOP_WORDS,
+        "noise": ES_NOISE,
+        "stems": ES_STEMS,
+        "common_words": ES_COMMON_WORDS,
         "clusters": {},
     },
 }
 
 
 def get_resources(language: str = "en") -> dict:
-    """Resource bundle for a language (``en`` and ``fr`` are shipped)."""
+    """Resource bundle for a language (``en``, ``fr``, ``es`` shipped)."""
     tables = _RESOURCE_TABLES.get(language)
     if tables is None:
         raise ValueError(
