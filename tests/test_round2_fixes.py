@@ -270,6 +270,20 @@ def test_build_kg_derives_and_pins_n_buckets(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_iceberg_adapter_capability_gated(spark):
+    """No Iceberg jar in this sandbox: the probe must say so and the
+    adapter must fail loudly with the fallback pointer, never write."""
+    from snips_nlu_spark.spark import iceberg
+
+    assert iceberg.iceberg_available(spark) is False
+    df = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
+    with pytest.raises(RuntimeError, match="parquet sink"):
+        iceberg.write_triples(df, "cat.db.triples", n_buckets=8)
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        iceberg.overwrite_buckets(df, "cat.db.triples")
+
+
+@pytest.mark.spark
 def test_minhash_plan_has_no_allpairs_verify(spark):
     """The verification step must be candidate-driven (shingle-set
     intersection), never the full co-shingle pair enumeration (round-1
