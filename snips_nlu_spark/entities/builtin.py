@@ -26,7 +26,7 @@ import re
 from typing import Callable, Sequence
 
 from ..textcore import Token, tokenize
-from .numbers import (number_words, ordinal_word_to_number,
+from .numbers import (is_number_word, ordinal_word_to_number,
                       ordinal_words, words_to_number)
 
 BUILTIN_KINDS = (
@@ -116,16 +116,16 @@ def _digit_candidates(tokens: Sequence[Token]) -> list[dict]:
 def _word_candidates(tokens: Sequence[Token],
                      language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
-    words = number_words(language)
-    glue = {"fr": ("et",), "es": ("y",)}.get(language,
-                                             ("and", "a", "an"))
+    glue = {"fr": ("et",), "es": ("y",), "de": ()}.get(
+        language, ("and", "a", "an"))
     out = []
     i = 0
     n = len(tokens)
     while i < n:
-        if tokens[i].value.lower() in words:
+        if is_number_word(tokens[i].value, language):
             j = i
-            while j + 1 < n and tokens[j + 1].value.lower() in words:
+            while j + 1 < n and is_number_word(tokens[j + 1].value,
+                                               language):
                 j += 1
             # trim glue from the edges until the phrase parses
             lo, hi = i, j
@@ -178,6 +178,9 @@ _ORDINAL_SUFFIX_RE = {
     "en": re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE),
     "fr": re.compile(r"^(\d+)(er|ère|ere|e|ème|eme)$", re.IGNORECASE),
     "es": re.compile(r"^(\d+)(º|ª|o|a)$", re.IGNORECASE),
+    # german digit ordinals are "1." and the tokenizer splits the dot —
+    # word ordinals only
+    "de": re.compile(r"^(\d+)\.$"),
 }
 
 
@@ -199,7 +202,7 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
 
 
 _PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent"),
-                  "es": ("%", "porciento")}
+                  "es": ("%", "porciento"), "de": ("%", "prozent")}
 
 
 def _scan_percentage(text, tokens, cands, anchor, lang="en"):
@@ -226,7 +229,8 @@ _TEMP_UNITS = {"celsius": "celsius", "c": "celsius",
 
 _DEGREE_WORDS = {"en": ("degree", "degrees", "°"),
                  "fr": ("degré", "degrés", "degre", "degres", "°"),
-                 "es": ("grado", "grados", "°")}
+                 "es": ("grado", "grados", "°"),
+                 "de": ("grad", "°")}
 
 
 def _scan_temperature(text, tokens, cands, anchor, lang="en"):
@@ -305,6 +309,15 @@ _DURATION_UNITS = {
         "mes": "months", "meses": "months",
         "año": "years", "años": "years", "ano": "years", "anos": "years",
     },
+    "de": {
+        "sekunde": "seconds", "sekunden": "seconds", "sek": "seconds",
+        "minute": "minutes", "minuten": "minutes", "min": "minutes",
+        "stunde": "hours", "stunden": "hours",
+        "tag": "days", "tage": "days", "tagen": "days",
+        "woche": "weeks", "wochen": "weeks",
+        "monat": "months", "monate": "months", "monaten": "months",
+        "jahr": "years", "jahre": "years", "jahren": "years",
+    },
 }
 
 
@@ -356,6 +369,27 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {"from": ("to", "until", "till"),
                        "between": ("and",)},
+    },
+    "de": {
+        "weekdays": {"montag": 0, "dienstag": 1, "mittwoch": 2,
+                     "donnerstag": 3, "freitag": 4, "samstag": 5,
+                     "sonnabend": 5, "sonntag": 6},
+        "months": {"januar": 1, "februar": 2, "märz": 3, "maerz": 3,
+                   "april": 4, "mai": 5, "juni": 6, "juli": 7,
+                   "august": 8, "september": 9, "oktober": 10,
+                   "november": 11, "dezember": 12},
+        "dayparts": {"vormittag": 9, "mittag": 12, "nachmittag": 15,
+                     "abend": 19, "nacht": 21},
+        "rel_days": {"gestern": -1, "heute": 0, "morgen": 1},
+        "tonight": None,
+        "at_words": ("um", "am", "gegen"),
+        "the_words": (),
+        "day_prefix": ("am", "nächsten", "naechsten", "diesen"),
+        "next_word": None,
+        "periods": (),
+        "period_map": {},
+        "weekday_suffix": (),
+        "range_open": {"von": ("bis",), "zwischen": ("und",)},
     },
     "es": {
         "weekdays": {"lunes": 0, "martes": 1, "miércoles": 2,
@@ -712,6 +746,8 @@ def _parse_clock(tokens, i, n):
     j = last + 1
     if j < n and tokens[j].value.lower() in ("am", "pm") and hh <= 12:
         hh = hh % 12 + (12 if tokens[j].value.lower() == "pm" else 0)
+        return hh, mm, j, True
+    if j < n and tokens[j].value.lower() == "uhr":  # german "8 uhr"
         return hh, mm, j, True
     if j + 2 < n and tokens[j].value.lower() == "o" \
             and tokens[j + 1].value == "'" \

@@ -1,4 +1,4 @@
-"""Number words ↔ values (en, fr, es).
+"""Number words ↔ values (en, fr, es, de).
 
 From-scratch replacement for the number grammar of the reference's Rust
 ``snips_nlu_parsers`` (snips/number kind, /root/reference/snips_nlu/
@@ -9,7 +9,9 @@ string variations. French covers the common composed forms (0-16, dix-sept
 quatre-vingt(s) forms, cent/mille/million); exotic spellings (septante,
 huitante, nonante) are accepted as direct tens. Spanish covers units incl.
 the fused dieci*/veinti* forms, tens with y-units, the hundreds words, and
-mil/millón.
+mil/millón. German fuses compounds into single words, so its grammar is a
+recursive token decomposition (einundzwanzig, zweihundertdreiundvierzig,
+zweitausendzwanzig) — membership is a parse probe (``is_number_word``).
 """
 
 from __future__ import annotations
@@ -261,8 +263,113 @@ def _words_to_number_es(words: list[str]) -> float | None:
     return float(total + current)
 
 
+# --- German tables ----------------------------------------------------------
+# German composes numbers into SINGLE fused words (einundzwanzig,
+# zweihundertdreiundvierzig), so the de grammar is a recursive
+# decomposition of one token rather than a multi-word fold.
+
+_DE_UNITS = {
+    "null": 0, "ein": 1, "eins": 1, "eine": 1, "einen": 1, "zwei": 2,
+    "drei": 3, "vier": 4, "fünf": 5, "fuenf": 5, "sechs": 6, "sieben": 7,
+    "acht": 8, "neun": 9, "zehn": 10, "elf": 11, "zwölf": 12,
+    "zwoelf": 12, "dreizehn": 13, "vierzehn": 14, "fünfzehn": 15,
+    "fuenfzehn": 15, "sechzehn": 16, "siebzehn": 17, "achtzehn": 18,
+    "neunzehn": 19,
+}
+_DE_TENS = {"zwanzig": 20, "dreißig": 30, "dreissig": 30, "vierzig": 40,
+            "fünfzig": 50, "fuenfzig": 50, "sechzig": 60, "siebzig": 70,
+            "achtzig": 80, "neunzig": 90}
+
+_DE_ORDINALS = {
+    "erste": 1, "erster": 1, "erstes": 1, "ersten": 1, "zweite": 2,
+    "zweiter": 2, "zweites": 2, "zweiten": 2, "dritte": 3, "dritter": 3,
+    "drittes": 3, "dritten": 3, "vierte": 4, "vierten": 4, "fünfte": 5,
+    "fuenfte": 5, "fünften": 5, "sechste": 6, "siebte": 7, "achte": 8,
+    "neunte": 9, "zehnte": 10, "zehnten": 10,
+}
+
+DE_ORDINAL_WORDS = set(_DE_ORDINALS)
+
+
+def _de_below_100(s: str) -> int | None:
+    if s in _DE_UNITS:
+        return _DE_UNITS[s]
+    if s in _DE_TENS:
+        return _DE_TENS[s]
+    # <unit>und<tens>: einundzwanzig = 21
+    if "und" in s:
+        unit, _, tens = s.partition("und")
+        if unit in _DE_UNITS and 1 <= _DE_UNITS[unit] <= 9 \
+                and tens in _DE_TENS:
+            return _DE_UNITS[unit] + _DE_TENS[tens]
+    return None
+
+
+def _de_below_1000(s: str) -> int | None:
+    v = _de_below_100(s)
+    if v is not None:
+        return v
+    if "hundert" in s:
+        prefix, _, rest = s.partition("hundert")
+        h = 1 if prefix == "" else _DE_UNITS.get(prefix)
+        if h is None or not 1 <= h <= 9:
+            return None
+        if rest == "":
+            return h * 100
+        # optional "und" glue: hundertundfünf
+        if rest.startswith("und"):
+            rest = rest[3:]
+        r = _de_below_100(rest)
+        return h * 100 + r if r is not None else None
+    return None
+
+
+def _de_token_value(s: str) -> int | None:
+    """Recursive decomposition of one fused German number word."""
+    v = _de_below_1000(s)
+    if v is not None:
+        return v
+    if "tausend" in s:
+        prefix, _, rest = s.partition("tausend")
+        th = 1 if prefix == "" else _de_below_1000(prefix)
+        if th is None:
+            return None
+        if rest == "":
+            return th * 1000
+        if rest.startswith("und"):
+            rest = rest[3:]
+        r = _de_below_1000(rest)
+        return th * 1000 + r if r is not None else None
+    return None
+
+
+def _words_to_number_de(words: list[str]) -> float | None:
+    """One fused word, or '<X> million(en)' / '<X> tausend' pairs."""
+    if len(words) == 1:
+        v = _de_token_value(words[0])
+        return float(v) if v is not None else None
+    if len(words) == 2 and words[1] in ("million", "millionen"):
+        v = _de_token_value(words[0])
+        return float(v * 10 ** 6) if v is not None else None
+    if len(words) == 2 and words[1] == "tausend":
+        v = _de_below_1000(words[0])
+        return float(v * 1000) if v is not None else None
+    return None
+
+
+def is_number_word(token: str, language: str = "en") -> bool:
+    """Can ``token`` start/continue a number phrase? German fused
+    compounds can't be enumerated, so membership is a parse probe."""
+    token = token.lower()
+    if language == "de":
+        return (token in ("million", "millionen", "tausend")
+                or _de_token_value(token) is not None)
+    return token in number_words(language)
+
+
 def number_words(language: str = "en") -> set[str]:
-    """Words that may start/continue a number phrase in ``language``."""
+    """Words that may start/continue a number phrase in ``language``
+    (enumerable languages only — use ``is_number_word`` for de)."""
     if language == "fr":
         return FR_NUMBER_WORDS
     if language == "es":
@@ -275,6 +382,8 @@ def ordinal_words(language: str = "en") -> set[str]:
         return FR_ORDINAL_WORDS
     if language == "es":
         return ES_ORDINAL_WORDS
+    if language == "de":
+        return DE_ORDINAL_WORDS
     return ORDINAL_WORDS
 
 
@@ -289,6 +398,8 @@ def words_to_number(phrase: str, language: str = "en") -> float | None:
         return _words_to_number_fr(words)
     if language == "es":
         return _words_to_number_es(words)
+    if language == "de":
+        return _words_to_number_de(words)
     total = 0
     current = 0
     seen_value = False
@@ -346,6 +457,8 @@ def ordinal_word_to_number(word: str, language: str = "en") -> int | None:
         return _FR_ORDINALS.get(word.lower())
     if language == "es":
         return _ES_ORDINALS.get(word.lower())
+    if language == "de":
+        return _DE_ORDINALS.get(word.lower())
     return _ORDINAL_UNITS.get(word.lower())
 
 

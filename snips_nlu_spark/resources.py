@@ -285,6 +285,63 @@ primero segundo tercero último próximo
 vuelo avión billete tiempo temperatura lluvia nieve
 """.split()))
 
+# --- German resources --------------------------------------------------------
+
+DE_STOP_WORDS = frozenset("""
+der die das den dem des ein eine einen einem einer eines
+und oder aber wenn dann als wie dass ob weil denn
+ich du er sie es wir ihr mich dich sich mir dir uns euch ihnen
+mein meine dein deine sein seine ihr ihre unser unsere
+ist sind bin bist war waren sein haben habe hat hatte hatten werden
+wird nicht kein keine auch noch schon nur sehr mehr
+zu von in an auf bei mit nach aus für über unter vor hinter zwischen
+da dort hier wann wo wer was warum
+""".split())
+
+DE_NOISE = """
+der die und in den von zu das mit sich des auf für ist im dem nicht
+ein eine als auch es an werden aus er hat dass sie nach wird bei
+einer um am sind noch wie einem über einen so zum war haben nur oder
+aber vor zur bis mehr durch man sein wurde sei
+zeit jahr tag welt leben mensch haus stadt land sache wort
+danke hallo guten tag abend ja nein kann muss geht kommt bleibt
+apfel banane kirsche erdbeere orange zitrone traube pfirsich birne
+berg fluss schloss garten brücke fenster tür tisch stuhl buch
+suche verarbeitung anfrage vorgang abgeschlossen erfolgreich
+system status bericht erstellt dienst bestätigt warten unmöglich
+gerät neue konfiguration gespeichert ergebnisse aufgabe beendet
+fehler warnung ausgabe eingabe antwort daten
+""".split()
+
+DE_STEMS: dict[str, str] = {
+    "tassen": "tasse", "lichter": "licht", "flüge": "flug",
+    "zimmern": "zimmer", "tickets": "ticket",
+    "möchte": "mögen", "will": "wollen", "mache": "machen",
+    "machst": "machen", "koche": "kochen", "schalte": "schalten",
+    "buche": "buchen",
+}
+
+DE_COMMON_WORDS = frozenset(
+    {DE_STEMS.get(w, w) for w in DE_NOISE}
+    | set(DE_STOP_WORDS)
+    | set("""
+mach mache machen koch koche kochen gib geben stell stellen schalte
+schalten buche buchen suche suchen finde zeig zeigen sag sagen
+bitte danke hallo ja nein
+kaffee tee milch wasser saft schokolade tasse glas flasche
+heiß kalt warm groß klein
+küche schlafzimmer wohnzimmer büro garage bad
+rot grün blau gelb weiß schwarz lila rosa
+morgen gestern heute mittag abend nacht woche monat jahr
+montag dienstag mittwoch donnerstag freitag samstag sonntag
+januar februar märz april mai juni juli august september oktober
+november dezember
+null eins zwei drei vier fünf sechs sieben acht neun zehn elf zwölf
+zwanzig dreißig vierzig fünfzig hundert tausend
+erste zweite dritte letzte nächste
+flug flugzeug ticket wetter temperatur regen schnee
+""".split()))
+
 _RESOURCE_TABLES = {
     "en": {
         "stop_words": EN_STOP_WORDS,
@@ -310,11 +367,18 @@ _RESOURCE_TABLES = {
         "common_words": ES_COMMON_WORDS,
         "clusters": {},
     },
+    "de": {
+        "stop_words": DE_STOP_WORDS,
+        "noise": DE_NOISE,
+        "stems": DE_STEMS,
+        "common_words": DE_COMMON_WORDS,
+        "clusters": {},
+    },
 }
 
 
 def get_resources(language: str = "en") -> dict:
-    """Resource bundle for a language (``en``, ``fr``, ``es`` shipped)."""
+    """Resource bundle for a language (en, fr, es, de shipped)."""
     tables = _RESOURCE_TABLES.get(language)
     if tables is None:
         raise ValueError(

@@ -94,10 +94,47 @@ def _compose_es(n: int) -> str:
     return th_part if rest == 0 else f"{th_part} {below_1000(rest)}"
 
 
+def _compose_de(n: int) -> str:
+    units = ["null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+             "sieben", "acht", "neun", "zehn", "elf", "zwölf",
+             "dreizehn", "vierzehn", "fünfzehn", "sechzehn", "siebzehn",
+             "achtzehn", "neunzehn"]
+    # "ein" inside compounds, "eins" standalone
+    unit_in = ["", "ein", "zwei", "drei", "vier", "fünf", "sechs",
+               "sieben", "acht", "neun"]
+    tens = {2: "zwanzig", 3: "dreißig", 4: "vierzig", 5: "fünfzig",
+            6: "sechzig", 7: "siebzig", 8: "achtzig", 9: "neunzig"}
+
+    def below_100(k):
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        return tens[t] if u == 0 else f"{unit_in[u]}und{tens[t]}"
+
+    def below_1000(k):
+        h, rest = divmod(k, 100)
+        if h == 0:
+            return below_100(k)
+        word = ("hundert" if h == 1 else f"{unit_in[h]}hundert")
+        return word if rest == 0 else word + below_100(rest)
+
+    if n < 1000:
+        return below_1000(n)
+    th, rest = divmod(n, 1000)
+    word = "tausend" if th == 1 else below_1000(th) + "tausend"
+    return word if rest == 0 else word + below_1000(rest)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.integers(min_value=0, max_value=999_999))
 def test_fr_number_roundtrip(n):
     assert words_to_number(_compose_fr(n), "fr") == float(n)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=999_999))
+def test_de_number_roundtrip(n):
+    assert words_to_number(_compose_de(n), "de") == float(n)
 
 
 @settings(max_examples=300, deadline=None)
