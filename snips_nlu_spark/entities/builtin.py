@@ -791,38 +791,57 @@ class BuiltinEntityParser:
                 kind: {v: v for v in _gazetteer_values(language, kind)}
                 for kind in self.gazetteer_entities})
         from functools import lru_cache
-        self._parse_memo = lru_cache(maxsize=8192)(self._parse_impl)
+        # anchor-INdependent kinds are scanned once per text for ALL
+        # kinds and filtered by scope (one tokenize + one scan, however
+        # many scoped probes hit the same text — the parse cascade probes
+        # each text with several scopes); datetime is memoized per
+        # (text, anchor)
+        self._static_memo = lru_cache(maxsize=8192)(self._scan_static)
+        self._dt_memo = lru_cache(maxsize=8192)(self._scan_dt)
 
     def parse(self, text: str, scope: Sequence[str] | None = None,
               anchor: _dt.datetime | None = None) -> list[dict]:
         if scope is None:
-            scope_key = BUILTIN_KINDS + self.gazetteer_entities
-        else:
-            scope_key = tuple(sorted(scope))
-        return list(self._parse_memo(text, scope_key, anchor))
+            scope = BUILTIN_KINDS + self.gazetteer_entities
+        wanted = set(scope)
+        mentions = [m for m in self._static_memo(text)
+                    if m["entity_kind"] in wanted]
+        if "snips/datetime" in wanted:
+            mentions.extend(self._dt_memo(text, anchor))
+        if len(wanted) > 1 or mentions and "snips/datetime" in wanted:
+            mentions.sort(key=lambda m: (m["start"], m["end"]))
+        return mentions
 
-    def _parse_impl(self, text: str, scope: tuple[str, ...],
-                    anchor: _dt.datetime | None) -> tuple:
+    def _scan_static(self, text: str) -> tuple:
         tokens = tokenize(text)
         if not tokens:
             return ()
         cands = _number_candidates(tokens, self.language)
         mentions: list[dict] = []
-        for kind in scope:
-            scanner = _SCANNERS.get(kind)
-            if scanner is not None:
-                mentions.extend(scanner(text, tokens, cands, anchor,
-                                        self.language))
-            elif self._gazetteer is not None \
-                    and kind in self.gazetteer_entities:
-                for m in self._gazetteer.parse(text, scope=[kind]):
-                    resolved = m["resolved_value"]
-                    if isinstance(resolved, dict):
-                        resolved = resolved["value"]
-                    mentions.append({
-                        "value": m["value"], "start": m["start"],
-                        "end": m["end"], "entity_kind": kind,
-                        "resolved_value": {
-                            "kind": GAZETTEER_KINDS[kind],
-                            "value": resolved}})
-        return tuple(sorted(mentions, key=lambda m: (m["start"], m["end"])))
+        for kind in BUILTIN_KINDS:
+            if kind == "snips/datetime":
+                continue
+            mentions.extend(_SCANNERS[kind](text, tokens, cands, None,
+                                            self.language))
+        if self._gazetteer is not None:
+            for m in self._gazetteer.parse(
+                    text, scope=self.gazetteer_entities):
+                resolved = m["resolved_value"]
+                if isinstance(resolved, dict):
+                    resolved = resolved["value"]
+                mentions.append({
+                    "value": m["value"], "start": m["start"],
+                    "end": m["end"], "entity_kind": m["entity_kind"],
+                    "resolved_value": {
+                        "kind": GAZETTEER_KINDS[m["entity_kind"]],
+                        "value": resolved}})
+        return tuple(sorted(mentions,
+                            key=lambda m: (m["start"], m["end"])))
+
+    def _scan_dt(self, text: str, anchor: _dt.datetime | None) -> tuple:
+        tokens = tokenize(text)
+        if not tokens:
+            return ()
+        cands = _number_candidates(tokens, self.language)
+        return tuple(_scan_datetime(text, tokens, cands, anchor,
+                                    self.language))
