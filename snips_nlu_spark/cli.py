@@ -55,6 +55,16 @@ def _cmd_parse(args) -> int:
     return 0
 
 
+def _cmd_generate_dataset(args) -> int:
+    """YAML intent/entity docs → JSON dataset (ref: cli/
+    generate_dataset.py wrapping dataset/dataset.py)."""
+    from .dataset.yaml_loader import dataset_from_yaml
+    dataset = dataset_from_yaml(args.yaml, language=args.language)
+    print(json.dumps(dataset, indent=2, sort_keys=True,
+                     ensure_ascii=False))
+    return 0
+
+
 def _cmd_metrics(args) -> int:
     from .ml.metrics import (compute_cross_val_metrics,
                              compute_train_test_metrics)
@@ -84,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
     p_parse.add_argument("text", nargs="*")
     p_parse.add_argument("--anchor", help="ISO datetime anchor")
     p_parse.set_defaults(fn=_cmd_parse)
+
+    p_gen = sub.add_parser(
+        "generate-dataset", help="YAML docs → JSON dataset on stdout")
+    p_gen.add_argument("language")
+    p_gen.add_argument("yaml")
+    p_gen.set_defaults(fn=_cmd_generate_dataset)
 
     p_metrics = sub.add_parser(
         "metrics", help="cross-val (or train-test) quality metrics")

@@ -63,3 +63,29 @@ def test_cli_train_parse_metrics(tmp_path):
     assert p.returncode == 0, p.stderr[-1500:]
     out = json.loads(p.stdout)
     assert "average_metrics" in out
+
+
+def test_cli_generate_dataset(tmp_path):
+    yaml_path = tmp_path / "intents.yaml"
+    yaml_path.write_text("""
+type: intent
+name: sayHello
+utterances:
+  - hello [name](alice)
+  - hi [name](bob) there
+---
+type: entity
+name: name
+values:
+  - alice
+  - bob
+""", "utf8")
+    p = subprocess.run(
+        [sys.executable, "-m", "snips_nlu_spark", "generate-dataset",
+         "en", str(yaml_path)],
+        capture_output=True, text=True, cwd=str(REPO), timeout=120)
+    assert p.returncode == 0, p.stderr[-1500:]
+    ds = json.loads(p.stdout)
+    assert ds["language"] == "en"
+    assert "sayHello" in ds["intents"]
+    assert "name" in ds["entities"]
