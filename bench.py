@@ -147,6 +147,19 @@ def main() -> None:
     rank_intents(transcripts, model_json, top_n=3).count()
     queries["intent_nbest"] = round(time.time() - t0, 3)
 
+    # q2c: training-data ops (LSH-based dedup + ANN — the round-1 verdict
+    # perf-weak items; timed so BENCH tracks them across rounds)
+    from snips_nlu_spark.functions.dedup import minhash_duplicate_pairs
+    from snips_nlu_spark.functions.similarity import lsh_bucketed_topk
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    minhash_duplicate_pairs(docs, threshold=0.5).count()
+    queries["doc_minhash_pairs"] = round(time.time() - t0, 3)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.time()
+    lsh_bucketed_topk(embs, k=5, n_queries=20).count()
+    queries["emb_lsh_topk"] = round(time.time() - t0, 3)
+
     # q3: checkpointed end-to-end build (parse + partitioned write +
     # lineage + rollup sinks)
     from snips_nlu_spark.spark.lineage import build_kg

@@ -117,16 +117,15 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
         for seed in range(n_hashes)]
     sig = sh.groupBy("doc_id").agg(*minhash_cols)
 
-    # band signatures → candidate pairs from bucket collisions
-    band_rows = []
-    for band in range(bands):
-        cols = [F.col(f"h{band * rows + r}") for r in range(rows)]
-        band_rows.append(
-            sig.select("doc_id", F.lit(band).alias("band"),
-                       F.xxhash64(*cols).alias("bucket")))
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+    # band signatures → candidate pairs from bucket collisions. ONE
+    # posexplode over an array of per-band bucket hashes — a 24-way union
+    # of selects would re-run the 72-column min-aggregation per band
+    # (measured 24× the signature cost in BENCH before this change).
+    bucket_array = F.array(*[
+        F.xxhash64(*[F.col(f"h{band * rows + r}") for r in range(rows)])
+        for band in range(bands)])
+    banded = sig.select(
+        "doc_id", F.posexplode(bucket_array).alias("band", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -228,16 +227,14 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3
     using 4×16-bit band buckets (any pair within distance 3 shares at
     least one exact 16-bit band)."""
     sig = simhash_signatures(documents)
-    bands = []
-    for band in range(4):
-        bands.append(sig.select(
-            "doc_id", F.lit(band).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), band * 16)
-            .bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
-            "simhash"))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # one posexplode (a 4-way union would re-run the signature kernel
+    # per band — same fix as minhash banding)
+    bucket_array = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), band * 16)
+        .bitwiseAND(F.lit(0xFFFF)) for band in range(4)])
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(bucket_array).alias("band", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
