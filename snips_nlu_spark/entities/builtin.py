@@ -116,7 +116,7 @@ def _digit_candidates(tokens: Sequence[Token]) -> list[dict]:
 def _word_candidates(tokens: Sequence[Token],
                      language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
-    glue = {"fr": ("et",), "es": ("y",), "de": ()}.get(
+    glue = {"fr": ("et",), "es": ("y",), "de": (), "it": ()}.get(
         language, ("and", "a", "an"))
     out = []
     i = 0
@@ -181,6 +181,7 @@ _ORDINAL_SUFFIX_RE = {
     # german digit ordinals are "1." and the tokenizer splits the dot —
     # word ordinals only
     "de": re.compile(r"^(\d+)\.$"),
+    "it": re.compile(r"^(\d+)(º|°|ª|o|a)$", re.IGNORECASE),
 }
 
 
@@ -202,7 +203,8 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
 
 
 _PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent"),
-                  "es": ("%", "porciento"), "de": ("%", "prozent")}
+                  "es": ("%", "porciento"), "de": ("%", "prozent"),
+                  "it": ("%", "percento")}
 
 
 def _scan_percentage(text, tokens, cands, anchor, lang="en"):
@@ -214,9 +216,10 @@ def _scan_percentage(text, tokens, cands, anchor, lang="en"):
             out.append(_mention(text, tokens, c["tok_start"], nxt,
                                 "snips/percentage",
                                 {"kind": "Percentage", "value": c["num"]}))
-        elif lang in ("fr", "es") and nxt + 1 < n \
-                and tokens[nxt].value.lower() in ("pour", "por") \
-                and tokens[nxt + 1].value.lower() in ("cent", "ciento"):
+        elif lang in ("fr", "es", "it") and nxt + 1 < n \
+                and tokens[nxt].value.lower() in ("pour", "por", "per") \
+                and tokens[nxt + 1].value.lower() in ("cent", "ciento",
+                                                      "cento"):
             out.append(_mention(text, tokens, c["tok_start"], nxt + 1,
                                 "snips/percentage",
                                 {"kind": "Percentage", "value": c["num"]}))
@@ -230,7 +233,8 @@ _TEMP_UNITS = {"celsius": "celsius", "c": "celsius",
 _DEGREE_WORDS = {"en": ("degree", "degrees", "°"),
                  "fr": ("degré", "degrés", "degre", "degres", "°"),
                  "es": ("grado", "grados", "°"),
-                 "de": ("grad", "°")}
+                 "de": ("grad", "°"),
+                 "it": ("grado", "gradi", "°")}
 
 
 def _scan_temperature(text, tokens, cands, anchor, lang="en"):
@@ -309,6 +313,15 @@ _DURATION_UNITS = {
         "mes": "months", "meses": "months",
         "año": "years", "años": "years", "ano": "years", "anos": "years",
     },
+    "it": {
+        "secondo": "seconds", "secondi": "seconds", "sec": "seconds",
+        "minuto": "minutes", "minuti": "minutes", "min": "minutes",
+        "ora": "hours", "ore": "hours",
+        "giorno": "days", "giorni": "days",
+        "settimana": "weeks", "settimane": "weeks",
+        "mese": "months", "mesi": "months",
+        "anno": "years", "anni": "years",
+    },
     "de": {
         "sekunde": "seconds", "sekunden": "seconds", "sek": "seconds",
         "minute": "minutes", "minuten": "minutes", "min": "minutes",
@@ -369,6 +382,29 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {"from": ("to", "until", "till"),
                        "between": ("and",)},
+    },
+    "it": {
+        "weekdays": {"lunedì": 0, "lunedi": 0, "martedì": 1, "martedi": 1,
+                     "mercoledì": 2, "mercoledi": 2, "giovedì": 3,
+                     "giovedi": 3, "venerdì": 4, "venerdi": 4,
+                     "sabato": 5, "domenica": 6},
+        "months": {"gennaio": 1, "febbraio": 2, "marzo": 3, "aprile": 4,
+                   "maggio": 5, "giugno": 6, "luglio": 7, "agosto": 8,
+                   "settembre": 9, "ottobre": 10, "novembre": 11,
+                   "dicembre": 12},
+        "dayparts": {"mattina": 8, "mezzogiorno": 12, "pomeriggio": 15,
+                     "sera": 19, "notte": 21},
+        "rel_days": {"ieri": -1, "oggi": 0, "domani": 1},
+        "tonight": "stasera",
+        "at_words": ("alle", "a", "verso"),
+        "the_words": ("le", "l"),
+        "day_prefix": ("il", "questo"),
+        "next_word": None,
+        "periods": (),
+        "period_map": {},
+        "weekday_suffix": ("prossimo", "prossima"),
+        "range_open": {"da": ("a", "al"), "dal": ("al",), "tra": ("e",),
+                       "fra": ("e",)},
     },
     "de": {
         "weekdays": {"montag": 0, "dienstag": 1, "mittwoch": 2,
@@ -486,8 +522,9 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
             day_num = int(m.group(1))
         elif tokens[i + 1].value.isdigit():
             day_num = int(tokens[i + 1].value)
-    elif lang in ("fr", "es"):
-        # day-first order: "3 juin" / "1er juin" / "3 de junio"
+    elif lang in ("fr", "es", "it"):
+        # day-first order: "3 juin" / "1er juin" / "3 de junio" /
+        # "3 giugno"
         j = i + 1
         if lang == "es" and j < n and tokens[j].value.lower() == "de":
             j += 1
@@ -616,7 +653,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
         elif w in tables["months"] or (
-                lang in ("fr", "es")
+                lang in ("fr", "es", "it")
                 and _parse_month_day(tokens, i, n, base_date,
                                      lang) is not None):
             md = _parse_month_day(tokens, i, n, base_date, lang)

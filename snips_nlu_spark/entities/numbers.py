@@ -1,4 +1,4 @@
-"""Number words ↔ values (en, fr, es, de).
+"""Number words ↔ values (en, fr, es, de, it).
 
 From-scratch replacement for the number grammar of the reference's Rust
 ``snips_nlu_parsers`` (snips/number kind, /root/reference/snips_nlu/
@@ -357,6 +357,108 @@ def _words_to_number_de(words: list[str]) -> float | None:
     return None
 
 
+# --- Italian tables ---------------------------------------------------------
+# Italian also fuses compounds (ventidue, duecentotrentaquattro, duemila)
+# with vowel elision before uno/otto (ventuno, ventotto, centottanta), so
+# like German it parses by recursive token decomposition.
+
+_IT_UNITS = {
+    "zero": 0, "uno": 1, "un": 1, "una": 1, "due": 2, "tre": 3,
+    "tré": 3, "quattro": 4, "cinque": 5, "sei": 6, "sette": 7,
+    "otto": 8, "nove": 9, "dieci": 10, "undici": 11, "dodici": 12,
+    "tredici": 13, "quattordici": 14, "quindici": 15, "sedici": 16,
+    "diciassette": 17, "diciotto": 18, "diciannove": 19,
+}
+_IT_TENS = {"venti": 20, "trenta": 30, "quaranta": 40, "cinquanta": 50,
+            "sessanta": 60, "settanta": 70, "ottanta": 80, "novanta": 90}
+
+_IT_ORDINALS = {
+    "primo": 1, "prima": 1, "secondo": 2, "seconda": 2, "terzo": 3,
+    "terza": 3, "quarto": 4, "quarta": 4, "quinto": 5, "quinta": 5,
+    "sesto": 6, "sesta": 6, "settimo": 7, "settima": 7, "ottavo": 8,
+    "ottava": 8, "nono": 9, "nona": 9, "decimo": 10, "decima": 10,
+}
+
+IT_ORDINAL_WORDS = set(_IT_ORDINALS)
+
+_IT_ATTACHABLE = {u: v for u, v in _IT_UNITS.items()
+                  if 1 <= v <= 9 and u not in ("un", "una")}
+
+
+def _it_below_100(s: str) -> int | None:
+    if s in _IT_UNITS:
+        return _IT_UNITS[s]
+    if s in _IT_TENS:
+        return _IT_TENS[s]
+    for tens_word, tens_val in _IT_TENS.items():
+        if s.startswith(tens_word):
+            rest = s[len(tens_word):]
+            if rest in _IT_ATTACHABLE and rest not in ("uno", "otto"):
+                return tens_val + _IT_ATTACHABLE[rest]
+        # vowel elision: vent+uno / vent+otto, trent+uno, …
+        elided = tens_word[:-1]
+        if s.startswith(elided):
+            rest = s[len(elided):]
+            if rest in ("uno", "otto"):
+                return tens_val + _IT_UNITS[rest]
+    return None
+
+
+def _it_below_1000(s: str) -> int | None:
+    v = _it_below_100(s)
+    if v is not None:
+        return v
+    for h in range(1, 10):
+        prefix = "" if h == 1 else             {2: "due", 3: "tre", 4: "quattro", 5: "cinque", 6: "sei",
+             7: "sette", 8: "otto", 9: "nove"}[h]
+        for stem_word in (prefix + "cento", prefix + "cent"):
+            if not s.startswith(stem_word):
+                continue
+            rest = s[len(stem_word):]
+            if stem_word.endswith("cento"):
+                if rest == "":
+                    return h * 100
+                r = _it_below_100(rest)
+                if r is not None:
+                    return h * 100 + r
+            elif rest.startswith("o"):  # elision: centottanta
+                r = _it_below_100(rest)
+                if r is not None:
+                    return h * 100 + r
+    return None
+
+
+def _it_token_value(s: str) -> int | None:
+    v = _it_below_1000(s)
+    if v is not None:
+        return v
+    if s == "mille":
+        return 1000
+    if s.startswith("mille"):
+        r = _it_below_1000(s[5:])
+        return 1000 + r if r is not None else None
+    if "mila" in s:
+        prefix, _, rest = s.partition("mila")
+        th = _it_below_1000(prefix)
+        if th is None:
+            return None
+        if rest == "":
+            return th * 1000
+        r = _it_below_1000(rest)
+        return th * 1000 + r if r is not None else None
+    return None
+
+
+def _words_to_number_it(words: list[str]) -> float | None:
+    if len(words) == 1:
+        v = _it_token_value(words[0])
+        return float(v) if v is not None else None
+    if len(words) == 2 and words[1] in ("milione", "milioni"):
+        v = _it_token_value(words[0])
+        return float(v * 10 ** 6) if v is not None else None
+    return None
+
+
 def is_number_word(token: str, language: str = "en") -> bool:
     """Can ``token`` start/continue a number phrase? German fused
     compounds can't be enumerated, so membership is a parse probe."""
@@ -364,6 +466,9 @@ def is_number_word(token: str, language: str = "en") -> bool:
     if language == "de":
         return (token in ("million", "millionen", "tausend")
                 or _de_token_value(token) is not None)
+    if language == "it":
+        return (token in ("milione", "milioni")
+                or _it_token_value(token) is not None)
     return token in number_words(language)
 
 
@@ -384,6 +489,8 @@ def ordinal_words(language: str = "en") -> set[str]:
         return ES_ORDINAL_WORDS
     if language == "de":
         return DE_ORDINAL_WORDS
+    if language == "it":
+        return IT_ORDINAL_WORDS
     return ORDINAL_WORDS
 
 
@@ -400,6 +507,8 @@ def words_to_number(phrase: str, language: str = "en") -> float | None:
         return _words_to_number_es(words)
     if language == "de":
         return _words_to_number_de(words)
+    if language == "it":
+        return _words_to_number_it(words)
     total = 0
     current = 0
     seen_value = False
@@ -459,6 +568,8 @@ def ordinal_word_to_number(word: str, language: str = "en") -> int | None:
         return _ES_ORDINALS.get(word.lower())
     if language == "de":
         return _DE_ORDINALS.get(word.lower())
+    if language == "it":
+        return _IT_ORDINALS.get(word.lower())
     return _ORDINAL_UNITS.get(word.lower())
 
 

@@ -342,6 +342,59 @@ erste zweite dritte letzte nächste
 flug flugzeug ticket wetter temperatur regen schnee
 """.split()))
 
+# --- Italian resources --------------------------------------------------------
+
+IT_STOP_WORDS = frozenset("""
+il lo la i gli le un uno una di a da in con su per tra fra
+e o ma se che come quando dove chi quale
+io tu lui lei noi voi loro mi ti si ci vi me te
+mio mia miei mie tuo tua suo sua nostro nostra vostro vostra
+questo questa questi queste quello quella
+è sono sei siamo siete era erano essere stare sto sta stanno
+avere ho hai ha abbiamo avete hanno
+non sì già molto più meno anche ancora tutto tutti tutta tutte
+""".split())
+
+IT_NOISE = """
+il di che e la in a per è un sono le si con non una da su questo
+come ma lo ha più o anche ci tutto della nel alla mi ai sua fatto
+tempo anno giorno mondo vita uomo donna casa città paese cosa parola
+grazie ciao buongiorno buonasera va bene posso deve viene resta parte
+mela banana ciliegia fragola arancia limone uva pesca pera albicocca
+montagna fiume castello giardino ponte finestra porta tavolo sedia libro
+ricerca elaborazione richiesta operazione completata successo verifica
+sistema stato rapporto generato servizio confermato attesa impossibile
+dispositivo nuova configurazione salvata risultati attività terminata
+errore avviso uscita ingresso risposta dati
+""".split()
+
+IT_STEMS: dict[str, str] = {
+    "tazze": "tazza", "caffè": "caffè", "luci": "luce", "voli": "volo",
+    "biglietti": "biglietto", "camere": "camera",
+    "preparami": "preparare", "voglio": "volere", "accendi": "accendere",
+    "spegni": "spegnere", "prenota": "prenotare", "fammi": "fare",
+}
+
+IT_COMMON_WORDS = frozenset(
+    {IT_STEMS.get(w, w) for w in IT_NOISE}
+    | set(IT_STOP_WORDS)
+    | set("""
+fammi fai fare prepara preparami metti dammi dare accendi spegni regola
+prenota prenotare cerca trova mostra dimmi per favore grazie ciao
+caffè tè latte acqua succo cioccolata tazza bicchiere bottiglia
+caldo freddo ghiacciato grande piccolo
+cucina camera soggiorno ufficio garage bagno
+rosso verde blu giallo bianco nero viola rosa
+domani ieri oggi mattina mezzogiorno sera notte settimana mese anno
+lunedì martedì mercoledì giovedì venerdì sabato domenica
+gennaio febbraio marzo aprile maggio giugno luglio agosto settembre
+ottobre novembre dicembre
+zero uno due tre quattro cinque sei sette otto nove dieci undici
+dodici venti trenta quaranta cinquanta cento mille
+primo secondo terzo ultimo prossimo
+volo aereo biglietto tempo temperatura pioggia neve
+""".split()))
+
 _RESOURCE_TABLES = {
     "en": {
         "stop_words": EN_STOP_WORDS,
@@ -374,11 +427,18 @@ _RESOURCE_TABLES = {
         "common_words": DE_COMMON_WORDS,
         "clusters": {},
     },
+    "it": {
+        "stop_words": IT_STOP_WORDS,
+        "noise": IT_NOISE,
+        "stems": IT_STEMS,
+        "common_words": IT_COMMON_WORDS,
+        "clusters": {},
+    },
 }
 
 
 def get_resources(language: str = "en") -> dict:
-    """Resource bundle for a language (en, fr, es, de shipped)."""
+    """Resource bundle for a language (en, fr, es, de, it shipped)."""
     tables = _RESOURCE_TABLES.get(language)
     if tables is None:
         raise ValueError(

@@ -1,0 +1,177 @@
+"""Italian end-to-end (round-2 language expansion #4) — fused compounds
+with vowel elision; hand-computed expectations."""
+
+import datetime
+
+import pytest
+
+ANCHOR = datetime.datetime(2024, 5, 2)  # giovedì
+
+
+def _it_dataset():
+    return {
+        "language": "it",
+        "intents": {
+            "preparareBevanda": {
+                "utterances": [
+                    {"data": [
+                        {"text": "fammi "},
+                        {"text": "due", "entity": "snips/number",
+                         "slot_name": "numero_tazze"},
+                        {"text": " tazze di "},
+                        {"text": "caffè", "entity": "bevanda",
+                         "slot_name": "bevanda"},
+                    ]},
+                    {"data": [
+                        {"text": "prepara "},
+                        {"text": "una", "entity": "snips/number",
+                         "slot_name": "numero_tazze"},
+                        {"text": " tazza di "},
+                        {"text": "tè", "entity": "bevanda",
+                         "slot_name": "bevanda"},
+                        {"text": " per favore"},
+                    ]},
+                    {"data": [
+                        {"text": "voglio una "},
+                        {"text": "cioccolata calda", "entity": "bevanda",
+                         "slot_name": "bevanda"},
+                    ]},
+                ]
+            },
+            "prenotareVolo": {
+                "utterances": [
+                    {"data": [
+                        {"text": "prenotami un volo per "},
+                        {"text": "roma", "entity": "citta",
+                         "slot_name": "destinazione"},
+                        {"text": " "},
+                        {"text": "domani", "entity": "snips/datetime",
+                         "slot_name": "data_partenza"},
+                    ]},
+                    {"data": [
+                        {"text": "voglio un biglietto per "},
+                        {"text": "milano", "entity": "citta",
+                         "slot_name": "destinazione"},
+                    ]},
+                    {"data": [
+                        {"text": "trova un volo per "},
+                        {"text": "napoli", "entity": "citta",
+                         "slot_name": "destinazione"},
+                        {"text": " "},
+                        {"text": "lunedì", "entity": "snips/datetime",
+                         "slot_name": "data_partenza"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "bevanda": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "caffè", "synonyms": ["espresso"]},
+                    {"value": "tè", "synonyms": ["tè verde"]},
+                    {"value": "cioccolata calda", "synonyms": ["cacao"]},
+                ],
+            },
+            "citta": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "roma", "synonyms": []},
+                    {"value": "milano", "synonyms": []},
+                    {"value": "napoli", "synonyms": []},
+                    {"value": "torino", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from snips_nlu_spark.engine import NluEngine
+    return NluEngine().fit(_it_dataset())
+
+
+def test_it_number_words():
+    from snips_nlu_spark.entities.numbers import words_to_number
+    assert words_to_number("ventidue", "it") == 22.0
+    assert words_to_number("ventuno", "it") == 21.0  # elision
+    assert words_to_number("centottanta", "it") == 180.0  # elision
+    assert words_to_number("duecentotrentaquattro", "it") == 234.0
+    assert words_to_number("duemilaventi", "it") == 2020.0
+    assert words_to_number("ventiuno", "it") is None  # must elide
+
+
+def test_it_builtin_grammar():
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="it")
+
+    def one(text, kind):
+        out = p.parse(text, scope=(kind,), anchor=ANCHOR)
+        assert len(out) == 1, (text, out)
+        return out[0]
+
+    m = one("fammi ventidue copie", "snips/number")
+    assert m["resolved_value"] == {"kind": "Number", "value": 22.0}
+
+    m = one("aspetta dieci minuti", "snips/duration")
+    assert m["resolved_value"]["minutes"] == 10
+
+    m = one("al venticinque per cento", "snips/percentage")
+    assert m["resolved_value"] == {"kind": "Percentage", "value": 25.0}
+
+    m = one("la terza volta", "snips/ordinal")
+    assert m["resolved_value"] == {"kind": "Ordinal", "value": 3}
+
+    m = one("ci vediamo domani alle 8:30", "snips/datetime")
+    assert m["value"] == "domani alle 8:30"
+    assert m["resolved_value"]["value"] == "2024-05-03 08:30:00"
+
+    m = one("il 3 giugno", "snips/datetime")
+    assert m["resolved_value"]["value"] == "2024-06-03 00:00:00"
+
+    m = one("da lunedì a venerdì", "snips/datetime")
+    assert m["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-06 00:00:00",
+        "to": "2024-05-10 00:00:00"}
+
+
+def test_it_cascade(engine):
+    r = engine.parse("fammi due tazze di caffè", anchor=ANCHOR)
+    assert r["intent"] == {"intentName": "preparareBevanda",
+                           "probability": 1.0}
+    vals = {s["slotName"]: s["value"] for s in r["slots"]}
+    assert vals["numero_tazze"] == {"kind": "Number", "value": 2.0}
+    assert vals["bevanda"] == {"kind": "Custom", "value": "caffè"}
+
+    # synonym → canonical via probabilistic path
+    r = engine.parse("prepara subito due tazze di cacao", anchor=ANCHOR)
+    assert r["intent"]["intentName"] == "preparareBevanda"
+    vals = {s["slotName"]: s["value"]["value"] for s in r["slots"]}
+    assert vals.get("bevanda") == "cioccolata calda"
+
+    # anchored datetime + non-extensible drop
+    r = engine.parse("prenotami un volo per roma domani", anchor=ANCHOR)
+    assert r["intent"]["intentName"] == "prenotareVolo"
+    vals = {s["slotName"]: s["value"] for s in r["slots"]}
+    assert vals["destinazione"] == {"kind": "Custom", "value": "roma"}
+    assert vals["data_partenza"]["value"] == "2024-05-03 00:00:00"
+
+    r = engine.parse("prenotami un volo per atlantide domani",
+                     anchor=ANCHOR)
+    assert r["intent"]["intentName"] == "prenotareVolo"
+    assert "destinazione" not in {s["slotName"] for s in r["slots"]}
+
+
+def test_it_bundle_roundtrip(engine):
+    from snips_nlu_spark.engine import NluEngine
+    reloaded = NluEngine.from_dict(engine.to_dict())
+    assert reloaded._bundle.builtin.language == "it"
+    r = reloaded.parse("fammi due tazze di caffè", anchor=ANCHOR)
+    assert r["intent"]["intentName"] == "preparareBevanda"

@@ -137,6 +137,50 @@ def test_de_number_roundtrip(n):
     assert words_to_number(_compose_de(n), "de") == float(n)
 
 
+def _compose_it(n: int) -> str:
+    units = ["zero", "uno", "due", "tre", "quattro", "cinque", "sei",
+             "sette", "otto", "nove", "dieci", "undici", "dodici",
+             "tredici", "quattordici", "quindici", "sedici",
+             "diciassette", "diciotto", "diciannove"]
+    tens = {2: "venti", 3: "trenta", 4: "quaranta", 5: "cinquanta",
+            6: "sessanta", 7: "settanta", 8: "ottanta", 9: "novanta"}
+
+    def below_100(k):
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        word = tens[t]
+        if u == 0:
+            return word
+        if u in (1, 8):  # vowel elision: ventuno, ventotto
+            return word[:-1] + units[u]
+        return word + units[u]
+
+    def below_1000(k):
+        h, rest = divmod(k, 100)
+        if h == 0:
+            return below_100(k)
+        word = "cento" if h == 1 else units[h] + "cento"
+        if rest == 0:
+            return word
+        tail = below_100(rest)
+        if tail.startswith("o"):  # elision: centottanta
+            return word[:-1] + tail
+        return word + tail
+
+    if n < 1000:
+        return below_1000(n)
+    th, rest = divmod(n, 1000)
+    word = "mille" if th == 1 else below_1000(th) + "mila"
+    return word if rest == 0 else word + below_1000(rest)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=999_999))
+def test_it_number_roundtrip(n):
+    assert words_to_number(_compose_it(n), "it") == float(n)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.integers(min_value=0, max_value=999_999))
 def test_es_number_roundtrip(n):
