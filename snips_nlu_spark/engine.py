@@ -84,8 +84,24 @@ class NluEngine:
         custom_entities = {name: entity
                            for name, entity in dataset["entities"].items()
                            if not is_builtin_entity(name)}
+        # WITH_AND_WITHOUT_STEMS: stemmed variants merged in without
+        # overriding raw keys, conflicts resolved deterministically by
+        # sorting on the resolved value (ref custom_entity_parser.py:
+        # 114-131 _stem_entity_utterances/_merge_entity_utterances — the
+        # en config stems the CRF entity_match lookups)
+        from .textcore import stem as _stem
+        stems = resources["stems"]
+        entity_utterances: dict[str, dict[str, str]] = {}
+        for name, e in custom_entities.items():
+            utts = dict(e["utterances"])
+            for raw, resolved in sorted(e["utterances"].items(),
+                                        key=lambda kv: kv[1]):
+                stemmed = _stem(raw, stems)
+                if stemmed not in utts:
+                    utts[stemmed] = resolved
+            entity_utterances[name] = utts
         gazetteer = GazetteerParser.build(
-            {name: e["utterances"] for name, e in custom_entities.items()},
+            entity_utterances,
             strictness={name: e.get("matching_strictness", 1.0)
                         for name, e in custom_entities.items()})
         gazetteer_scope = sorted(e for e in dataset["entities"]

@@ -76,10 +76,12 @@ EN_DEFAULT_FEATURES: list[dict] = [
     {"factory_name": "shape_ngram", "offsets": [-1], "args": {"n": 3}},
     {"factory_name": "entity_match", "offsets": [-2, -1, 0],
      "args": {"tagging_scheme_code": int(TaggingScheme.BILOU),
+              "use_stemming": True,
               "entity_filter": {"automatically_extensible": False}}},
     {"factory_name": "entity_match", "offsets": [-2, -1, 0],
      "drop_out": 0.5,
      "args": {"tagging_scheme_code": int(TaggingScheme.BILOU),
+              "use_stemming": True,
               "entity_filter": {"automatically_extensible": True}}},
     {"factory_name": "builtin_entity_match", "offsets": [-2, -1, 0],
      "args": {"tagging_scheme_code": int(TaggingScheme.BIO)}},
@@ -179,24 +181,48 @@ def _word_cluster_factory(args, fs, ctx):
     yield f"word_cluster_{cluster_name}", [cluster.get(w) for w in words]
 
 
+def _stemmed_token_stream(fs, ctx):
+    """Tokens normalized+stemmed and re-laid-out with single-space
+    separators — token COUNT is invariant, so tags map back by index
+    (ref: CustomEntityMatchFactory._transform, feature_factory.py:
+    440-456)."""
+    stems = fs.resources.get("stems", {})
+    toks = []
+    pos = 0
+    for v in ctx["values"]:
+        w = normalize(v)
+        w = stems.get(w, w)
+        toks.append(Token(w, pos, pos + len(w)))
+        pos += len(w) + 1
+    return " ".join(t.value for t in toks), toks
+
+
 @register_feature_factory("entity_match")
 def _entity_match_factory(args, fs, ctx):
     """ref: feature_factory.py:379-509 — one feature per custom entity in
     scope, scheme-prefixed over matched spans; ``entity_filter``
-    restricts to (non-)automatically-extensible entities."""
+    restricts to (non-)automatically-extensible entities;
+    ``use_stemming`` matches against the stemmed token stream (the
+    gazetteer carries stemmed value variants, engine.fit)."""
     scheme = TaggingScheme(args.get("tagging_scheme_code",
                                     int(TaggingScheme.BILOU)))
     filt = args.get("entity_filter") or {}
     ext_map = fs.entity_scopes.get("extensible", {})
     n = len(ctx["values"])
+    if args.get("use_stemming"):
+        if "stemmed" not in ctx:
+            ctx["stemmed"] = _stemmed_token_stream(fs, ctx)
+        match_text, match_tokens = ctx["stemmed"]
+    else:
+        match_text, match_tokens = ctx["text"], ctx["tokens"]
     for entity in fs.entity_scopes.get("custom", []):
         if "automatically_extensible" in filt and \
                 ext_map.get(entity, False) != \
                 filt["automatically_extensible"]:
             continue
         feats = [None] * n
-        mentions = fs.bundle.parse_custom(ctx["text"], [entity])
-        _tag_mentions(mentions, ctx["tokens"], feats, scheme)
+        mentions = fs.bundle.parse_custom(match_text, [entity])
+        _tag_mentions(mentions, match_tokens, feats, scheme)
         yield f"entity_match_{entity}", feats
 
 
