@@ -57,6 +57,58 @@ def brute_force_topk(embeddings: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
+def cosine_duplicate_pairs(embeddings: DataFrame,
+                           threshold: float = 0.5) -> DataFrame:
+    """(vec_a, vec_b, sim): all pairs with cosine ≥ threshold — the
+    embedding-near-duplicate analogue of ``jaccard_duplicate_pairs``.
+    Quadratic BY DESIGN (the exact correctness baseline, like the brute
+    Jaccard pairs); the scale path is ``cosine_duplicate_pairs_lsh``."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("eb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b",
+                    F.round(_cosine(F.col("ea"), F.col("eb")), 6)
+                    .alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+def cosine_duplicate_pairs_lsh(embeddings: DataFrame,
+                               threshold: float = 0.5,
+                               n_tables: int = 16, n_bits: int = 6,
+                               dim: int = 64, seed: int = 42) -> DataFrame:
+    """Scale path for embedding near-dup pairs: random-hyperplane LSH
+    buckets generate candidate pairs (same (table, bucket) collision),
+    candidates are scored exactly and filtered by threshold. Recall is
+    the LSH knob: a pair at cosine s collides in one table w.p.
+    (1 - arccos(s)/π)^n_bits; misses over n_tables independent tables
+    decay geometrically. Replaces the all-pairs cross join with bucket
+    joins — the 10^9-vector shape."""
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    buckets = _bucket_udf(planes)
+    signed = embeddings.withColumn("buckets",
+                                   buckets(F.col("embedding")))
+    banded = signed.select(
+        "vec_id", "embedding",
+        F.posexplode("buckets").alias("table", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (a.join(b, (F.col("a.table") == F.col("b.table"))
+                         & (F.col("a.bucket") == F.col("b.bucket"))
+                         & (F.col("a.vec_id") < F.col("b.vec_id")))
+                  .select(F.col("a.vec_id").alias("vec_a"),
+                          F.col("b.vec_id").alias("vec_b"),
+                          F.col("a.embedding").alias("ea"),
+                          F.col("b.embedding").alias("eb"))
+                  .dropDuplicates(["vec_a", "vec_b"]))
+    return (candidates
+            .select("vec_a", "vec_b",
+                    F.round(_cosine(F.col("ea"), F.col("eb")), 6)
+                    .alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42):
     """Deterministic random hyperplanes (driver-side numpy, captured by
     the Arrow signature kernel — tables × bits × dim doubles, a few KB)."""

@@ -114,6 +114,31 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.75  # recall knob, not exactness
 
 
+def test_cosine_duplicate_pairs_and_lsh_recall(spark):
+    from snips_nlu_spark.functions.similarity import (
+        cosine_duplicate_pairs, cosine_duplicate_pairs_lsh)
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype("float32")
+    # plant near-duplicate clusters
+    base[11] = base[2] + 0.02 * rng.randn(16).astype("float32")
+    base[23] = base[2] + 0.03 * rng.randn(16).astype("float32")
+    base[37] = base[15] + 0.01 * rng.randn(16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        ["vec_id", "embedding"])
+    brute = {(r["vec_a"], r["vec_b"])
+             for r in cosine_duplicate_pairs(emb, threshold=0.9).collect()}
+    assert {(2, 11), (2, 23), (11, 23), (15, 37)} <= brute
+    # high-cosine pairs collide with near-certainty in ≥1 of 16 tables
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in cosine_duplicate_pairs_lsh(
+               emb, threshold=0.9, n_tables=16, n_bits=4,
+               dim=16).collect()}
+    assert lsh <= brute  # exact re-scoring: no false positives
+    assert len(lsh & brute) / len(brute) >= 0.75
+
+
 def test_multimodal_plumbing(spark):
     from snips_nlu_spark.functions.multimodal import (
         extract_media_features, frame_sample_plan, synthesize_media)
