@@ -116,8 +116,8 @@ def _digit_candidates(tokens: Sequence[Token]) -> list[dict]:
 def _word_candidates(tokens: Sequence[Token],
                      language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
-    glue = {"fr": ("et",), "es": ("y",), "de": (), "it": ()}.get(
-        language, ("and", "a", "an"))
+    glue = {"fr": ("et",), "es": ("y",), "de": (), "it": (),
+            "pt": ("e",)}.get(language, ("and", "a", "an"))
     out = []
     i = 0
     n = len(tokens)
@@ -182,6 +182,7 @@ _ORDINAL_SUFFIX_RE = {
     # word ordinals only
     "de": re.compile(r"^(\d+)\.$"),
     "it": re.compile(r"^(\d+)(º|°|ª|o|a)$", re.IGNORECASE),
+    "pt": re.compile(r"^(\d+)(º|ª|o|a)$", re.IGNORECASE),
 }
 
 
@@ -204,7 +205,7 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
 
 _PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent"),
                   "es": ("%", "porciento"), "de": ("%", "prozent"),
-                  "it": ("%", "percento")}
+                  "it": ("%", "percento"), "pt": ("%", "porcento")}
 
 
 def _scan_percentage(text, tokens, cands, anchor, lang="en"):
@@ -216,7 +217,7 @@ def _scan_percentage(text, tokens, cands, anchor, lang="en"):
             out.append(_mention(text, tokens, c["tok_start"], nxt,
                                 "snips/percentage",
                                 {"kind": "Percentage", "value": c["num"]}))
-        elif lang in ("fr", "es", "it") and nxt + 1 < n \
+        elif lang in ("fr", "es", "it", "pt") and nxt + 1 < n \
                 and tokens[nxt].value.lower() in ("pour", "por", "per") \
                 and tokens[nxt + 1].value.lower() in ("cent", "ciento",
                                                       "cento"):
@@ -234,7 +235,8 @@ _DEGREE_WORDS = {"en": ("degree", "degrees", "°"),
                  "fr": ("degré", "degrés", "degre", "degres", "°"),
                  "es": ("grado", "grados", "°"),
                  "de": ("grad", "°"),
-                 "it": ("grado", "gradi", "°")}
+                 "it": ("grado", "gradi", "°"),
+                 "pt": ("grau", "graus", "°")}
 
 
 def _scan_temperature(text, tokens, cands, anchor, lang="en"):
@@ -313,6 +315,15 @@ _DURATION_UNITS = {
         "mes": "months", "meses": "months",
         "año": "years", "años": "years", "ano": "years", "anos": "years",
     },
+    "pt": {
+        "segundo": "seconds", "segundos": "seconds", "seg": "seconds",
+        "minuto": "minutes", "minutos": "minutes", "min": "minutes",
+        "hora": "hours", "horas": "hours",
+        "dia": "days", "dias": "days",
+        "semana": "weeks", "semanas": "weeks",
+        "mês": "months", "mes": "months", "meses": "months",
+        "ano": "years", "anos": "years",
+    },
     "it": {
         "secondo": "seconds", "secondi": "seconds", "sec": "seconds",
         "minuto": "minutes", "minuti": "minutes", "min": "minutes",
@@ -382,6 +393,27 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {"from": ("to", "until", "till"),
                        "between": ("and",)},
+    },
+    "pt": {
+        "weekdays": {"segunda-feira": 0, "segunda": 0, "terça": 1,
+                     "terca": 1, "quarta": 2, "quinta": 3, "sexta": 4,
+                     "sábado": 5, "sabado": 5, "domingo": 6},
+        "months": {"janeiro": 1, "fevereiro": 2, "março": 3, "marco": 3,
+                   "abril": 4, "maio": 5, "junho": 6, "julho": 7,
+                   "agosto": 8, "setembro": 9, "outubro": 10,
+                   "novembro": 11, "dezembro": 12},
+        "dayparts": {"manhã": 8, "manha": 8, "meio-dia": 12, "tarde": 15,
+                     "noite": 21, "madrugada": 4},
+        "rel_days": {"ontem": -1, "hoje": 0, "amanhã": 1, "amanha": 1},
+        "tonight": None,
+        "at_words": ("às", "as", "a", "pelas"),
+        "the_words": ("o", "a", "as"),
+        "day_prefix": ("na", "no", "esta", "este"),
+        "next_word": None,
+        "periods": (),
+        "period_map": {},
+        "weekday_suffix": ("que",),
+        "range_open": {"de": ("a", "até", "ate"), "entre": ("e",)},
     },
     "it": {
         "weekdays": {"lunedì": 0, "lunedi": 0, "martedì": 1, "martedi": 1,
@@ -522,11 +554,12 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
             day_num = int(m.group(1))
         elif tokens[i + 1].value.isdigit():
             day_num = int(tokens[i + 1].value)
-    elif lang in ("fr", "es", "it"):
+    elif lang in ("fr", "es", "it", "pt"):
         # day-first order: "3 juin" / "1er juin" / "3 de junio" /
-        # "3 giugno"
+        # "3 giugno" / "3 de junho"
         j = i + 1
-        if lang == "es" and j < n and tokens[j].value.lower() == "de":
+        if lang in ("es", "pt") and j < n \
+                and tokens[j].value.lower() == "de":
             j += 1
         if j < n and tokens[j].value.lower() in months:
             m = _ORDINAL_SUFFIX_RE[lang].match(tokens[i].value)
@@ -653,7 +686,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
         elif w in tables["months"] or (
-                lang in ("fr", "es", "it")
+                lang in ("fr", "es", "it", "pt")
                 and _parse_month_day(tokens, i, n, base_date,
                                      lang) is not None):
             md = _parse_month_day(tokens, i, n, base_date, lang)

@@ -1,4 +1,4 @@
-"""Number words ↔ values (en, fr, es, de, it).
+"""Number words ↔ values (en, fr, es, de, it, pt).
 
 From-scratch replacement for the number grammar of the reference's Rust
 ``snips_nlu_parsers`` (snips/number kind, /root/reference/snips_nlu/
@@ -357,6 +357,105 @@ def _words_to_number_de(words: list[str]) -> float | None:
     return None
 
 
+# --- Portuguese tables --------------------------------------------------------
+
+_PT_UNITS = {
+    "zero": 0, "um": 1, "uma": 1, "dois": 2, "duas": 2, "três": 3,
+    "tres": 3, "quatro": 4, "cinco": 5, "seis": 6, "sete": 7, "oito": 8,
+    "nove": 9, "dez": 10, "onze": 11, "doze": 12, "treze": 13,
+    "catorze": 14, "quatorze": 14, "quinze": 15, "dezesseis": 16,
+    "dezasseis": 16, "dezessete": 17, "dezassete": 17, "dezoito": 18,
+    "dezenove": 19, "dezanove": 19,
+}
+_PT_TENS = {"vinte": 20, "trinta": 30, "quarenta": 40, "cinquenta": 50,
+            "sessenta": 60, "setenta": 70, "oitenta": 80, "noventa": 90}
+_PT_HUNDREDS = {
+    "cem": 100, "cento": 100, "duzentos": 200, "trezentos": 300,
+    "quatrocentos": 400, "quinhentos": 500, "seiscentos": 600,
+    "setecentos": 700, "oitocentos": 800, "novecentos": 900,
+}
+_PT_SCALES = {"mil": 1000, "milhão": 10 ** 6, "milhao": 10 ** 6,
+              "milhões": 10 ** 6, "milhoes": 10 ** 6}
+_PT_GLUE = {"e"}
+
+PT_NUMBER_WORDS = (set(_PT_UNITS) | set(_PT_TENS) | set(_PT_HUNDREDS)
+                   | set(_PT_SCALES) | _PT_GLUE)
+
+_PT_ORDINALS = {
+    "primeiro": 1, "primeira": 1, "segundo": 2, "segunda": 2,
+    "terceiro": 3, "terceira": 3, "quarto": 4, "quarta": 4, "quinto": 5,
+    "quinta": 5, "sexto": 6, "sexta": 6, "sétimo": 7, "setimo": 7,
+    "oitavo": 8, "oitava": 8, "nono": 9, "nona": 9, "décimo": 10,
+    "decimo": 10,
+}
+
+PT_ORDINAL_WORDS = set(_PT_ORDINALS)
+
+
+def _words_to_number_pt(words: list[str]) -> float | None:
+    """Portuguese composed numbers with the 'e' connective at every
+    level: 'trinta e dois'=32, 'cento e cinco'=105, 'dois mil e vinte'=
+    2020."""
+    total = 0
+    current = 0
+    block_done = False
+    seen_value = False
+    expect_after_e = False
+    i, n = 0, len(words)
+    while i < n:
+        w = words[i]
+        if w == "e":
+            if not seen_value or i + 1 == n:
+                return None
+            expect_after_e = True
+            i += 1
+            continue
+        if w in _PT_HUNDREDS:
+            if block_done or current != 0:
+                return None
+            current += _PT_HUNDREDS[w]
+            seen_value = True
+            expect_after_e = False
+            i += 1
+            continue
+        if w in _PT_TENS:
+            if block_done or current % 100 != 0:
+                return None
+            current += _PT_TENS[w]
+            seen_value = True
+            expect_after_e = False
+            i += 1
+            continue
+        if w in _PT_UNITS:
+            if block_done or (current and current % 100 != 0
+                              and current % 10 == 0 and not expect_after_e):
+                return None
+            if block_done:
+                return None
+            current += _PT_UNITS[w]
+            seen_value = True
+            block_done = True
+            expect_after_e = False
+            i += 1
+            continue
+        if w in _PT_SCALES:
+            scale = _PT_SCALES[w]
+            if current == 0:
+                current = 1
+            current *= scale
+            total += current
+            current = 0
+            seen_value = True
+            block_done = False
+            expect_after_e = False
+            i += 1
+            continue
+        return None
+    if not seen_value:
+        return None
+    return float(total + current)
+
+
 # --- Italian tables ---------------------------------------------------------
 # Italian also fuses compounds (ventidue, duecentotrentaquattro, duemila)
 # with vowel elision before uno/otto (ventuno, ventotto, centottanta), so
@@ -479,6 +578,8 @@ def number_words(language: str = "en") -> set[str]:
         return FR_NUMBER_WORDS
     if language == "es":
         return ES_NUMBER_WORDS
+    if language == "pt":
+        return PT_NUMBER_WORDS
     return NUMBER_WORDS
 
 
@@ -491,6 +592,8 @@ def ordinal_words(language: str = "en") -> set[str]:
         return DE_ORDINAL_WORDS
     if language == "it":
         return IT_ORDINAL_WORDS
+    if language == "pt":
+        return PT_ORDINAL_WORDS
     return ORDINAL_WORDS
 
 
@@ -509,6 +612,8 @@ def words_to_number(phrase: str, language: str = "en") -> float | None:
         return _words_to_number_de(words)
     if language == "it":
         return _words_to_number_it(words)
+    if language == "pt":
+        return _words_to_number_pt(words)
     total = 0
     current = 0
     seen_value = False
@@ -570,6 +675,8 @@ def ordinal_word_to_number(word: str, language: str = "en") -> int | None:
         return _DE_ORDINALS.get(word.lower())
     if language == "it":
         return _IT_ORDINALS.get(word.lower())
+    if language == "pt":
+        return _PT_ORDINALS.get(word.lower())
     return _ORDINAL_UNITS.get(word.lower())
 
 

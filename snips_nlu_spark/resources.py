@@ -395,6 +395,60 @@ primo secondo terzo ultimo prossimo
 volo aereo biglietto tempo temperatura pioggia neve
 """.split()))
 
+# --- Portuguese resources ------------------------------------------------------
+
+PT_STOP_WORDS = frozenset("""
+o a os as um uns umas de do da dos das em no na nos nas por pelo pela
+para com sem sobre entre até e ou mas se que como quando onde quem qual
+eu tu ele ela nós vós eles elas me te se lhe lhes nos vos
+meu minha meus minhas teu tua seu sua nosso nossa este esta esse essa
+isto isso aquilo
+é são sou és somos sois era eram foi ser estar estou está estão
+ter tenho tens tem temos têm há
+não sim já muito mais menos também todo todos toda todas
+""".split())
+
+PT_NOISE = """
+o de a e que do da em um para é com não uma os no se na por mais as
+dos como mas foi ao ele das tem à seu sua ou ser quando muito há nos
+já está eu também só pelo pela até isso ela entre era depois sem mesmo
+tempo ano dia mundo vida homem mulher casa cidade país coisa palavra
+obrigado olá bom dia boa tarde noite sim pode deve vai vem fica parte
+maçã banana cereja morango laranja limão uva pêssego pera damasco
+montanha rio castelo jardim ponte janela porta mesa cadeira livro
+pesquisa processamento pedido operação concluída sucesso verificação
+sistema estado relatório gerado serviço confirmado espera impossível
+aparelho nova configuração guardada resultados tarefa terminada
+erro aviso saída entrada resposta dados
+""".split()
+
+PT_STEMS: dict[str, str] = {
+    "xícaras": "xícara", "chávenas": "chávena", "cafés": "café",
+    "luzes": "luz", "voos": "voo", "bilhetes": "bilhete",
+    "quartos": "quarto", "prepara": "preparar", "quero": "querer",
+    "acende": "acender", "apaga": "apagar", "reserva": "reservar",
+}
+
+PT_COMMON_WORDS = frozenset(
+    {PT_STEMS.get(w, w) for w in PT_NOISE}
+    | set(PT_STOP_WORDS)
+    | set("""
+faz fazer prepara preparar põe dá dar acende apaga ajusta
+reserva reservar procura encontra mostra diz por favor obrigado olá
+café chá leite água sumo suco chocolate xícara chávena copo garrafa
+quente frio gelado grande pequeno
+cozinha quarto sala escritório garagem banheiro
+vermelho verde azul amarelo branco preto roxo rosa
+amanhã ontem hoje manhã tarde noite semana mês ano
+segunda terça quarta quinta sexta sábado domingo
+janeiro fevereiro março abril maio junho julho agosto setembro outubro
+novembro dezembro
+zero um uma dois duas três quatro cinco seis sete oito nove dez onze
+doze vinte trinta quarenta cinquenta cem mil
+primeiro segundo terceiro último próximo
+voo avião bilhete tempo temperatura chuva neve
+""".split()))
+
 _RESOURCE_TABLES = {
     "en": {
         "stop_words": EN_STOP_WORDS,
@@ -434,11 +488,18 @@ _RESOURCE_TABLES = {
         "common_words": IT_COMMON_WORDS,
         "clusters": {},
     },
+    "pt": {
+        "stop_words": PT_STOP_WORDS,
+        "noise": PT_NOISE,
+        "stems": PT_STEMS,
+        "common_words": PT_COMMON_WORDS,
+        "clusters": {},
+    },
 }
 
 
 def get_resources(language: str = "en") -> dict:
-    """Resource bundle for a language (en, fr, es, de, it shipped)."""
+    """Resource bundle for a language (en, fr, es, de, it, pt)."""
     tables = _RESOURCE_TABLES.get(language)
     if tables is None:
         raise ValueError(

@@ -181,6 +181,45 @@ def test_it_number_roundtrip(n):
     assert words_to_number(_compose_it(n), "it") == float(n)
 
 
+def _compose_pt(n: int) -> str:
+    units = ["zero", "um", "dois", "três", "quatro", "cinco", "seis",
+             "sete", "oito", "nove", "dez", "onze", "doze", "treze",
+             "catorze", "quinze", "dezesseis", "dezessete", "dezoito",
+             "dezenove"]
+    tens = {2: "vinte", 3: "trinta", 4: "quarenta", 5: "cinquenta",
+            6: "sessenta", 7: "setenta", 8: "oitenta", 9: "noventa"}
+    hundreds = {1: "cento", 2: "duzentos", 3: "trezentos",
+                4: "quatrocentos", 5: "quinhentos", 6: "seiscentos",
+                7: "setecentos", 8: "oitocentos", 9: "novecentos"}
+
+    def below_100(k):
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        return tens[t] if u == 0 else f"{tens[t]} e {units[u]}"
+
+    def below_1000(k):
+        h, rest = divmod(k, 100)
+        if h == 0:
+            return below_100(k)
+        if h == 1 and rest == 0:
+            return "cem"
+        word = hundreds[h]
+        return word if rest == 0 else f"{word} e {below_100(rest)}"
+
+    if n < 1000:
+        return below_1000(n)
+    th, rest = divmod(n, 1000)
+    word = "mil" if th == 1 else f"{below_1000(th)} mil"
+    return word if rest == 0 else f"{word} e {below_1000(rest)}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=999_999))
+def test_pt_number_roundtrip(n):
+    assert words_to_number(_compose_pt(n), "pt") == float(n)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.integers(min_value=0, max_value=999_999))
 def test_es_number_roundtrip(n):
