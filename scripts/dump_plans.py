@@ -51,7 +51,8 @@ def main() -> None:
     sections = []
     for name in ("kg_triples", "kg_intent_distribution", "kg_nodes",
                  "doc_text_profile", "doc_minhash_pairs",
-                 "emb_topk_cosine"):
+                 "doc_jaccard_pairs_capped", "emb_topk_cosine",
+                 "emb_lsh_topk", "emb_cosine_dups", "event_sessions"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         sections.append(f"## {name}\n\n```\n{simplify(plan)}\n```\n")
