@@ -160,6 +160,26 @@ def main() -> None:
     lsh_bucketed_topk(embs, k=5, n_queries=20).count()
     queries["emb_lsh_topk"] = round(time.time() - t0, 3)
 
+    # q2d: cold path — fully-unique texts defeat every executor memo, so
+    # this measures the raw per-string engine (BASELINE.md cold-path
+    # section tracks the optimization work on it)
+    from pyspark.sql import functions as F
+    unique = spark.range(50_000).select(
+        F.concat(F.lit("conv_u"), (F.col("id") / 50).cast("long")
+                 .cast("string")).alias("conv_id"),
+        F.pmod(F.col("id"), F.lit(50)).cast("int").alias("turn_idx"),
+        F.concat(F.lit("make me "), F.col("id").cast("string"),
+                 F.lit(" cups of coffee variant "),
+                 F.col("id").cast("string")).alias("text"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    from snips_nlu_spark.spark.stages import parse_transcripts as _pt
+    _pt(unique.limit(CPUS * 50), model_json).count()  # warm
+    t0 = time.time()
+    _pt(unique, model_json).count()
+    cold_sec = time.time() - t0
+    queries["cold_unique_parse"] = round(cold_sec, 3)
+    cold_tps = round(50_000 / cold_sec, 1)
+
     # q3: checkpointed end-to-end build (parse + partitioned write +
     # lineage + rollup sinks)
     from snips_nlu_spark.spark.lineage import build_kg
@@ -180,6 +200,7 @@ def main() -> None:
         "n_turns": parse_stats["n_turns"],
         "n_triples": parse_stats["n_triples"],
         "triples_per_sec": round(parse_stats["triples_per_sec"], 1),
+        "cold_unique_turns_per_sec": cold_tps,
         "cpus": CPUS,
     }
 
