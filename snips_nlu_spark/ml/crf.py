@@ -153,6 +153,60 @@ class LinearChainCRF:
             path.append(int(back[t, path[-1]]))
         return [self.labels[i] for i in reversed(path)]
 
+    def predict_batch(self, seqs: list[list[dict]]) -> list[list[str]]:
+        """Batched Viterbi: one padded (B, T, L) emission gather and T
+        vectorized DP steps instead of per-sequence numpy calls. Row i is
+        float-identical to ``predict_single(seqs[i])`` (same accumulation
+        order per (row, token); same first-max argmax tie-breaking)."""
+        if not seqs or not self.labels:
+            return [[] for _ in seqs]
+        n_labels = len(self.labels)
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        t_max = int(lens.max())
+        n_seq = len(seqs)
+        if t_max == 0:
+            return [[] for _ in seqs]
+
+        index = self.feature_index
+        f_ids: list[int] = []
+        f_row: list[int] = []
+        f_tok: list[int] = []
+        for b, seq in enumerate(seqs):
+            for t, feats in enumerate(seq):
+                for k, v in feats.items():
+                    j = index.get(f"{k}={v}")
+                    if j is not None:
+                        f_ids.append(j)
+                        f_row.append(b)
+                        f_tok.append(t)
+        emit = np.zeros((n_seq, t_max, n_labels))
+        if f_ids:
+            np.add.at(emit,
+                      (np.array(f_row, dtype=np.int64),
+                       np.array(f_tok, dtype=np.int64)),
+                      self.emission[np.array(f_ids, dtype=np.int64)])
+
+        delta = self.bos + emit[:, 0, :]                       # (B, L)
+        back = np.zeros((n_seq, t_max, n_labels), dtype=np.int64)
+        for t in range(1, t_max):
+            scores = delta[:, :, None] + self.transition[None, :, :]
+            back[:, t, :] = np.argmax(scores, axis=1)
+            new_delta = emit[:, t, :] + np.max(scores, axis=1)
+            active = (t < lens)[:, None]
+            delta = np.where(active, new_delta, delta)  # freeze done rows
+
+        out: list[list[str]] = []
+        for b in range(n_seq):
+            t_len = int(lens[b])
+            if t_len == 0:
+                out.append([])
+                continue
+            path = [int(np.argmax(delta[b]))]
+            for t in range(t_len - 1, 0, -1):
+                path.append(int(back[b, t, path[-1]]))
+            out.append([self.labels[i] for i in reversed(path)])
+        return out
+
     def sequence_log_proba(self, seq_feats: list[dict],
                            tags: list[str]) -> float:
         """log p(tags | tokens) — forward algorithm (ref:

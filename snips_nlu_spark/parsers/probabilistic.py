@@ -75,20 +75,36 @@ class ProbabilisticIntentParser:
     def parse_batch(self, texts: list[str], entity_bundle,
                     anchors=None) -> list[dict]:
         """Vectorized unscoped parse of many texts: one classifier matmul,
-        then per-row CRF only for non-None intents. Row i is identical to
-        ``parse(texts[i], ...)`` (same ranking code path)."""
+        then one batched CRF decode per predicted intent. Row i is
+        identical to ``parse(texts[i], ...)`` (same ranking and decode
+        code paths; predict_batch is float-identical to
+        predict_single)."""
         ranked_all = self.intent_classifier.get_intents_batch(
             texts, entity_bundle, anchors)
         anchors = anchors or [None] * len(texts)
-        out = []
-        for text, ranked, anchor in zip(texts, ranked_all, anchors):
+        out: list = [None] * len(texts)
+        by_intent: dict[str, list[int]] = {}
+        for i, (text, ranked) in enumerate(zip(texts, ranked_all)):
             best = ranked[0]
             if best["intentName"] is None:
-                out.append(empty_result(text, best["probability"]))
+                out[i] = empty_result(text, best["probability"])
             else:
-                slots = self.get_slots(text, entity_bundle,
-                                       best["intentName"], anchor=anchor)
-                out.append(parsing_result(text, best, slots))
+                by_intent.setdefault(best["intentName"], []).append(i)
+        for intent, idxs in by_intent.items():
+            filler = self.slot_fillers[intent]
+            if hasattr(filler, "get_slots_batch"):
+                slots_per_row = filler.get_slots_batch(
+                    [texts[i] for i in idxs], entity_bundle,
+                    [anchors[i] for i in idxs])
+            else:
+                slots_per_row = [
+                    filler.get_slots(texts[i], entity_bundle,
+                                     anchor=anchors[i]) for i in idxs]
+            for i, raw_slots in zip(idxs, slots_per_row):
+                slots = [unresolved_slot(
+                    s["range"]["start"], s["range"]["end"], s["value"],
+                    s["entity"], s["slotName"]) for s in raw_slots]
+                out[i] = parsing_result(texts[i], ranked_all[i][0], slots)
         return out
 
     def get_intents(self, text, entity_bundle, anchor=None):

@@ -382,6 +382,24 @@ class CRFSlotFiller:
         feature_set = self._get_feature_set(entity_bundle)
         feats = feature_set.compute(text, tokens, anchor=anchor)
         tags = self.crf.predict_single(feats)
+        return self._tags_to_slot_dicts(text, tokens, tags)
+
+    def get_slots_batch(self, texts: list[str], entity_bundle,
+                        anchors=None) -> list[list[dict]]:
+        """Row i identical to ``get_slots(texts[i])``; the Viterbi decode
+        runs batched (crf.predict_batch)."""
+        anchors = anchors or [None] * len(texts)
+        feature_set = self._get_feature_set(entity_bundle)
+        tokens_list = [list(tokenize(t)) for t in texts]
+        seqs = [
+            feature_set.compute(text, toks, anchor=a) if toks else []
+            for text, toks, a in zip(texts, tokens_list, anchors)]
+        tags_list = self.crf.predict_batch(seqs)
+        return [
+            self._tags_to_slot_dicts(text, toks, tags) if toks else []
+            for text, toks, tags in zip(texts, tokens_list, tags_list)]
+
+    def _tags_to_slot_dicts(self, text, tokens, tags) -> list[dict]:
         slots = tags_to_slots(text, tokens, tags, self.scheme,
                               self.slot_name_mapping)
         return [
