@@ -26,7 +26,7 @@ from ..result import (empty_result, extraction_result,
                       intent_classification_result, parsing_result,
                       unresolved_slot)
 from ..textcore import (deduplicate_overlapping_mentions,
-                        entity_name_placeholder)
+                        entity_name_placeholder, normalize, tokenize)
 from .common import (get_entity_scopes, get_slot_name_mappings,
                      get_stop_words_whitelist, preprocess_text)
 
@@ -46,6 +46,8 @@ class LookupIntentParser:
         self._intents_names: list[str] = []
         self._slots_names: list[str] = []
         self._entity_scopes: list[dict] = []
+        self._key_vocab: set[str] = set()
+        self._max_key_slots = 0
         from functools import lru_cache
         self._preprocess_memo = lru_cache(maxsize=4096)(
             self._preprocess_impl)
@@ -121,7 +123,21 @@ class LookupIntentParser:
                 for e, c in per_intent_max.get(intent_name, {}).items():
                     mp[e] = max(mp.get(e, 0), c)
             g["max_per_kind"] = mp
+        self._build_prune_index()
         return self
+
+    def _build_prune_index(self) -> None:
+        """Derived (not persisted) candidate-pruning indexes over the map:
+        the token vocabulary of all keys, and the largest slot count of
+        any key. A candidate string containing a token outside the vocab
+        can never be a map hit; a subset larger than the slot cap can
+        never satisfy the ``len(slot_ids) == len(mentions)`` check."""
+        vocab: set[str] = set()
+        for key in self._map:
+            vocab.update(key.split(" "))
+        self._key_vocab = vocab
+        self._max_key_slots = max(
+            (len(v[1]) for v in self._map.values()), default=0)
 
     def _intent_stop_words(self, intent: str) -> set[str]:
         return self._stop_words - self._stop_words_whitelist.get(intent,
@@ -233,11 +249,33 @@ class LookupIntentParser:
                         len(mentions), MAX_ENTITIES_PER_SCOPE)
                     mentions = mentions[:MAX_ENTITIES_PER_SCOPE]
 
+            # OOV prune: every candidate for this group keeps, verbatim
+            # (lowercased), each text token that is outside all mention
+            # spans and not a stop word for that intent; if such a token
+            # is absent from the map's key vocabulary, no candidate built
+            # with that intent's stop-word set can be a map hit — for ANY
+            # intent, since the vocab spans the whole map. Skips the 2^n
+            # enumeration entirely for texts with unseen words (the
+            # common case on open-domain corpora).
+            uncovered = [
+                t for t in tokenize(text)
+                if not any(m["start"] < t.end and t.start < m["end"]
+                           for m in mentions)]
+            intent_group = [
+                i for i in intent_group
+                if not any(
+                    t.value.lower() not in self._key_vocab
+                    and normalize(t.value) not in self._intent_stop_words(i)
+                    for t in uncovered)]
+            if not intent_group:
+                continue
+
             # cleaned original text depends only on the intent — hoisted
             # out of the entity-subset loop
             cleaned_per_intent = {i: self._preprocess(text, i)
                                   for i in intent_group}
-            for subset in _entity_combinations(mentions):
+            for subset in _entity_combinations(mentions,
+                                               self._max_key_slots):
                 processed = _substitute_placeholders(text, subset)
                 for intent in intent_group:
                     cleaned = cleaned_per_intent[intent]
@@ -297,13 +335,19 @@ class LookupIntentParser:
         parser._intents_names = list(d["intents_names"])
         parser._slots_names = list(d["slots_names"])
         parser._entity_scopes = d["entity_scopes"]
+        parser._build_prune_index()
         return parser
 
 
-def _entity_combinations(mentions):
-    """() first, then larger subsets first (ref: :505-509)."""
+def _entity_combinations(mentions, max_size=None):
+    """() first, then larger subsets first (ref: :505-509). ``max_size``
+    skips subsets larger than any key's slot count — those always fail
+    the ``len(slot_ids) == len(mentions)`` match, so pruning them cannot
+    change the result set."""
     yield ()
-    for size in range(len(mentions), 0, -1):
+    top = len(mentions) if max_size is None else min(len(mentions),
+                                                     max_size)
+    for size in range(top, 0, -1):
         yield from combinations(mentions, size)
 
 

@@ -321,3 +321,46 @@ def test_minhash_plan_has_no_allpairs_verify(spark):
     # self-join; the candidate-scoped plan has no such equi-join
     import re
     assert not re.search(r"shingle#\d+ = shingle#\d+", plan)
+
+
+def test_lookup_prune_is_result_invariant(engine):
+    """The OOV-vocab and subset-size prunes in LookupIntentParser only
+    skip guaranteed map misses: parse / get_intents over fixture
+    utterances, mutated variants, OOV-laden, and entity-heavy texts must
+    be identical with pruning disabled."""
+    import datetime
+    from snips_nlu_spark.fixtures import combined_dataset
+
+    lookup = next(p for p in engine.intent_parsers
+                  if type(p).__name__ == "LookupIntentParser")
+
+    class _AllVocab(set):
+        def __contains__(self, _):  # claims every token → prune off
+            return True
+
+    import copy
+    off = copy.copy(lookup)
+    off._key_vocab = _AllVocab()
+    off._max_key_slots = 10 ** 9
+    # the preprocess memo is bound to the original instance and is pure —
+    # sharing it is fine
+
+    texts = []
+    ds = combined_dataset()
+    for intent in ds["intents"].values():
+        for utt in intent["utterances"][:12]:
+            t = "".join(c.get("text", c.get("value", ""))
+                        for c in utt["data"])
+            texts.append(t)
+            texts.append(t + " zzquux")       # trailing OOV
+            texts.append("please " + t)        # leading stop word
+            texts.append(t.upper())
+    texts += ["", "zz yy xx", "two three four five six seven eight nine",
+              "coffee tea coffee tea coffee tea coffee tea coffee tea"]
+    anchor = datetime.datetime(2024, 5, 2)
+    for t in texts:
+        a = engine._bundle
+        assert lookup.parse(t, a, anchor=anchor) == \
+            off.parse(t, a, anchor=anchor), t
+        assert lookup.get_intents(t, a, anchor=anchor) == \
+            off.get_intents(t, a, anchor=anchor), t
