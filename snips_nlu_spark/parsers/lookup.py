@@ -48,6 +48,7 @@ class LookupIntentParser:
         self._entity_scopes: list[dict] = []
         self._key_vocab: set[str] = set()
         self._max_key_slots = 0
+        self._intent_stop_cache: dict[str, set[str]] = {}
         from functools import lru_cache
         self._preprocess_memo = lru_cache(maxsize=4096)(
             self._preprocess_impl)
@@ -140,8 +141,12 @@ class LookupIntentParser:
             (len(v[1]) for v in self._map.values()), default=0)
 
     def _intent_stop_words(self, intent: str) -> set[str]:
-        return self._stop_words - self._stop_words_whitelist.get(intent,
-                                                                 set())
+        cached = self._intent_stop_cache.get(intent)
+        if cached is None:
+            cached = self._stop_words - \
+                self._stop_words_whitelist.get(intent, set())
+            self._intent_stop_cache[intent] = cached
+        return cached
 
     def _preprocess(self, text: str, intent: str) -> str:
         # intents share the preprocessed form unless they have distinct

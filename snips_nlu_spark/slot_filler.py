@@ -215,14 +215,18 @@ def _entity_match_factory(args, fs, ctx):
         match_text, match_tokens = ctx["stemmed"]
     else:
         match_text, match_tokens = ctx["text"], ctx["tokens"]
-    for entity in fs.entity_scopes.get("custom", []):
-        if "automatically_extensible" in filt and \
-                ext_map.get(entity, False) != \
-                filt["automatically_extensible"]:
-            continue
+    wanted = [
+        entity for entity in fs.entity_scopes.get("custom", [])
+        if "automatically_extensible" not in filt
+        or ext_map.get(entity, False) == filt["automatically_extensible"]]
+    # one bundle call for all kinds: scope only filters the memoized
+    # per-text scan, so splitting locally is identical to per-kind calls
+    by_kind: dict[str, list] = {}
+    for m in fs.bundle.parse_custom(match_text, wanted):
+        by_kind.setdefault(m["entity_kind"], []).append(m)
+    for entity in wanted:
         feats = [None] * n
-        mentions = fs.bundle.parse_custom(match_text, [entity])
-        _tag_mentions(mentions, match_tokens, feats, scheme)
+        _tag_mentions(by_kind.get(entity, ()), match_tokens, feats, scheme)
         yield f"entity_match_{entity}", feats
 
 
@@ -232,11 +236,13 @@ def _builtin_entity_match_factory(args, fs, ctx):
     scheme = TaggingScheme(args.get("tagging_scheme_code",
                                     int(TaggingScheme.BIO)))
     n = len(ctx["values"])
-    for kind in fs.entity_scopes.get("builtin", []):
+    kinds = fs.entity_scopes.get("builtin", [])
+    by_kind: dict[str, list] = {}
+    for m in fs.bundle.parse_builtin(ctx["text"], kinds, ctx["anchor"]):
+        by_kind.setdefault(m["entity_kind"], []).append(m)
+    for kind in kinds:
         feats = [None] * n
-        mentions = fs.bundle.parse_builtin(ctx["text"], [kind],
-                                           ctx["anchor"])
-        _tag_mentions(mentions, ctx["tokens"], feats, scheme)
+        _tag_mentions(by_kind.get(kind, ()), ctx["tokens"], feats, scheme)
         yield f"builtin_entity_match_{kind[6:]}", feats
 
 
