@@ -26,8 +26,9 @@ import re
 from typing import Callable, Sequence
 
 from ..textcore import Token, tokenize
-from .numbers import (is_number_word, ordinal_word_to_number,
-                      ordinal_words, words_to_number)
+from .numbers import (_kanji_to_number, is_number_word,
+                      ordinal_word_to_number, ordinal_words,
+                      words_to_number)
 
 BUILTIN_KINDS = (
     "snips/number", "snips/ordinal", "snips/percentage", "snips/temperature",
@@ -116,7 +117,7 @@ def _digit_candidates(tokens: Sequence[Token]) -> list[dict]:
 def _word_candidates(tokens: Sequence[Token],
                      language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
-    glue = {"fr": ("et",), "es": ("y",), "de": (), "it": (),
+    glue = {"fr": ("et",), "es": ("y",), "de": (), "it": (), "ja": (),
             "pt": ("e",)}.get(language, ("and", "a", "an"))
     out = []
     i = 0
@@ -183,13 +184,78 @@ _ORDINAL_SUFFIX_RE = {
     "de": re.compile(r"^(\d+)\.$"),
     "it": re.compile(r"^(\d+)(º|°|ª|o|a)$", re.IGNORECASE),
     "pt": re.compile(r"^(\d+)(º|ª|o|a)$", re.IGNORECASE),
+    "ja": re.compile(r"$^"),  # ja ordinals are two tokens (3 + 番目)
 }
+
+
+# ja grammar words that span several per-char han tokens (the CJK
+# tokenizer emits han one char per token). Before scanning, adjacent
+# single-char tokens are greedily re-merged longest-first against this
+# closed lexicon so the table-driven grammar sees whole words
+# (明日 / 月曜日 / 午後 / 分間 / 番目 / …). Greedy dictionary matching
+# can mis-merge inside unrelated compounds (e.g. 説明日程 contains 明日)
+# — a documented heuristic; true segmentation needs a full dictionary.
+_JA_GRAMMAR_WORDS = (
+    "明後日", "月曜日", "火曜日", "水曜日", "木曜日", "金曜日",
+    "土曜日", "日曜日",
+    "昨日", "今日", "本日", "明日", "今夜", "正午", "夕方",
+    "月曜", "火曜", "水曜", "木曜", "金曜", "土曜", "日曜",
+    "来週", "来月", "来年", "午前", "午後", "番目",
+    "秒間", "分間", "時間", "日間", "週間", "年間",
+)
+_JA_GRAMMAR_SET = frozenset(_JA_GRAMMAR_WORDS)
+_JA_GRAMMAR_MAX = max(len(w) for w in _JA_GRAMMAR_WORDS)
+
+
+def _ja_grammar_merge(tokens):
+    """Merge adjacent single-char tokens into known ja grammar words
+    (longest match first); spans stay exact."""
+    out = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        merged = None
+        for k in range(min(_JA_GRAMMAR_MAX, n - i), 1, -1):
+            last = tokens[i + k - 1]
+            if last.end - tokens[i].start != sum(
+                    len(tokens[i + j].value) for j in range(k)):
+                continue  # whitespace/symbol gap — not one word
+            joined = "".join(tokens[i + j].value for j in range(k))
+            if joined in _JA_GRAMMAR_SET:
+                merged = Token(joined, tokens[i].start, last.end)
+                i += k
+                break
+        if merged is None:
+            out.append(tokens[i])
+            i += 1
+        else:
+            out.append(merged)
+    return tuple(out)
+
+
+def _tok_int(value: str) -> int | None:
+    """Integer value of a digit token or a kanji-numeral token."""
+    if value.isdigit():
+        return int(value)
+    v = _kanji_to_number(value)
+    return int(v) if v is not None and v == int(v) else None
 
 
 def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
     out = []
     suffix_re = _ORDINAL_SUFFIX_RE[lang]
     words = ordinal_words(lang)
+    n = len(tokens)
+    if lang == "ja":
+        # "3番目" / "三番目" — numeral + 番目 suffix token
+        for i, t in enumerate(tokens):
+            if i + 1 < n and tokens[i + 1].value == "番目":
+                v = _tok_int(t.value)
+                if v is not None:
+                    out.append(_mention(
+                        text, tokens, i, i + 1, "snips/ordinal",
+                        {"kind": "Ordinal", "value": v}))
+        return out
     for i, t in enumerate(tokens):
         m = suffix_re.match(t.value)
         if m:
@@ -205,7 +271,8 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
 
 _PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent"),
                   "es": ("%", "porciento"), "de": ("%", "prozent"),
-                  "it": ("%", "percento"), "pt": ("%", "porcento")}
+                  "it": ("%", "percento"), "pt": ("%", "porcento"),
+                  "ja": ("%", "パーセント")}
 
 
 def _scan_percentage(text, tokens, cands, anchor, lang="en"):
@@ -236,7 +303,8 @@ _DEGREE_WORDS = {"en": ("degree", "degrees", "°"),
                  "es": ("grado", "grados", "°"),
                  "de": ("grad", "°"),
                  "it": ("grado", "gradi", "°"),
-                 "pt": ("grau", "graus", "°")}
+                 "pt": ("grau", "graus", "°"),
+                 "ja": ("度", "°")}
 
 
 def _scan_temperature(text, tokens, cands, anchor, lang="en"):
@@ -264,7 +332,8 @@ _CURRENCY_WORDS = {"dollar": "$", "dollars": "$", "buck": "$", "bucks": "$",
                    "euro": "EUR", "euros": "EUR",
                    "pound": "GBP", "pounds": "GBP",
                    "dólares": "$", "dolares": "$", "dólar": "$",
-                   "dolar": "$", "pesos": "MXN", "peso": "MXN"}
+                   "dolar": "$", "pesos": "MXN", "peso": "MXN",
+                   "円": "JPY", "ドル": "$", "ユーロ": "EUR"}
 
 
 def _scan_money(text, tokens, cands, anchor, lang="en"):
@@ -342,6 +411,17 @@ _DURATION_UNITS = {
         "monat": "months", "monate": "months", "monaten": "months",
         "jahr": "years", "jahre": "years", "jahren": "years",
     },
+    # ja durations use 間-suffixed counter tokens (the CJK script-run
+    # tokenizer keeps "分間"/"時間" whole); bare "分" is excluded so
+    # clock minutes ("8時30分") don't double as durations
+    "ja": {
+        "秒": "seconds", "秒間": "seconds",
+        "分間": "minutes",
+        "時間": "hours",
+        "日間": "days",
+        "週間": "weeks",
+        "年間": "years",
+    },
 }
 
 
@@ -359,7 +439,9 @@ def _scan_duration(text, tokens, cands, anchor, lang="en"):
     units = _DURATION_UNITS[lang]
     for c in cands:
         nxt = c["tok_end"] + 1
-        if nxt < n and tokens[nxt].value.lower() in units:
+        if nxt >= n:
+            continue
+        if tokens[nxt].value.lower() in units:
             field = units[tokens[nxt].value.lower()]
             out.append(_mention(text, tokens, c["tok_start"], nxt,
                                 "snips/duration",
@@ -393,6 +475,32 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {"from": ("to", "until", "till"),
                        "between": ("and",)},
+    },
+    # ja: no-whitespace script — the CJK script-run tokenizer (textcore)
+    # isolates the day words, particles (の/から/まで), digit runs, and
+    # the 時/分 clock suffixes this grammar keys on. Ranges are
+    # POSTfix-marked (XからYまで) and handled by a ja-specific pass in
+    # _scan_datetime; "range_open" stays empty.
+    "ja": {
+        "weekdays": {"月曜日": 0, "月曜": 0, "火曜日": 1, "火曜": 1,
+                     "水曜日": 2, "水曜": 2, "木曜日": 3, "木曜": 3,
+                     "金曜日": 4, "金曜": 4, "土曜日": 5, "土曜": 5,
+                     "日曜日": 6, "日曜": 6},
+        "months": {},  # numeric "5月3日" handled in _parse_month_day
+        "dayparts": {"朝": 8, "正午": 12, "昼": 12, "夕方": 19,
+                     "晩": 19, "夜": 21},
+        "rel_days": {"昨日": -1, "今日": 0, "本日": 0, "明日": 1,
+                     "明後日": 2},
+        "tonight": "今夜",
+        "at_words": ("の",),
+        "the_words": (),
+        "day_prefix": (),
+        "next_word": None,
+        "periods": (),
+        "period_map": {},
+        "period_words": {"来週": "week", "来月": "month", "来年": "year"},
+        "weekday_suffix": (),
+        "range_open": {},
     },
     "pt": {
         "weekdays": {"segunda-feira": 0, "segunda": 0, "terça": 1,
@@ -554,6 +662,15 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
             day_num = int(m.group(1))
         elif tokens[i + 1].value.isdigit():
             day_num = int(tokens[i + 1].value)
+    elif lang == "ja":
+        # "5月3日" / "五月三日" — numeral 月 numeral 日
+        if (i + 3 < n and tokens[i + 1].value == "月"
+                and tokens[i + 3].value == "日"):
+            mv = _tok_int(tokens[i].value)
+            dv = _tok_int(tokens[i + 2].value)
+            if mv is not None and dv is not None and 1 <= mv <= 12:
+                month, day_num = mv, dv
+                last = i + 3
     elif lang in ("fr", "es", "it", "pt"):
         # day-first order: "3 juin" / "1er juin" / "3 de junio" /
         # "3 giugno" / "3 de junho"
@@ -580,6 +697,24 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
     return day, last
 
 
+def _next_period(base_date, unit):
+    """Start of the next week/month/year relative to ``base_date`` →
+    (datetime, grain)."""
+    if unit == "week":
+        return (base_date
+                + _dt.timedelta(days=7 - base_date.weekday()), "Week")
+    if unit == "month":
+        month = base_date.month % 12 + 1
+        year = base_date.year + (1 if month == 1 else 0)
+        return base_date.replace(year=year, month=month, day=1), "Month"
+    return (base_date.replace(year=base_date.year + 1, month=1, day=1),
+            "Year")
+
+
+def _clock_fn(lang):
+    return _parse_clock_ja if lang == "ja" else _parse_clock
+
+
 def _parse_point(tokens, i, n, base_date, lang="en"):
     """A single range endpoint: rel-day / weekday / month-day / ISO date /
     clock time. Returns (datetime, grain, last_idx, kind) or None."""
@@ -600,7 +735,7 @@ def _parse_point(tokens, i, n, base_date, lang="en"):
     md = _parse_month_day(tokens, i, n, base_date, lang)
     if md is not None:
         return md[0], "Day", md[1], "monthday"
-    c = _parse_clock(tokens, i, n)
+    c = _clock_fn(lang)(tokens, i, n)
     if c is not None:
         hh, mm, last, _marked = c
         return (base_date.replace(hour=hh, minute=mm),
@@ -628,6 +763,33 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
 
     def lower(i):
         return lows[i]
+
+    # pass 0 (ja): postfix-marked intervals — "XからYまで" / "XからY"
+    if lang == "ja":
+        i = 0
+        while i < n:
+            p1 = _parse_point(tokens, i, n, base_date, lang)
+            if p1 is None:
+                i += 1
+                continue
+            dt1, _g1, last1, _kind1 = p1
+            if last1 + 1 >= n or lower(last1 + 1) != "から":
+                i += 1
+                continue
+            p2 = _parse_point(tokens, last1 + 2, n, base_date, lang)
+            if p2 is None:
+                i += 1
+                continue
+            dt2, _g2, last2, kind2 = p2
+            end_tok = last2
+            if last2 + 1 < n and lower(last2 + 1) == "まで":
+                end_tok = last2 + 1
+            if dt2 <= dt1:
+                dt2 += _dt.timedelta(days=7 if kind2 == "weekday" else 1)
+            used.update(range(i, end_tok + 1))
+            out.append(_mention(text, tokens, i, end_tok,
+                                "snips/datetime", _fmt_interval(dt1, dt2)))
+            i = end_tok + 1
 
     # pass 0: intervals — "from X to|until Y", "between X and Y"
     i = 0
@@ -686,7 +848,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
         elif w in tables["months"] or (
-                lang in ("fr", "es", "it", "pt")
+                lang in ("fr", "es", "it", "pt", "ja")
                 and _parse_month_day(tokens, i, n, base_date,
                                      lang) is not None):
             md = _parse_month_day(tokens, i, n, base_date, lang)
@@ -694,20 +856,13 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 day, tok_end = md
         elif w == tables["next_word"] and i + 1 < n \
                 and lower(i + 1) in tables["periods"]:
-            unit = tables["period_map"][lower(i + 1)]
-            if unit == "week":
-                day = base_date + _dt.timedelta(days=7 - base_date.weekday())
-                grain = "Week"
-            elif unit == "month":
-                month = base_date.month % 12 + 1
-                year = base_date.year + (1 if month == 1 else 0)
-                day = base_date.replace(year=year, month=month, day=1)
-                grain = "Month"
-            else:
-                day = base_date.replace(year=base_date.year + 1, month=1,
-                                        day=1)
-                grain = "Year"
+            day, grain = _next_period(base_date,
+                                      tables["period_map"][lower(i + 1)])
             tok_end = i + 1
+        elif w in tables.get("period_words", {}):
+            # single-token periods (ja 来週/来月/来年)
+            day, grain = _next_period(base_date,
+                                      tables["period_words"][w])
         else:
             iso = _parse_iso_date(tokens, i, n)
             if iso is not None:
@@ -732,7 +887,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             grain = "Hour"
             tok_end = j
         elif grain == "Day":
-            t = _parse_clock(tokens, j, n)
+            t = _clock_fn(lang)(tokens, j, n)
             if t is not None:
                 hh, mm, t_end, _marked = t
                 day = day.replace(hour=hh, minute=mm)
@@ -755,9 +910,9 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             # "a las 8:30" — article between the preposition and the time
             if j < n and lower(j) in tables["the_words"]:
                 j += 1
-            t = _parse_clock(tokens, j, n)
+            t = _clock_fn(lang)(tokens, j, n)
         else:
-            t = _parse_clock(tokens, i, n)
+            t = _clock_fn(lang)(tokens, i, n)
             # unprefixed times only count with an explicit marker
             if t is not None and not t[3]:
                 t = None
@@ -828,6 +983,44 @@ def _parse_clock(tokens, i, n):
     return None
 
 
+def _parse_clock_ja(tokens, i, n):
+    """``8時`` / ``8時半`` / ``8時30分`` / ``午後8時`` / ``八時`` —
+    hour numeral + 時 suffix (the CJK tokenizer splits digits from the
+    時/分 counters, but merges adjacent han so 時半 arrives as one
+    token); 午前/午後 meridiem prefixes. Same return contract as
+    _parse_clock; 時 counts as an explicit marker. Falls back to the
+    shared parser for "8:30"-style times."""
+    if i >= n:
+        return None
+    meridiem = None
+    j = i
+    if tokens[j].value in ("午前", "午後"):
+        meridiem = tokens[j].value
+        j += 1
+    hh = _tok_int(tokens[j].value) if j < n else None
+    if hh is None or hh > 23 or j + 1 >= n \
+            or tokens[j + 1].value not in ("時", "時半"):
+        if meridiem is not None:
+            return None
+        return _parse_clock(tokens, i, n)
+    mm = 30 if tokens[j + 1].value == "時半" else 0
+    last = j + 1
+    if tokens[last].value == "時":
+        if last + 2 < n and tokens[last + 2].value == "分":
+            mv = _tok_int(tokens[last + 1].value)
+            if mv is not None and mv <= 59:
+                mm = mv
+                last += 2
+        elif last + 1 < n and tokens[last + 1].value == "半":
+            mm = 30
+            last += 1
+    if meridiem == "午後" and hh <= 12:
+        hh = hh % 12 + 12
+    elif meridiem == "午前" and hh <= 12:
+        hh = hh % 12
+    return hh, mm, last, True
+
+
 _SCANNERS: dict[str, Callable] = {
     "snips/number": _scan_number,
     "snips/ordinal": _scan_ordinal,
@@ -884,6 +1077,8 @@ class BuiltinEntityParser:
 
     def _scan_static(self, text: str) -> tuple:
         tokens = tokenize(text)
+        if self.language == "ja":
+            tokens = _ja_grammar_merge(tokens)
         if not tokens:
             return ()
         cands = _number_candidates(tokens, self.language)
@@ -910,6 +1105,8 @@ class BuiltinEntityParser:
 
     def _scan_dt(self, text: str, anchor: _dt.datetime | None) -> tuple:
         tokens = tokenize(text)
+        if self.language == "ja":
+            tokens = _ja_grammar_merge(tokens)
         if not tokens:
             return ()
         cands = _number_candidates(tokens, self.language)

@@ -558,6 +558,61 @@ def _words_to_number_it(words: list[str]) -> float | None:
     return None
 
 
+# --- japanese ---------------------------------------------------------
+# Kanji numerals tokenize as one run (textcore CJK script classes give
+# them their own class), so the whole numeral is a single token parsed
+# character-wise: positional form (二〇二四 = 2024) when only digit
+# kanji appear, scale form otherwise (三百二十五 = 325, 二万五千 =
+# 25000). Mixed digit+kanji forms (3万) span two tokens and are out of
+# scope (documented divergence — the reference defers to its Rust
+# grammar).
+
+_JA_DIGITS = {"〇": 0, "零": 0, "一": 1, "二": 2, "三": 3, "四": 4,
+              "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+_JA_SMALL_SCALES = {"十": 10, "百": 100, "千": 1000}
+_JA_BIG_SCALES = {"万": 10 ** 4, "億": 10 ** 8, "兆": 10 ** 12}
+JA_NUMERAL_CHARS = (set(_JA_DIGITS) | set(_JA_SMALL_SCALES)
+                    | set(_JA_BIG_SCALES))
+
+
+def _kanji_to_number(s: str) -> float | None:
+    if not s or any(ch not in JA_NUMERAL_CHARS for ch in s):
+        return None
+    if all(ch in _JA_DIGITS for ch in s):
+        val = 0
+        for ch in s:
+            val = val * 10 + _JA_DIGITS[ch]
+        return float(val)
+    total = 0
+    section = 0   # value below the next big scale (万/億/兆)
+    num = 0       # pending digit for the next small scale
+    prev_small = None
+    for ch in s:
+        if ch in _JA_DIGITS:
+            if num:
+                return None          # two digit kanji in scale form
+            num = _JA_DIGITS[ch]
+        elif ch in _JA_SMALL_SCALES:
+            scale = _JA_SMALL_SCALES[ch]
+            if prev_small is not None and scale >= prev_small:
+                return None          # scales must descend (十百 invalid)
+            prev_small = scale
+            section += (num or 1) * scale
+            num = 0
+        else:
+            sec = section + num
+            total += (sec or 1) * _JA_BIG_SCALES[ch]
+            section = num = 0
+            prev_small = None
+    return float(total + section + num)
+
+
+def _words_to_number_ja(words: list[str]) -> float | None:
+    if len(words) != 1:
+        return None
+    return _kanji_to_number(words[0])
+
+
 def is_number_word(token: str, language: str = "en") -> bool:
     """Can ``token`` start/continue a number phrase? German fused
     compounds can't be enumerated, so membership is a parse probe."""
@@ -568,6 +623,8 @@ def is_number_word(token: str, language: str = "en") -> bool:
     if language == "it":
         return (token in ("milione", "milioni")
                 or _it_token_value(token) is not None)
+    if language == "ja":
+        return _kanji_to_number(token) is not None
     return token in number_words(language)
 
 
@@ -614,6 +671,8 @@ def words_to_number(phrase: str, language: str = "en") -> float | None:
         return _words_to_number_it(words)
     if language == "pt":
         return _words_to_number_pt(words)
+    if language == "ja":
+        return _words_to_number_ja(words)
     total = 0
     current = 0
     seen_value = False

@@ -449,6 +449,38 @@ primeiro segundo terceiro último próximo
 voo avião bilhete tempo temperatura chuva neve
 """.split()))
 
+# ja: standalone-token particles only — the CJK script-run tokenizer
+# merges adjacent hiragana, so particles fused to neighbouring hiragana
+# words ("をください") won't match the list; the reference ja config
+# sets ignore_stop_words=False for the same fragility reason. No
+# stemming (no inflection dictionary shipped); the noise corpus is a
+# small mixed-script word list for None-class augmentation.
+JA_STOP_WORDS = frozenset(
+    "の は を に が と で へ も や から まで です ます か".split())
+
+JA_NOISE = """
+天気 時間 今日 明日 音楽 電気 部屋 台所 寝室 窓 扉 机 椅子 本
+りんご バナナ さくらんぼ いちご オレンジ レモン ぶどう もも なし
+山 川 城 庭 橋 犬 猫 鳥 魚 花 木 空 海 雨 雪 風
+検索 処理 要求 操作 完了 成功 確認 システム 状態 報告 生成
+サービス 確定 待機 不可能 装置 新規 設定 保存 結果 作業 終了
+エラー 警告 出力 入力 応答 データ
+""".split()
+
+JA_STEMS: dict[str, str] = {}
+
+JA_COMMON_WORDS = frozenset(
+    set(JA_NOISE) | set(JA_STOP_WORDS) | set("""
+作って ください お願い こんにちは ありがとう
+コーヒー 紅茶 お茶 牛乳 水 ジュース ココア カップ グラス
+熱い 冷たい 大きい 小さい
+居間 書斎 風呂 玄関 廊下
+赤 青 緑 黄色 白 黒 紫 ピンク
+月曜日 火曜日 水曜日 木曜日 金曜日 土曜日 日曜日
+朝 昼 夕方 夜 今夜 来週 来月 来年
+飛行機 切符 予約 気温 温度
+""".split()))
+
 _RESOURCE_TABLES = {
     "en": {
         "stop_words": EN_STOP_WORDS,
@@ -495,11 +527,18 @@ _RESOURCE_TABLES = {
         "common_words": PT_COMMON_WORDS,
         "clusters": {},
     },
+    "ja": {
+        "stop_words": JA_STOP_WORDS,
+        "noise": JA_NOISE,
+        "stems": JA_STEMS,
+        "common_words": JA_COMMON_WORDS,
+        "clusters": {},
+    },
 }
 
 
 def get_resources(language: str = "en") -> dict:
-    """Resource bundle for a language (en, fr, es, de, it, pt)."""
+    """Resource bundle for a language (en, fr, es, de, it, pt, ja)."""
     tables = _RESOURCE_TABLES.get(language)
     if tables is None:
         raise ValueError(

@@ -34,6 +34,30 @@ _TOKEN_RE = re.compile(r"[^\W_]+|[^\w\s]|_", re.UNICODE)
 
 _WS_RE = re.compile(r"\s+", re.UNICODE)
 
+# CJK extension to the tokenizer spec: scripts without whitespace can't
+# rely on \w runs, so a word run containing CJK characters is further
+# split at script-class boundaries — hiragana runs / katakana runs
+# (incl. the prolonged-sound mark) / kanji NUMERAL runs (their own
+# class so "三百二十五" stays one parseable numeral token) / other han
+# PER CHARACTER (kanji compounds can't be segmented without a
+# dictionary; per-character tokens let dictionary matchers — the
+# gazetteer trie, the datetime grammar's word merge — re-assemble
+# words by walking tokens, the standard char-level treatment for
+# Japanese sequence labeling) / everything else. The reference reaches per-language
+# segmentation through its Rust tokenizer (preprocessing.py:72-89,
+# `tokenize(string, language)`); this split is deterministic and
+# language-independent, so no language parameter needs plumbing —
+# non-CJK text is untouched.
+_CJK_PROBE = re.compile(
+    r"[々぀-ヿㇰ-ㇿ㐀-鿿豈-﫿]")
+_KANJI_NUMERALS = "〇零一二三四五六七八九十百千万億兆"
+_SCRIPT_RUN_RE = re.compile(
+    r"[ぁ-ゟ]+"                      # hiragana
+    r"|[゠-ヿㇰ-ㇿ]+"        # katakana + ー
+    f"|[{_KANJI_NUMERALS}]+"                  # kanji numerals
+    r"|[㐀-鿿豈-﫿々]"   # other han: one token per char
+    r"|[^々぀-ヿㇰ-ㇿ㐀-鿿豈-﫿]+")
+
 
 @lru_cache(maxsize=8192)
 def tokenize(text: str) -> tuple[Token, ...]:
@@ -43,9 +67,17 @@ def tokenize(text: str) -> tuple[Token, ...]:
     caches per-text parse results for the same reason,
     entity_parser/entity_parser.py:22-55). Treat the result as immutable.
     """
-    return tuple(
-        Token(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)
-    )
+    out = []
+    for m in _TOKEN_RE.finditer(text):
+        value = m.group(0)
+        if _CJK_PROBE.search(value):
+            base = m.start()
+            for sm in _SCRIPT_RUN_RE.finditer(value):
+                out.append(Token(sm.group(0), base + sm.start(),
+                                 base + sm.end()))
+        else:
+            out.append(Token(value, m.start(), m.end()))
+    return tuple(out)
 
 
 def tokenize_light(text: str) -> list[str]:
@@ -57,10 +89,15 @@ def tokenize_light(text: str) -> list[str]:
 def normalize(text: str) -> str:
     """Lowercase + strip diacritics (NFKD fold), the normalization used for
     stop-word tests and gazetteer keys (ref: Rust ``normalize`` used at
-    preprocessing.py:29-36). Memoized; fast path for ASCII."""
+    preprocessing.py:29-36). Memoized; fast path for ASCII. CJK text is
+    NFKC-composed instead — stripping combining marks would merge voiced
+    kana into their base forms (ビ → ヒ), corrupting gazetteer keys;
+    NFKC also folds full-width digits/latin (８ → 8)."""
     lower = text.lower()
     if lower.isascii():
         return lower
+    if _CJK_PROBE.search(lower):
+        return unicodedata.normalize("NFKC", lower)
     nfkd = unicodedata.normalize("NFKD", lower)
     return "".join(c for c in nfkd if not unicodedata.combining(c))
 
