@@ -39,7 +39,7 @@ def validate_and_format_dataset(dataset: dict) -> dict:
     _require(isinstance(dataset, dict), "dataset must be a dict")
     for key in ("intents", "entities", "language"):
         _require(key in dataset, f"missing dataset key: {key}")
-    _require(dataset["language"] in ("en", "fr", "es", "de", "it", "pt", "ja"),
+    _require(dataset["language"] in ("en", "fr", "es", "de", "it", "pt", "ja", "ko"),
              f"unsupported language {dataset['language']!r}")
 
     intents = {}

@@ -26,7 +26,7 @@ import re
 from typing import Callable, Sequence
 
 from ..textcore import Token, tokenize
-from .numbers import (_kanji_to_number, is_number_word,
+from .numbers import (_kanji_to_number, _ko_token_value, is_number_word,
                       ordinal_word_to_number, ordinal_words,
                       words_to_number)
 
@@ -118,7 +118,7 @@ def _word_candidates(tokens: Sequence[Token],
                      language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
     glue = {"fr": ("et",), "es": ("y",), "de": (), "it": (), "ja": (),
-            "pt": ("e",)}.get(language, ("and", "a", "an"))
+            "ko": (), "pt": ("e",)}.get(language, ("and", "a", "an"))
     out = []
     i = 0
     n = len(tokens)
@@ -185,7 +185,11 @@ _ORDINAL_SUFFIX_RE = {
     "it": re.compile(r"^(\d+)(º|°|ª|o|a)$", re.IGNORECASE),
     "pt": re.compile(r"^(\d+)(º|ª|o|a)$", re.IGNORECASE),
     "ja": re.compile(r"$^"),  # ja ordinals are two tokens (3 + 番目)
+    "ko": re.compile(r"$^"),  # ko ordinals are two tokens (3 + 번째)
 }
+
+# numeral + suffix-token ordinals for the CJK languages
+_ORDINAL_SUFFIX_TOKEN = {"ja": "番目", "ko": "번째"}
 
 
 # ja grammar words that span several per-char han tokens (the CJK
@@ -233,11 +237,11 @@ def _ja_grammar_merge(tokens):
     return tuple(out)
 
 
-def _tok_int(value: str) -> int | None:
-    """Integer value of a digit token or a kanji-numeral token."""
+def _tok_int(value: str, lang: str = "ja") -> int | None:
+    """Integer value of a digit token or a kanji/hangul numeral token."""
     if value.isdigit():
         return int(value)
-    v = _kanji_to_number(value)
+    v = _ko_token_value(value) if lang == "ko" else _kanji_to_number(value)
     return int(v) if v is not None and v == int(v) else None
 
 
@@ -246,11 +250,12 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
     suffix_re = _ORDINAL_SUFFIX_RE[lang]
     words = ordinal_words(lang)
     n = len(tokens)
-    if lang == "ja":
-        # "3番目" / "三番目" — numeral + 番目 suffix token
+    if lang in _ORDINAL_SUFFIX_TOKEN:
+        # "3番目" / "三番目" / "3번째" / "세 번째" — numeral + suffix token
+        suffix = _ORDINAL_SUFFIX_TOKEN[lang]
         for i, t in enumerate(tokens):
-            if i + 1 < n and tokens[i + 1].value == "番目":
-                v = _tok_int(t.value)
+            if i + 1 < n and tokens[i + 1].value == suffix:
+                v = _tok_int(t.value, lang)
                 if v is not None:
                     out.append(_mention(
                         text, tokens, i, i + 1, "snips/ordinal",
@@ -272,7 +277,7 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
 _PERCENT_WORDS = {"en": ("%", "percent"), "fr": ("%", "pourcent"),
                   "es": ("%", "porciento"), "de": ("%", "prozent"),
                   "it": ("%", "percento"), "pt": ("%", "porcento"),
-                  "ja": ("%", "パーセント")}
+                  "ja": ("%", "パーセント"), "ko": ("%", "퍼센트")}
 
 
 def _scan_percentage(text, tokens, cands, anchor, lang="en"):
@@ -304,7 +309,7 @@ _DEGREE_WORDS = {"en": ("degree", "degrees", "°"),
                  "de": ("grad", "°"),
                  "it": ("grado", "gradi", "°"),
                  "pt": ("grau", "graus", "°"),
-                 "ja": ("度", "°")}
+                 "ja": ("度", "°"), "ko": ("도", "°")}
 
 
 def _scan_temperature(text, tokens, cands, anchor, lang="en"):
@@ -333,7 +338,8 @@ _CURRENCY_WORDS = {"dollar": "$", "dollars": "$", "buck": "$", "bucks": "$",
                    "pound": "GBP", "pounds": "GBP",
                    "dólares": "$", "dolares": "$", "dólar": "$",
                    "dolar": "$", "pesos": "MXN", "peso": "MXN",
-                   "円": "JPY", "ドル": "$", "ユーロ": "EUR"}
+                   "円": "JPY", "ドル": "$", "ユーロ": "EUR",
+                   "원": "KRW", "달러": "$", "유로": "EUR"}
 
 
 def _scan_money(text, tokens, cands, anchor, lang="en"):
@@ -422,6 +428,16 @@ _DURATION_UNITS = {
         "週間": "weeks",
         "年間": "years",
     },
+    # ko durations use 간-suffixed counters; bare 분 is excluded so
+    # clock minutes ("8시 30분") don't double as durations
+    "ko": {
+        "초": "seconds",
+        "분간": "minutes",
+        "시간": "hours",
+        "일간": "days",
+        "주간": "weeks", "주일": "weeks",
+        "년간": "years",
+    },
 }
 
 
@@ -501,6 +517,31 @@ _DT = {
         "period_words": {"来週": "week", "来月": "month", "来年": "year"},
         "weekday_suffix": (),
         "range_open": {},
+        "range_post": ("から", "まで"),
+    },
+    # ko: hangul spaces between eojeol + the tokenizer's particle split
+    # (textcore._split_hangul_particle) expose the grammar words; ranges
+    # are postfix-marked (X부터 Y까지) like ja.
+    "ko": {
+        "weekdays": {"월요일": 0, "화요일": 1, "수요일": 2, "목요일": 3,
+                     "금요일": 4, "토요일": 5, "일요일": 6},
+        "months": {},  # numeric "5월 3일" handled in _parse_month_day
+        "dayparts": {"아침": 8, "정오": 12, "낮": 12, "저녁": 19,
+                     "밤": 21, "새벽": 4},
+        "rel_days": {"그저께": -2, "어제": -1, "오늘": 0, "내일": 1,
+                     "모레": 2},
+        "tonight": "오늘밤",
+        "at_words": ("의",),
+        "the_words": (),
+        "day_prefix": (),
+        "next_word": "다음",
+        "periods": ("주", "달", "년", "해"),
+        "period_map": {"주": "week", "달": "month", "년": "year",
+                       "해": "year"},
+        "period_words": {"다음주": "week"},
+        "weekday_suffix": (),
+        "range_open": {},
+        "range_post": ("부터", "까지"),
     },
     "pt": {
         "weekdays": {"segunda-feira": 0, "segunda": 0, "terça": 1,
@@ -662,12 +703,13 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
             day_num = int(m.group(1))
         elif tokens[i + 1].value.isdigit():
             day_num = int(tokens[i + 1].value)
-    elif lang == "ja":
-        # "5月3日" / "五月三日" — numeral 月 numeral 日
-        if (i + 3 < n and tokens[i + 1].value == "月"
-                and tokens[i + 3].value == "日"):
-            mv = _tok_int(tokens[i].value)
-            dv = _tok_int(tokens[i + 2].value)
+    elif lang in ("ja", "ko"):
+        # "5月3日" / "五月三日" / "5월 3일" — numeral 月/월 numeral 日/일
+        m_mark, d_mark = ("月", "日") if lang == "ja" else ("월", "일")
+        if (i + 3 < n and tokens[i + 1].value == m_mark
+                and tokens[i + 3].value == d_mark):
+            mv = _tok_int(tokens[i].value, lang)
+            dv = _tok_int(tokens[i + 2].value, lang)
             if mv is not None and dv is not None and 1 <= mv <= 12:
                 month, day_num = mv, dv
                 last = i + 3
@@ -712,7 +754,11 @@ def _next_period(base_date, unit):
 
 
 def _clock_fn(lang):
-    return _parse_clock_ja if lang == "ja" else _parse_clock
+    if lang == "ja":
+        return _parse_clock_ja
+    if lang == "ko":
+        return _parse_clock_ko
+    return _parse_clock
 
 
 def _parse_point(tokens, i, n, base_date, lang="en"):
@@ -764,8 +810,11 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
     def lower(i):
         return lows[i]
 
-    # pass 0 (ja): postfix-marked intervals — "XからYまで" / "XからY"
-    if lang == "ja":
+    # pass 0 (ja/ko): postfix-marked intervals — "XからYまで" /
+    # "X부터 Y까지"
+    range_post = tables.get("range_post")
+    if range_post:
+        from_marker, to_marker = range_post
         i = 0
         while i < n:
             p1 = _parse_point(tokens, i, n, base_date, lang)
@@ -773,7 +822,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 i += 1
                 continue
             dt1, _g1, last1, _kind1 = p1
-            if last1 + 1 >= n or lower(last1 + 1) != "から":
+            if last1 + 1 >= n or lower(last1 + 1) != from_marker:
                 i += 1
                 continue
             p2 = _parse_point(tokens, last1 + 2, n, base_date, lang)
@@ -782,7 +831,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 continue
             dt2, _g2, last2, kind2 = p2
             end_tok = last2
-            if last2 + 1 < n and lower(last2 + 1) == "まで":
+            if last2 + 1 < n and lower(last2 + 1) == to_marker:
                 end_tok = last2 + 1
             if dt2 <= dt1:
                 dt2 += _dt.timedelta(days=7 if kind2 == "weekday" else 1)
@@ -848,7 +897,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
         elif w in tables["months"] or (
-                lang in ("fr", "es", "it", "pt", "ja")
+                lang in ("fr", "es", "it", "pt", "ja", "ko")
                 and _parse_month_day(tokens, i, n, base_date,
                                      lang) is not None):
             md = _parse_month_day(tokens, i, n, base_date, lang)
@@ -1017,6 +1066,56 @@ def _parse_clock_ja(tokens, i, n):
     if meridiem == "午後" and hh <= 12:
         hh = hh % 12 + 12
     elif meridiem == "午前" and hh <= 12:
+        hh = hh % 12
+    return hh, mm, last, True
+
+
+def _parse_clock_ko(tokens, i, n):
+    """``8시`` / ``8시 반`` / ``8시 30분`` / ``오후 8시`` / ``여덟시`` —
+    hour numeral + 시 suffix token (the particle split peels trailing
+    에/에는 so 시 arrives clean); fused native-numeral hours (여덟시)
+    are one hangul token ending in 시. 오전/오후 meridiem prefixes.
+    Same return contract as _parse_clock; falls back to the shared
+    parser for "8:30"-style times."""
+    if i >= n:
+        return None
+    meridiem = None
+    j = i
+    if tokens[j].value in ("오전", "오후"):
+        meridiem = tokens[j].value
+        j += 1
+    hh = last = None
+    if j < n:
+        v = tokens[j].value
+        nxt = tokens[j + 1].value if j + 1 < n else None
+        if nxt == "시":
+            hh = _tok_int(v, "ko")
+            last = j + 1
+        elif len(v) > 1 and v.endswith("시"):
+            hh = _tok_int(v[:-1], "ko")
+            last = j
+    if hh is None or hh > 23:
+        if meridiem is not None:
+            return None
+        return _parse_clock(tokens, i, n)
+    mm = 0
+    if last + 2 < n and tokens[last + 2].value == "분":
+        mv = _tok_int(tokens[last + 1].value, "ko")
+        if mv is not None and mv <= 59:
+            mm = mv
+            last += 2
+    elif last + 1 < n and tokens[last + 1].value == "반":
+        mm = 30
+        last += 1
+    elif last + 1 < n and len(tokens[last + 1].value) > 1 \
+            and tokens[last + 1].value.endswith("분"):
+        mv = _tok_int(tokens[last + 1].value[:-1], "ko")
+        if mv is not None and mv <= 59:
+            mm = mv
+            last += 1
+    if meridiem == "오후" and hh <= 12:
+        hh = hh % 12 + 12
+    elif meridiem == "오전" and hh <= 12:
         hh = hh % 12
     return hh, mm, last, True
 

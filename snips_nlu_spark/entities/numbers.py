@@ -613,6 +613,70 @@ def _words_to_number_ja(words: list[str]) -> float | None:
     return _kanji_to_number(words[0])
 
 
+# --- korean -----------------------------------------------------------
+# Sino-Korean numerals fuse into one hangul token (이십오 = 25) and
+# parse character-wise with the same scale algorithm as kanji; native
+# Korean counters (하나/둘/… and their determiner forms 한/두/세/네)
+# are an enumerable word set. Single-syllable sino digits double as
+# ordinary words (이 "this", 일 "day") — the same homograph ambiguity
+# en accepts for "may"/"a".
+
+_KO_DIGITS = {"영": 0, "공": 0, "일": 1, "이": 2, "삼": 3, "사": 4,
+              "오": 5, "육": 6, "칠": 7, "팔": 8, "구": 9}
+_KO_SMALL_SCALES = {"십": 10, "백": 100, "천": 1000}
+_KO_BIG_SCALES = {"만": 10 ** 4, "억": 10 ** 8, "조": 10 ** 12}
+KO_NATIVE_NUMBERS = {
+    "하나": 1, "둘": 2, "셋": 3, "넷": 4, "다섯": 5, "여섯": 6,
+    "일곱": 7, "여덟": 8, "아홉": 9, "열": 10, "스물": 20,
+    "한": 1, "두": 2, "세": 3, "네": 4, "스무": 20,
+}
+
+
+def _hangul_to_number(s: str) -> float | None:
+    if not s or any(ch not in _KO_DIGITS and ch not in _KO_SMALL_SCALES
+                    and ch not in _KO_BIG_SCALES for ch in s):
+        return None
+    if all(ch in _KO_DIGITS for ch in s):
+        val = 0
+        for ch in s:
+            val = val * 10 + _KO_DIGITS[ch]
+        return float(val)
+    total = 0
+    section = 0
+    num = 0
+    prev_small = None
+    for ch in s:
+        if ch in _KO_DIGITS:
+            if num:
+                return None
+            num = _KO_DIGITS[ch]
+        elif ch in _KO_SMALL_SCALES:
+            scale = _KO_SMALL_SCALES[ch]
+            if prev_small is not None and scale >= prev_small:
+                return None
+            prev_small = scale
+            section += (num or 1) * scale
+            num = 0
+        else:
+            sec = section + num
+            total += (sec or 1) * _KO_BIG_SCALES[ch]
+            section = num = 0
+            prev_small = None
+    return float(total + section + num)
+
+
+def _ko_token_value(token: str) -> float | None:
+    if token in KO_NATIVE_NUMBERS:
+        return float(KO_NATIVE_NUMBERS[token])
+    return _hangul_to_number(token)
+
+
+def _words_to_number_ko(words: list[str]) -> float | None:
+    if len(words) != 1:
+        return None
+    return _ko_token_value(words[0])
+
+
 def is_number_word(token: str, language: str = "en") -> bool:
     """Can ``token`` start/continue a number phrase? German fused
     compounds can't be enumerated, so membership is a parse probe."""
@@ -625,6 +689,8 @@ def is_number_word(token: str, language: str = "en") -> bool:
                 or _it_token_value(token) is not None)
     if language == "ja":
         return _kanji_to_number(token) is not None
+    if language == "ko":
+        return _ko_token_value(token) is not None
     return token in number_words(language)
 
 
@@ -673,6 +739,8 @@ def words_to_number(phrase: str, language: str = "en") -> float | None:
         return _words_to_number_pt(words)
     if language == "ja":
         return _words_to_number_ja(words)
+    if language == "ko":
+        return _words_to_number_ko(words)
     total = 0
     current = 0
     seen_value = False

@@ -481,6 +481,36 @@ JA_COMMON_WORDS = frozenset(
 飛行機 切符 予約 気温 温度
 """.split()))
 
+# ko: particles are split off by the tokenizer
+# (textcore._split_hangul_particle), so they work as standalone stop
+# words; the reference ko config nevertheless sets
+# ignore_stop_words=False, and this list stays minimal.
+KO_STOP_WORDS = frozenset(
+    "은 는 이 가 을 를 에 로 와 과 의 도 만 에서 부터 까지 으로".split())
+
+KO_NOISE = """
+날씨 시간 오늘 내일 음악 전기 방 부엌 침실 창문 문 책상 의자 책
+사과 바나나 체리 딸기 오렌지 레몬 포도 복숭아 배
+산 강 성 정원 다리 개 고양이 새 물고기 꽃 나무 하늘 바다 비 눈 바람
+검색 처리 요청 작업 완료 성공 확인 시스템 상태 보고 생성
+서비스 확정 대기 불가능 장치 신규 설정 저장 결과 종료
+오류 경고 출력 입력 응답 데이터
+""".split()
+
+KO_STEMS: dict[str, str] = {}
+
+KO_COMMON_WORDS = frozenset(
+    set(KO_NOISE) | set(KO_STOP_WORDS) | set("""
+만들어줘 주세요 부탁해 안녕하세요 감사합니다
+커피 홍차 녹차 우유 물 주스 코코아 컵 잔
+뜨거운 차가운 큰 작은
+거실 서재 욕실 현관 복도
+빨간 파란 초록 노란 하얀 검은 보라 분홍
+월요일 화요일 수요일 목요일 금요일 토요일 일요일
+아침 낮 저녁 밤 오늘밤 다음주
+비행기 표 예약 기온 온도
+""".split()))
+
 _RESOURCE_TABLES = {
     "en": {
         "stop_words": EN_STOP_WORDS,
@@ -534,11 +564,18 @@ _RESOURCE_TABLES = {
         "common_words": JA_COMMON_WORDS,
         "clusters": {},
     },
+    "ko": {
+        "stop_words": KO_STOP_WORDS,
+        "noise": KO_NOISE,
+        "stems": KO_STEMS,
+        "common_words": KO_COMMON_WORDS,
+        "clusters": {},
+    },
 }
 
 
 def get_resources(language: str = "en") -> dict:
-    """Resource bundle for a language (en, fr, es, de, it, pt, ja)."""
+    """Resource bundle for a language (en, fr, es, de, it, pt, ja, ko)."""
     tables = _RESOURCE_TABLES.get(language)
     if tables is None:
         raise ValueError(

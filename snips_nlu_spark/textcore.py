@@ -49,14 +49,41 @@ _WS_RE = re.compile(r"\s+", re.UNICODE)
 # language-independent, so no language parameter needs plumbing —
 # non-CJK text is untouched.
 _CJK_PROBE = re.compile(
-    r"[々぀-ヿㇰ-ㇿ㐀-鿿豈-﫿]")
+    r"[\u3005\u3040-\u30ff\u31f0-\u31ff\u3400-\u9fff\uf900-\ufaff"
+    r"\u1100-\u11ff\u3130-\u318f\uac00-\ud7af]")
 _KANJI_NUMERALS = "〇零一二三四五六七八九十百千万億兆"
 _SCRIPT_RUN_RE = re.compile(
-    r"[ぁ-ゟ]+"                      # hiragana
-    r"|[゠-ヿㇰ-ㇿ]+"        # katakana + ー
-    f"|[{_KANJI_NUMERALS}]+"                  # kanji numerals
-    r"|[㐀-鿿豈-﫿々]"   # other han: one token per char
-    r"|[^々぀-ヿㇰ-ㇿ㐀-鿿豈-﫿]+")
+    r"[\u3040-\u309f]+"                     # hiragana
+    r"|[\u30a0-\u30ff\u31f0-\u31ff]+"      # katakana + prolonged mark
+    f"|[{_KANJI_NUMERALS}]+"                 # kanji numerals
+    r"|[\u3400-\u9fff\uf900-\ufaff\u3005]"  # other han: one char/token
+    r"|[\u1100-\u11ff\u3130-\u318f\uac00-\ud7af]+"  # hangul eojeol runs
+    r"|[^\u3005\u3040-\u30ff\u31f0-\u31ff\u3400-\u9fff\uf900-\ufaff"
+    r"\u1100-\u11ff\u3130-\u318f\uac00-\ud7af]+")
+
+# Korean attaches case/topic particles directly to the preceding word
+# (월요일부터, 서울로, 8시에), so a hangul run is split once at a
+# trailing particle, longest match first. Deterministic and applied
+# identically at fit and parse time, so keys/tries stay consistent even
+# when a split is linguistically wrong — the same crude-but-standard
+# trade-off as dictionary stemming. Jamo-level morphology is NOT
+# modeled.
+_KO_PARTICLES = (
+    "입니다", "이에요", "예요", "에서는", "에서", "에는", "부터",
+    "까지", "으로", "이나", "하고",
+    "은", "는", "이", "가", "을", "를", "에", "로", "와", "과", "의",
+    "도", "만",
+)
+_HANGUL_RE = re.compile(r"[\u1100-\u11ff\u3130-\u318f\uac00-\ud7af]")
+
+
+def _split_hangul_particle(value: str, start: int) -> list[Token]:
+    for p in _KO_PARTICLES:
+        if len(value) > len(p) and value.endswith(p):
+            cut = len(value) - len(p)
+            return [Token(value[:cut], start, start + cut),
+                    Token(value[cut:], start + cut, start + len(value))]
+    return [Token(value, start, start + len(value))]
 
 
 @lru_cache(maxsize=8192)
@@ -73,8 +100,13 @@ def tokenize(text: str) -> tuple[Token, ...]:
         if _CJK_PROBE.search(value):
             base = m.start()
             for sm in _SCRIPT_RUN_RE.finditer(value):
-                out.append(Token(sm.group(0), base + sm.start(),
-                                 base + sm.end()))
+                run = sm.group(0)
+                if _HANGUL_RE.match(run):
+                    out.extend(_split_hangul_particle(run,
+                                                      base + sm.start()))
+                else:
+                    out.append(Token(run, base + sm.start(),
+                                     base + sm.end()))
         else:
             out.append(Token(value, m.start(), m.end()))
     return tuple(out)
