@@ -97,7 +97,7 @@ def tokenize(text: str) -> tuple[Token, ...]:
     out = []
     for m in _TOKEN_RE.finditer(text):
         value = m.group(0)
-        if _CJK_PROBE.search(value):
+        if not value.isascii() and _CJK_PROBE.search(value):
             base = m.start()
             for sm in _SCRIPT_RUN_RE.finditer(value):
                 run = sm.group(0)
