@@ -1160,19 +1160,28 @@ class BuiltinEntityParser:
         # (text, anchor)
         self._static_memo = lru_cache(maxsize=8192)(self._scan_static)
         self._dt_memo = lru_cache(maxsize=8192)(self._scan_dt)
+        self._parse_memo = lru_cache(maxsize=32768)(self._parse_scoped)
 
     def parse(self, text: str, scope: Sequence[str] | None = None,
               anchor: _dt.datetime | None = None) -> list[dict]:
         if scope is None:
             scope = BUILTIN_KINDS + self.gazetteer_entities
-        wanted = set(scope)
+        return list(self._parse_memo(text, tuple(scope), anchor))
+
+    def _parse_scoped(self, text: str, scope_key: tuple,
+                      anchor: _dt.datetime | None) -> tuple:
+        """Scope-filtered view over the memoized scans — itself memoized
+        per (text, scope, anchor): the cascade probes each text with
+        several scopes, and the filter/sort was the dominant repeat
+        cost."""
+        wanted = set(scope_key)
         mentions = [m for m in self._static_memo(text)
                     if m["entity_kind"] in wanted]
         if "snips/datetime" in wanted:
             mentions.extend(self._dt_memo(text, anchor))
         if len(wanted) > 1 or mentions and "snips/datetime" in wanted:
             mentions.sort(key=lambda m: (m["start"], m["end"]))
-        return mentions
+        return tuple(mentions)
 
     def _scan_static(self, text: str) -> tuple:
         tokens = tokenize(text)

@@ -46,6 +46,7 @@ class GazetteerParser:
         # the scan is scope-independent, so one memo entry serves every
         # scoped probe of the same text
         self._scan_memo = lru_cache(maxsize=2048)(self._scan_all)
+        self._filter_memo = lru_cache(maxsize=8192)(self._filter_by_scope)
 
     # -- build (driver side) ------------------------------------------------
     STOPWORDS_FRACTION = 1e-3  # ref: custom_entity_parser.py:108
@@ -130,14 +131,18 @@ class GazetteerParser:
     def parse(self, text: str, scope: Sequence[str] | None = None
               ) -> list[dict]:
         """Longest dictionary match per (entity, start token); returns
-        mention dicts sorted by span. The underlying scan is memoized per
-        text (scope-independent) — treat the returned dicts as
-        immutable."""
-        matches = self._scan_memo(text)
-        if scope is not None:
-            wanted = set(scope)
-            matches = [m for m in matches if m["entity_kind"] in wanted]
-        return list(matches)
+        mention dicts sorted by span. Both the underlying scan (per text)
+        and the scope-filtered view (per text+scope — the cascade probes
+        each text with several scopes) are memoized; treat the returned
+        dicts as immutable."""
+        if scope is None:
+            return list(self._scan_memo(text))
+        return list(self._filter_memo(text, tuple(scope)))
+
+    def _filter_by_scope(self, text: str, scope_key: tuple) -> tuple:
+        wanted = set(scope_key)
+        return tuple(m for m in self._scan_memo(text)
+                     if m["entity_kind"] in wanted)
 
     def _scan_all(self, text: str) -> tuple:
         """One merged-trie walk per start position finds the longest match

@@ -86,7 +86,7 @@ def _split_hangul_particle(value: str, start: int) -> list[Token]:
     return [Token(value, start, start + len(value))]
 
 
-@lru_cache(maxsize=8192)
+@lru_cache(maxsize=65536)
 def tokenize(text: str) -> tuple[Token, ...]:
     """Tokenize with character ranges (ref: preprocessing.py:72-89).
 
