@@ -208,10 +208,56 @@ def make_lsh_topk_oracle(sf: float, k: int = 5, n_queries: int = 20,
     return out
 
 
+MULTILANG_SCHEMA = pa.schema([("lang", pa.string())]
+                             + list(SCHEMA))
+
+
+def make_multilang_oracle() -> Path:
+    """Fit one engine per non-en language pack, persist the bundles (the
+    Spark query broadcasts them) and the expected triples for the
+    deterministic multilang_turns() table (single-process reference
+    execution of the same spec — mirrors spark/stages.parse_multilang
+    incl. the date-floored anchor)."""
+    import datetime as _dt
+    import json
+
+    from snips_nlu_spark.fixtures import (multilang_datasets,
+                                          multilang_turns)
+    from snips_nlu_spark.spark.stages import triples_from_result
+
+    engines = {lang: NluEngine().fit(ds)
+               for lang, ds in sorted(multilang_datasets().items())}
+    bundles = {lang: eng.to_dict() for lang, eng in engines.items()}
+    ORACLE_DIR.mkdir(exist_ok=True)
+    bpath = ORACLE_DIR / "multilang_bundles.json"
+    bpath.write_text(json.dumps(bundles, sort_keys=True), encoding="utf8")
+    print(f"multilang bundles -> {bpath} "
+          f"({bpath.stat().st_size / 1e6:.1f} MB)")
+
+    rows: list[tuple] = []
+    for rec in multilang_turns():
+        eng = engines[rec["lang"]]
+        ts = rec["ts"]
+        anchor = _dt.datetime(ts.year, ts.month, ts.day)
+        res = eng.parse(rec["text"], anchor=anchor)
+        for row in triples_from_result(res, rec["conv_id"],
+                                       rec["turn_idx"]):
+            rows.append((rec["lang"], *row))
+    cols = list(zip(*rows)) if rows else [[] for _ in MULTILANG_SCHEMA]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type)
+         for c, f in zip(cols, MULTILANG_SCHEMA)], schema=MULTILANG_SCHEMA)
+    out = ORACLE_DIR / "multilang.parquet"
+    pq.write_table(table, out)
+    print(f"multilang oracle -> {len(rows)} triples -> {out}")
+    return out
+
+
 if __name__ == "__main__":
     sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01]
     engine = build_engine()
     persist_model_bundle(engine)
+    make_multilang_oracle()
     for sf in sfs:
         make_oracle(engine, sf)
         make_intents_oracle(engine, sf)

@@ -528,3 +528,471 @@ FILLER_TEXTS: tuple = (
 
 TOOL_NAMES: tuple = ("search", "calendar", "home_api", "flight_api",
                      "coffee_machine")
+
+
+def de_dataset() -> dict:
+    return {
+        "language": "de",
+        "intents": {
+            "getraenkKochen": {
+                "utterances": [
+                    {"data": [
+                        {"text": "mach mir "},
+                        {"text": "zwei", "entity": "snips/number",
+                         "slot_name": "anzahl_tassen"},
+                        {"text": " tassen "},
+                        {"text": "kaffee", "entity": "getraenk",
+                         "slot_name": "getraenk"},
+                    ]},
+                    {"data": [
+                        {"text": "koche bitte "},
+                        {"text": "eine", "entity": "snips/number",
+                         "slot_name": "anzahl_tassen"},
+                        {"text": " tasse "},
+                        {"text": "tee", "entity": "getraenk",
+                         "slot_name": "getraenk"},
+                    ]},
+                    {"data": [
+                        {"text": "ich möchte eine "},
+                        {"text": "heiße schokolade", "entity": "getraenk",
+                         "slot_name": "getraenk"},
+                    ]},
+                ]
+            },
+            "flugBuchen": {
+                "utterances": [
+                    {"data": [
+                        {"text": "buche mir einen flug nach "},
+                        {"text": "berlin", "entity": "stadt",
+                         "slot_name": "ziel"},
+                        {"text": " "},
+                        {"text": "morgen", "entity": "snips/datetime",
+                         "slot_name": "abflugdatum"},
+                    ]},
+                    {"data": [
+                        {"text": "ich brauche ein ticket nach "},
+                        {"text": "münchen", "entity": "stadt",
+                         "slot_name": "ziel"},
+                    ]},
+                    {"data": [
+                        {"text": "finde einen flug nach "},
+                        {"text": "hamburg", "entity": "stadt",
+                         "slot_name": "ziel"},
+                        {"text": " am "},
+                        {"text": "montag", "entity": "snips/datetime",
+                         "slot_name": "abflugdatum"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "getraenk": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "kaffee", "synonyms": []},
+                    {"value": "tee", "synonyms": ["grüner tee"]},
+                    {"value": "heiße schokolade", "synonyms": ["kakao"]},
+                ],
+            },
+            "stadt": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "berlin", "synonyms": []},
+                    {"value": "münchen", "synonyms": []},
+                    {"value": "hamburg", "synonyms": []},
+                    {"value": "köln", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
+def it_dataset() -> dict:
+    return {
+        "language": "it",
+        "intents": {
+            "preparareBevanda": {
+                "utterances": [
+                    {"data": [
+                        {"text": "fammi "},
+                        {"text": "due", "entity": "snips/number",
+                         "slot_name": "numero_tazze"},
+                        {"text": " tazze di "},
+                        {"text": "caffè", "entity": "bevanda",
+                         "slot_name": "bevanda"},
+                    ]},
+                    {"data": [
+                        {"text": "prepara "},
+                        {"text": "una", "entity": "snips/number",
+                         "slot_name": "numero_tazze"},
+                        {"text": " tazza di "},
+                        {"text": "tè", "entity": "bevanda",
+                         "slot_name": "bevanda"},
+                        {"text": " per favore"},
+                    ]},
+                    {"data": [
+                        {"text": "voglio una "},
+                        {"text": "cioccolata calda", "entity": "bevanda",
+                         "slot_name": "bevanda"},
+                    ]},
+                ]
+            },
+            "prenotareVolo": {
+                "utterances": [
+                    {"data": [
+                        {"text": "prenotami un volo per "},
+                        {"text": "roma", "entity": "citta",
+                         "slot_name": "destinazione"},
+                        {"text": " "},
+                        {"text": "domani", "entity": "snips/datetime",
+                         "slot_name": "data_partenza"},
+                    ]},
+                    {"data": [
+                        {"text": "voglio un biglietto per "},
+                        {"text": "milano", "entity": "citta",
+                         "slot_name": "destinazione"},
+                    ]},
+                    {"data": [
+                        {"text": "trova un volo per "},
+                        {"text": "napoli", "entity": "citta",
+                         "slot_name": "destinazione"},
+                        {"text": " "},
+                        {"text": "lunedì", "entity": "snips/datetime",
+                         "slot_name": "data_partenza"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "bevanda": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "caffè", "synonyms": ["espresso"]},
+                    {"value": "tè", "synonyms": ["tè verde"]},
+                    {"value": "cioccolata calda", "synonyms": ["cacao"]},
+                ],
+            },
+            "citta": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "roma", "synonyms": []},
+                    {"value": "milano", "synonyms": []},
+                    {"value": "napoli", "synonyms": []},
+                    {"value": "torino", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
+def pt_dataset() -> dict:
+    return {
+        "language": "pt",
+        "intents": {
+            "prepararBebida": {
+                "utterances": [
+                    {"data": [
+                        {"text": "faz "},
+                        {"text": "duas", "entity": "snips/number",
+                         "slot_name": "numero_xicaras"},
+                        {"text": " xícaras de "},
+                        {"text": "café", "entity": "bebida",
+                         "slot_name": "bebida"},
+                    ]},
+                    {"data": [
+                        {"text": "prepara "},
+                        {"text": "uma", "entity": "snips/number",
+                         "slot_name": "numero_xicaras"},
+                        {"text": " xícara de "},
+                        {"text": "chá", "entity": "bebida",
+                         "slot_name": "bebida"},
+                        {"text": " por favor"},
+                    ]},
+                    {"data": [
+                        {"text": "quero um "},
+                        {"text": "chocolate quente", "entity": "bebida",
+                         "slot_name": "bebida"},
+                    ]},
+                ]
+            },
+            "reservarVoo": {
+                "utterances": [
+                    {"data": [
+                        {"text": "reserva um voo para "},
+                        {"text": "lisboa", "entity": "cidade",
+                         "slot_name": "destino"},
+                        {"text": " "},
+                        {"text": "amanhã", "entity": "snips/datetime",
+                         "slot_name": "data_partida"},
+                    ]},
+                    {"data": [
+                        {"text": "quero um bilhete para "},
+                        {"text": "porto", "entity": "cidade",
+                         "slot_name": "destino"},
+                    ]},
+                    {"data": [
+                        {"text": "procura um voo para "},
+                        {"text": "recife", "entity": "cidade",
+                         "slot_name": "destino"},
+                        {"text": " na "},
+                        {"text": "segunda", "entity": "snips/datetime",
+                         "slot_name": "data_partida"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "bebida": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "café", "synonyms": ["cafezinho"]},
+                    {"value": "chá", "synonyms": ["chá verde"]},
+                    {"value": "chocolate quente", "synonyms": ["cacau"]},
+                ],
+            },
+            "cidade": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "lisboa", "synonyms": []},
+                    {"value": "porto", "synonyms": []},
+                    {"value": "recife", "synonyms": []},
+                    {"value": "coimbra", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
+def ja_dataset() -> dict:
+    return {
+        "language": "ja",
+        "intents": {
+            "nomimonoJunbi": {
+                "utterances": [
+                    {"data": [
+                        {"text": "飲み物", "entity": "nomimono",
+                         "slot_name": "nomimono"},
+                        {"text": "を"},
+                        {"text": "二", "entity": "snips/number",
+                         "slot_name": "kazu"},
+                        {"text": "杯作って"},
+                    ]},
+                    {"data": [
+                        {"text": "コーヒー", "entity": "nomimono",
+                         "slot_name": "nomimono"},
+                        {"text": "をください"},
+                    ]},
+                    {"data": [
+                        {"text": "熱い"},
+                        {"text": "紅茶", "entity": "nomimono",
+                         "slot_name": "nomimono"},
+                        {"text": "をお願いします"},
+                    ]},
+                ]
+            },
+            "hikoukiYoyaku": {
+                "utterances": [
+                    {"data": [
+                        {"text": "東京", "entity": "toshi",
+                         "slot_name": "ikisaki"},
+                        {"text": "行きの飛行機を"},
+                        {"text": "明日", "entity": "snips/datetime",
+                         "slot_name": "hizuke"},
+                        {"text": "予約して"},
+                    ]},
+                    {"data": [
+                        {"text": "大阪", "entity": "toshi",
+                         "slot_name": "ikisaki"},
+                        {"text": "までの切符がほしい"},
+                    ]},
+                    {"data": [
+                        {"text": "札幌", "entity": "toshi",
+                         "slot_name": "ikisaki"},
+                        {"text": "への便を探して"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "nomimono": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "コーヒー", "synonyms": ["珈琲"]},
+                    {"value": "紅茶", "synonyms": []},
+                    {"value": "お茶", "synonyms": ["緑茶"]},
+                ],
+            },
+            "toshi": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "東京", "synonyms": []},
+                    {"value": "大阪", "synonyms": []},
+                    {"value": "札幌", "synonyms": []},
+                    {"value": "京都", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
+def ko_dataset() -> dict:
+    return {
+        "language": "ko",
+        "intents": {
+            "eumnyoJunbi": {
+                "utterances": [
+                    {"data": [
+                        {"text": "커피", "entity": "eumnyo",
+                         "slot_name": "eumnyo"},
+                        {"text": " "},
+                        {"text": "두", "entity": "snips/number",
+                         "slot_name": "su"},
+                        {"text": " 잔 만들어줘"},
+                    ]},
+                    {"data": [
+                        {"text": "홍차", "entity": "eumnyo",
+                         "slot_name": "eumnyo"},
+                        {"text": " 한 잔 주세요"},
+                    ]},
+                    {"data": [
+                        {"text": "뜨거운 "},
+                        {"text": "녹차", "entity": "eumnyo",
+                         "slot_name": "eumnyo"},
+                        {"text": "를 부탁해"},
+                    ]},
+                ]
+            },
+            "bihaenggiYeyak": {
+                "utterances": [
+                    {"data": [
+                        {"text": "서울", "entity": "dosi",
+                         "slot_name": "mokjeokji"},
+                        {"text": "로 가는 비행기를 "},
+                        {"text": "내일", "entity": "snips/datetime",
+                         "slot_name": "naljja"},
+                        {"text": " 예약해줘"},
+                    ]},
+                    {"data": [
+                        {"text": "부산", "entity": "dosi",
+                         "slot_name": "mokjeokji"},
+                        {"text": "까지 가는 표를 원해"},
+                    ]},
+                    {"data": [
+                        {"text": "인천", "entity": "dosi",
+                         "slot_name": "mokjeokji"},
+                        {"text": "으로 가는 편을 찾아줘"},
+                    ]},
+                ]
+            },
+        },
+        "entities": {
+            "eumnyo": {
+                "use_synonyms": True,
+                "automatically_extensible": True,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "커피", "synonyms": ["아메리카노"]},
+                    {"value": "홍차", "synonyms": []},
+                    {"value": "녹차", "synonyms": ["차"]},
+                ],
+            },
+            "dosi": {
+                "use_synonyms": True,
+                "automatically_extensible": False,
+                "matching_strictness": 1.0,
+                "data": [
+                    {"value": "서울", "synonyms": []},
+                    {"value": "부산", "synonyms": []},
+                    {"value": "인천", "synonyms": []},
+                    {"value": "대구", "synonyms": []},
+                ],
+            },
+            "snips/number": {},
+            "snips/datetime": {},
+        },
+    }
+
+
+def multilang_datasets() -> dict[str, dict]:
+    """One compact dataset per non-en language pack — the multilingual
+    gate query (kg_multilang_triples) fits one engine per language from
+    these and parses the deterministic multilang_turns() table."""
+    return {"fr": fr_dataset(), "es": es_dataset(), "de": de_dataset(),
+            "it": it_dataset(), "pt": pt_dataset(), "ja": ja_dataset(),
+            "ko": ko_dataset()}
+
+
+def multilang_turns() -> list[dict]:
+    """Deterministic multilingual transcript rows
+    (lang, conv_id, turn_idx, text, ts) — a pure function of the fixture
+    datasets, so the Spark query and the committed oracle see the same
+    input without any external data:
+
+    * every training surface form (lookup exact-match path),
+    * slot-substituted variants — each custom-entity chunk swapped for
+      the NEXT value of its entity (unseen text: placeholder
+      substitution + CRF path),
+    * three noise texts from the language's resource pack (None path).
+    """
+    import datetime as _dt
+
+    from .resources import get_resources
+
+    base_ts = _dt.datetime(2024, 5, 2, 9, 0, 0)
+    rows: list[dict] = []
+    for lang, ds in sorted(multilang_datasets().items()):
+        texts: list[str] = []
+        for intent in sorted(ds["intents"]):
+            for utt in ds["intents"][intent]["utterances"]:
+                texts.append("".join(c["text"] for c in utt["data"]))
+                swapped = []
+                changed = False
+                for c in utt["data"]:
+                    ent = c.get("entity")
+                    values = [d["value"]
+                              for d in ds["entities"].get(ent, {})
+                              .get("data", [])] if ent else []
+                    if ent and values and c["text"] in values:
+                        nxt = values[(values.index(c["text"]) + 1)
+                                     % len(values)]
+                        swapped.append(nxt)
+                        changed = changed or nxt != c["text"]
+                    else:
+                        swapped.append(c["text"])
+                if changed:
+                    texts.append("".join(swapped))
+        noise = get_resources(lang)["noise"]
+        texts.extend(" ".join(noise[j:j + 3]) for j in (0, 7, 19))
+        for i, text in enumerate(texts):
+            rows.append({
+                "lang": lang,
+                "conv_id": f"{lang}-{i // 5}",
+                "turn_idx": i % 5,
+                "text": text,
+                "ts": base_ts + _dt.timedelta(seconds=137 * i),
+            })
+    return rows

@@ -300,3 +300,58 @@ def salted_repartition(df, num_partitions: int):
         num_partitions,
         F.pmod(F.xxhash64("conv_id", "turn_idx"),
                F.lit(num_partitions)))
+
+
+MULTILANG_TRIPLE_SCHEMA = "lang string, " + TRIPLE_SCHEMA
+
+
+def parse_multilang(df, bundles_json: str):
+    """Multilingual transcripts (lang, conv_id, turn_idx, text, ts) →
+    triples with a leading ``lang`` column, one mapInPandas stage.
+
+    ``bundles_json`` is a JSON object {lang: engine_bundle}; it is
+    broadcast once and each executor materializes ONLY the engines for
+    the languages it actually sees (lazy per-language cache), so adding
+    languages doesn't grow per-worker warm-up for single-language
+    partitions. Rows are grouped by lang inside the batch so each
+    engine gets one vectorized parse_batch call (ref semantics: the
+    reference loads one NLUEngine per language via its per-language
+    default configs, default_configs/__init__.py)."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bundles_json)
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bundles = None
+        engines: dict[str, NluEngine] = {}
+
+        def engine_for(lang: str) -> NluEngine:
+            nonlocal bundles
+            eng = engines.get(lang)
+            if eng is None:
+                if bundles is None:
+                    bundles = json.loads(bc.value)
+                eng = NluEngine.from_dict(bundles[lang])
+                engines[lang] = eng
+            return eng
+
+        for pdf in batches:
+            out_rows: list[tuple] = []
+            for lang, grp in pdf.groupby("lang", sort=True):
+                eng = engine_for(str(lang))
+                texts = [str(t) for t in grp["text"]]
+                anchors = []
+                for ts in pd.to_datetime(grp["ts"]):
+                    anchors.append(None if pd.isna(ts) else _dt.datetime(
+                        ts.year, ts.month, ts.day))
+                results = eng.parse_batch(texts, anchors)
+                for (conv_id, turn_idx), res in zip(
+                        zip(grp["conv_id"], grp["turn_idx"]), results):
+                    for row in triples_from_result(res, str(conv_id),
+                                                   int(turn_idx)):
+                        out_rows.append((str(lang), *row))
+            yield pd.DataFrame(out_rows,
+                               columns=["lang", *TRIPLE_COLUMNS])
+
+    needed = ["lang", "conv_id", "turn_idx", "text", "ts"]
+    return df.select(*needed).mapInPandas(kernel,
+                                          schema=MULTILANG_TRIPLE_SCHEMA)

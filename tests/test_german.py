@@ -8,87 +8,7 @@ import pytest
 ANCHOR = datetime.datetime(2024, 5, 2)  # Donnerstag
 
 
-def _de_dataset():
-    return {
-        "language": "de",
-        "intents": {
-            "getraenkKochen": {
-                "utterances": [
-                    {"data": [
-                        {"text": "mach mir "},
-                        {"text": "zwei", "entity": "snips/number",
-                         "slot_name": "anzahl_tassen"},
-                        {"text": " tassen "},
-                        {"text": "kaffee", "entity": "getraenk",
-                         "slot_name": "getraenk"},
-                    ]},
-                    {"data": [
-                        {"text": "koche bitte "},
-                        {"text": "eine", "entity": "snips/number",
-                         "slot_name": "anzahl_tassen"},
-                        {"text": " tasse "},
-                        {"text": "tee", "entity": "getraenk",
-                         "slot_name": "getraenk"},
-                    ]},
-                    {"data": [
-                        {"text": "ich möchte eine "},
-                        {"text": "heiße schokolade", "entity": "getraenk",
-                         "slot_name": "getraenk"},
-                    ]},
-                ]
-            },
-            "flugBuchen": {
-                "utterances": [
-                    {"data": [
-                        {"text": "buche mir einen flug nach "},
-                        {"text": "berlin", "entity": "stadt",
-                         "slot_name": "ziel"},
-                        {"text": " "},
-                        {"text": "morgen", "entity": "snips/datetime",
-                         "slot_name": "abflugdatum"},
-                    ]},
-                    {"data": [
-                        {"text": "ich brauche ein ticket nach "},
-                        {"text": "münchen", "entity": "stadt",
-                         "slot_name": "ziel"},
-                    ]},
-                    {"data": [
-                        {"text": "finde einen flug nach "},
-                        {"text": "hamburg", "entity": "stadt",
-                         "slot_name": "ziel"},
-                        {"text": " am "},
-                        {"text": "montag", "entity": "snips/datetime",
-                         "slot_name": "abflugdatum"},
-                    ]},
-                ]
-            },
-        },
-        "entities": {
-            "getraenk": {
-                "use_synonyms": True,
-                "automatically_extensible": True,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "kaffee", "synonyms": []},
-                    {"value": "tee", "synonyms": ["grüner tee"]},
-                    {"value": "heiße schokolade", "synonyms": ["kakao"]},
-                ],
-            },
-            "stadt": {
-                "use_synonyms": True,
-                "automatically_extensible": False,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "berlin", "synonyms": []},
-                    {"value": "münchen", "synonyms": []},
-                    {"value": "hamburg", "synonyms": []},
-                    {"value": "köln", "synonyms": []},
-                ],
-            },
-            "snips/number": {},
-            "snips/datetime": {},
-        },
-    }
+from snips_nlu_spark.fixtures import de_dataset as _de_dataset  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -8,88 +8,7 @@ import pytest
 ANCHOR = datetime.datetime(2024, 5, 2)  # giovedì
 
 
-def _it_dataset():
-    return {
-        "language": "it",
-        "intents": {
-            "preparareBevanda": {
-                "utterances": [
-                    {"data": [
-                        {"text": "fammi "},
-                        {"text": "due", "entity": "snips/number",
-                         "slot_name": "numero_tazze"},
-                        {"text": " tazze di "},
-                        {"text": "caffè", "entity": "bevanda",
-                         "slot_name": "bevanda"},
-                    ]},
-                    {"data": [
-                        {"text": "prepara "},
-                        {"text": "una", "entity": "snips/number",
-                         "slot_name": "numero_tazze"},
-                        {"text": " tazza di "},
-                        {"text": "tè", "entity": "bevanda",
-                         "slot_name": "bevanda"},
-                        {"text": " per favore"},
-                    ]},
-                    {"data": [
-                        {"text": "voglio una "},
-                        {"text": "cioccolata calda", "entity": "bevanda",
-                         "slot_name": "bevanda"},
-                    ]},
-                ]
-            },
-            "prenotareVolo": {
-                "utterances": [
-                    {"data": [
-                        {"text": "prenotami un volo per "},
-                        {"text": "roma", "entity": "citta",
-                         "slot_name": "destinazione"},
-                        {"text": " "},
-                        {"text": "domani", "entity": "snips/datetime",
-                         "slot_name": "data_partenza"},
-                    ]},
-                    {"data": [
-                        {"text": "voglio un biglietto per "},
-                        {"text": "milano", "entity": "citta",
-                         "slot_name": "destinazione"},
-                    ]},
-                    {"data": [
-                        {"text": "trova un volo per "},
-                        {"text": "napoli", "entity": "citta",
-                         "slot_name": "destinazione"},
-                        {"text": " "},
-                        {"text": "lunedì", "entity": "snips/datetime",
-                         "slot_name": "data_partenza"},
-                    ]},
-                ]
-            },
-        },
-        "entities": {
-            "bevanda": {
-                "use_synonyms": True,
-                "automatically_extensible": True,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "caffè", "synonyms": ["espresso"]},
-                    {"value": "tè", "synonyms": ["tè verde"]},
-                    {"value": "cioccolata calda", "synonyms": ["cacao"]},
-                ],
-            },
-            "citta": {
-                "use_synonyms": True,
-                "automatically_extensible": False,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "roma", "synonyms": []},
-                    {"value": "milano", "synonyms": []},
-                    {"value": "napoli", "synonyms": []},
-                    {"value": "torino", "synonyms": []},
-                ],
-            },
-            "snips/number": {},
-            "snips/datetime": {},
-        },
-    }
+from snips_nlu_spark.fixtures import it_dataset as _it_dataset  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -11,82 +11,7 @@ import pytest
 ANCHOR = datetime.datetime(2024, 5, 2)  # thursday
 
 
-def _ja_dataset():
-    return {
-        "language": "ja",
-        "intents": {
-            "nomimonoJunbi": {
-                "utterances": [
-                    {"data": [
-                        {"text": "飲み物", "entity": "nomimono",
-                         "slot_name": "nomimono"},
-                        {"text": "を"},
-                        {"text": "二", "entity": "snips/number",
-                         "slot_name": "kazu"},
-                        {"text": "杯作って"},
-                    ]},
-                    {"data": [
-                        {"text": "コーヒー", "entity": "nomimono",
-                         "slot_name": "nomimono"},
-                        {"text": "をください"},
-                    ]},
-                    {"data": [
-                        {"text": "熱い"},
-                        {"text": "紅茶", "entity": "nomimono",
-                         "slot_name": "nomimono"},
-                        {"text": "をお願いします"},
-                    ]},
-                ]
-            },
-            "hikoukiYoyaku": {
-                "utterances": [
-                    {"data": [
-                        {"text": "東京", "entity": "toshi",
-                         "slot_name": "ikisaki"},
-                        {"text": "行きの飛行機を"},
-                        {"text": "明日", "entity": "snips/datetime",
-                         "slot_name": "hizuke"},
-                        {"text": "予約して"},
-                    ]},
-                    {"data": [
-                        {"text": "大阪", "entity": "toshi",
-                         "slot_name": "ikisaki"},
-                        {"text": "までの切符がほしい"},
-                    ]},
-                    {"data": [
-                        {"text": "札幌", "entity": "toshi",
-                         "slot_name": "ikisaki"},
-                        {"text": "への便を探して"},
-                    ]},
-                ]
-            },
-        },
-        "entities": {
-            "nomimono": {
-                "use_synonyms": True,
-                "automatically_extensible": True,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "コーヒー", "synonyms": ["珈琲"]},
-                    {"value": "紅茶", "synonyms": []},
-                    {"value": "お茶", "synonyms": ["緑茶"]},
-                ],
-            },
-            "toshi": {
-                "use_synonyms": True,
-                "automatically_extensible": False,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "東京", "synonyms": []},
-                    {"value": "大阪", "synonyms": []},
-                    {"value": "札幌", "synonyms": []},
-                    {"value": "京都", "synonyms": []},
-                ],
-            },
-            "snips/number": {},
-            "snips/datetime": {},
-        },
-    }
+from snips_nlu_spark.fixtures import ja_dataset as _ja_dataset  # noqa: E402
 
 
 @pytest.fixture(scope="module")

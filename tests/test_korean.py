@@ -11,82 +11,7 @@ import pytest
 ANCHOR = datetime.datetime(2024, 5, 2)  # thursday
 
 
-def _ko_dataset():
-    return {
-        "language": "ko",
-        "intents": {
-            "eumnyoJunbi": {
-                "utterances": [
-                    {"data": [
-                        {"text": "커피", "entity": "eumnyo",
-                         "slot_name": "eumnyo"},
-                        {"text": " "},
-                        {"text": "두", "entity": "snips/number",
-                         "slot_name": "su"},
-                        {"text": " 잔 만들어줘"},
-                    ]},
-                    {"data": [
-                        {"text": "홍차", "entity": "eumnyo",
-                         "slot_name": "eumnyo"},
-                        {"text": " 한 잔 주세요"},
-                    ]},
-                    {"data": [
-                        {"text": "뜨거운 "},
-                        {"text": "녹차", "entity": "eumnyo",
-                         "slot_name": "eumnyo"},
-                        {"text": "를 부탁해"},
-                    ]},
-                ]
-            },
-            "bihaenggiYeyak": {
-                "utterances": [
-                    {"data": [
-                        {"text": "서울", "entity": "dosi",
-                         "slot_name": "mokjeokji"},
-                        {"text": "로 가는 비행기를 "},
-                        {"text": "내일", "entity": "snips/datetime",
-                         "slot_name": "naljja"},
-                        {"text": " 예약해줘"},
-                    ]},
-                    {"data": [
-                        {"text": "부산", "entity": "dosi",
-                         "slot_name": "mokjeokji"},
-                        {"text": "까지 가는 표를 원해"},
-                    ]},
-                    {"data": [
-                        {"text": "인천", "entity": "dosi",
-                         "slot_name": "mokjeokji"},
-                        {"text": "으로 가는 편을 찾아줘"},
-                    ]},
-                ]
-            },
-        },
-        "entities": {
-            "eumnyo": {
-                "use_synonyms": True,
-                "automatically_extensible": True,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "커피", "synonyms": ["아메리카노"]},
-                    {"value": "홍차", "synonyms": []},
-                    {"value": "녹차", "synonyms": ["차"]},
-                ],
-            },
-            "dosi": {
-                "use_synonyms": True,
-                "automatically_extensible": False,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "서울", "synonyms": []},
-                    {"value": "부산", "synonyms": []},
-                    {"value": "인천", "synonyms": []},
-                    {"value": "대구", "synonyms": []},
-                ],
-            },
-            "snips/number": {},
-            "snips/datetime": {},
-        },
-    }
+from snips_nlu_spark.fixtures import ko_dataset as _ko_dataset  # noqa: E402
 
 
 @pytest.fixture(scope="module")

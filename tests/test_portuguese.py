@@ -8,88 +8,7 @@ import pytest
 ANCHOR = datetime.datetime(2024, 5, 2)  # quinta-feira
 
 
-def _pt_dataset():
-    return {
-        "language": "pt",
-        "intents": {
-            "prepararBebida": {
-                "utterances": [
-                    {"data": [
-                        {"text": "faz "},
-                        {"text": "duas", "entity": "snips/number",
-                         "slot_name": "numero_xicaras"},
-                        {"text": " xícaras de "},
-                        {"text": "café", "entity": "bebida",
-                         "slot_name": "bebida"},
-                    ]},
-                    {"data": [
-                        {"text": "prepara "},
-                        {"text": "uma", "entity": "snips/number",
-                         "slot_name": "numero_xicaras"},
-                        {"text": " xícara de "},
-                        {"text": "chá", "entity": "bebida",
-                         "slot_name": "bebida"},
-                        {"text": " por favor"},
-                    ]},
-                    {"data": [
-                        {"text": "quero um "},
-                        {"text": "chocolate quente", "entity": "bebida",
-                         "slot_name": "bebida"},
-                    ]},
-                ]
-            },
-            "reservarVoo": {
-                "utterances": [
-                    {"data": [
-                        {"text": "reserva um voo para "},
-                        {"text": "lisboa", "entity": "cidade",
-                         "slot_name": "destino"},
-                        {"text": " "},
-                        {"text": "amanhã", "entity": "snips/datetime",
-                         "slot_name": "data_partida"},
-                    ]},
-                    {"data": [
-                        {"text": "quero um bilhete para "},
-                        {"text": "porto", "entity": "cidade",
-                         "slot_name": "destino"},
-                    ]},
-                    {"data": [
-                        {"text": "procura um voo para "},
-                        {"text": "recife", "entity": "cidade",
-                         "slot_name": "destino"},
-                        {"text": " na "},
-                        {"text": "segunda", "entity": "snips/datetime",
-                         "slot_name": "data_partida"},
-                    ]},
-                ]
-            },
-        },
-        "entities": {
-            "bebida": {
-                "use_synonyms": True,
-                "automatically_extensible": True,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "café", "synonyms": ["cafezinho"]},
-                    {"value": "chá", "synonyms": ["chá verde"]},
-                    {"value": "chocolate quente", "synonyms": ["cacau"]},
-                ],
-            },
-            "cidade": {
-                "use_synonyms": True,
-                "automatically_extensible": False,
-                "matching_strictness": 1.0,
-                "data": [
-                    {"value": "lisboa", "synonyms": []},
-                    {"value": "porto", "synonyms": []},
-                    {"value": "recife", "synonyms": []},
-                    {"value": "coimbra", "synonyms": []},
-                ],
-            },
-            "snips/number": {},
-            "snips/datetime": {},
-        },
-    }
+from snips_nlu_spark.fixtures import pt_dataset as _pt_dataset  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -364,3 +364,33 @@ def test_lookup_prune_is_result_invariant(engine):
             off.parse(t, a, anchor=anchor), t
         assert lookup.get_intents(t, a, anchor=anchor) == \
             off.get_intents(t, a, anchor=anchor), t
+
+
+def test_multilang_query_matches_committed_oracle(spark):
+    """kg_multilang_triples: all seven non-en language packs through the
+    distributed parse stage reproduce the committed single-process
+    oracle row-for-row, and the run is deterministic."""
+    import pandas as pd
+    import __spark_entry__ as em
+
+    got = (em._q_multilang_triples(spark, "unused")
+           .toPandas()
+           .sort_values(["lang", "conv_id", "turn_idx", "pred", "obj",
+                         "span_start"], na_position="first")
+           .reset_index(drop=True))
+    want = (pd.read_parquet(REPO / "oracle" / "multilang.parquet")
+            .sort_values(["lang", "conv_id", "turn_idx", "pred", "obj",
+                          "span_start"], na_position="first")
+            .reset_index(drop=True))
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+    # every language contributed triples (nothing silently unparsed)
+    assert set(got["lang"]) == {"fr", "es", "de", "it", "pt", "ja", "ko"}
+
+    again = (em._q_multilang_triples(spark, "unused")
+             .toPandas()
+             .sort_values(["lang", "conv_id", "turn_idx", "pred", "obj",
+                           "span_start"], na_position="first")
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
