@@ -49,7 +49,8 @@ def main() -> None:
 
     spark = get_spark("plans", cpus=4)
     sections = []
-    for name in ("kg_triples", "kg_intent_distribution", "kg_nodes",
+    for name in ("kg_triples", "kg_multilang_triples",
+                 "kg_intent_distribution", "kg_nodes",
                  "doc_text_profile", "doc_minhash_pairs",
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
                  "emb_lsh_topk", "emb_cosine_dups", "event_sessions"):
