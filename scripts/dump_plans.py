@@ -53,7 +53,8 @@ def main() -> None:
                  "kg_intent_distribution", "kg_nodes",
                  "doc_text_profile", "doc_minhash_pairs",
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
-                 "emb_lsh_topk", "emb_cosine_dups", "event_sessions"):
+                 "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
+                 "event_sessions"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         sections.append(f"## {name}\n\n```\n{simplify(plan)}\n```\n")

@@ -253,6 +253,74 @@ def make_multilang_oracle() -> Path:
     return out
 
 
+def make_ivf_topk_oracle(sf: float, k: int = 5, n_queries: int = 20,
+                         n_centroids: int = 32, n_probe: int = 8,
+                         seed: int = 42, sample_cap: int = 20000,
+                         n_iter: int = 10) -> Path:
+    """Pure-numpy re-execution of functions/similarity.ivf_topk (same
+    deterministic Lloyd's quantizer spec, independent assignment /
+    probe / scoring code) — the differential for the Spark cell-join
+    plumbing."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = (pd.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
+           .sort_values("vec_id").reset_index(drop=True))
+    vec_ids = emb["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+
+    train = matn[:sample_cap]
+    rng = np.random.RandomState(seed)
+    cent = train[rng.choice(len(train),
+                            size=min(n_centroids, len(train)),
+                            replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+
+    cells = np.argmax(matn @ cent.T, axis=1)
+
+    def round6(x: float) -> float:  # HALF_UP like Spark's F.round
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    raw_norms = np.linalg.norm(mat, axis=1)
+    rows = []
+    for qi in np.nonzero(vec_ids < n_queries)[0]:
+        sims_c = matn[qi] @ cent.T
+        probed = np.lexsort((np.arange(len(cent)), -sims_c))[:n_probe]
+        cand = np.isin(cells, probed)
+        cand[qi] = False
+        sims = []
+        for ci in np.nonzero(cand)[0]:
+            denom = raw_norms[qi] * raw_norms[ci]
+            sim = float(mat[qi] @ mat[ci] / denom) if denom > 0 else 0.0
+            sims.append((round6(sim), int(vec_ids[ci])))
+        sims.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (sim, nid) in enumerate(sims[:k], start=1):
+            rows.append((int(vec_ids[qi]), nid, sim, rank))
+    table = pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "sim": pa.array([r[2] for r in rows], type=pa.float64()),
+        "rank": pa.array([r[3] for r in rows], type=pa.int32())})
+    out = ORACLE_DIR / f"ivf_topk_sf{sf:g}.parquet"
+    pq.write_table(table, out)
+    print(f"sf={sf}: ivf topk oracle -> {len(rows)} rows -> {out}")
+    return out
+
+
 if __name__ == "__main__":
     sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01]
     engine = build_engine()
@@ -264,3 +332,4 @@ if __name__ == "__main__":
         if sf == 0.01:  # the driver's gate scale
             make_simhash_oracle(sf)
             make_lsh_topk_oracle(sf)
+            make_ivf_topk_oracle(sf)

@@ -171,3 +171,109 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5,
         F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+def _ivf_centroids(embeddings: DataFrame, n_centroids: int,
+                   seed: int = 42, sample_cap: int = 20000,
+                   n_iter: int = 10) -> np.ndarray:
+    """Deterministic driver-side Lloyd's k-means over a deterministic
+    sample (vec_id order, capped) — the coarse quantizer. Standard IVF
+    practice at scale: the quantizer is trained on a sample (the 100 TB
+    corpus never moves), then broadcast; only assignment is distributed.
+    Rows and centroids are L2-normalized so argmax-dot = cosine cell.
+    Returns (n_centroids, dim) float64."""
+    sample = (embeddings.orderBy("vec_id").limit(sample_cap)
+              .select("embedding").toPandas())
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample["embedding"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
+                          replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def _cell_udf(centroids: np.ndarray):
+    """Arrow-batched cell assignment: one matmul per batch against the
+    broadcast-captured centroid matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_t = centroids.T  # (dim, C)
+
+    @pandas_udf("int")
+    def cell(col: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cent_t
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return cell
+
+
+def _probe_udf(centroids: np.ndarray, n_probe: int):
+    from pyspark.sql.functions import pandas_udf
+
+    cent_t = centroids.T
+
+    @pandas_udf("array<int>")
+    def probe(col: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cent_t
+        # n_probe nearest cells, best first; stable ties by cell id via
+        # lexsort on (-sim, id)
+        order = np.lexsort((np.arange(sims.shape[1])[None, :]
+                            .repeat(len(mat), 0), -sims), axis=1)
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    return probe
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
+             n_centroids: int = 32, n_probe: int = 8,
+             seed: int = 42) -> DataFrame:
+    """IVF ANN: corpus vectors are partitioned into k-means cells (the
+    inverted file); each query probes only its ``n_probe`` nearest
+    cells, candidates are re-scored exactly, per-query top-k. The
+    alternative scale path to ``lsh_bucketed_topk``: one int cell key
+    per corpus vector (vs n_tables bucket rows), so the corpus-side
+    index is O(N) rows, and a real deployment writes the corpus
+    partitioned/bucketed BY cell so a probe is a partition-pruned scan —
+    the 10^9-vector layout. Recall knob = n_probe/n_centroids.
+    Deterministic: quantizer trained on a vec_id-ordered sample,
+    similarities rounded to 6 dp, ties broken by neighbor_id."""
+    cents = _ivf_centroids(embeddings, n_centroids, seed=seed)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+        _cell_udf(cents)(F.col("embedding")).alias("cell"))
+    queries = (embeddings.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q"),
+                       F.explode(_probe_udf(cents, n_probe)(
+                           F.col("embedding"))).alias("cell")))
+    candidates = (corpus.join(F.broadcast(queries), "cell")
+                  .filter(F.col("neighbor_id") != F.col("query_id"))
+                  .select("query_id", "neighbor_id", "q", "v"))
+    scored = candidates.select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("q"), F.col("v")), 6).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,8 +1,12 @@
 """Training-data pipeline ops: dedup, similarity, text analysis,
 multimodal plumbing."""
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parents[1]
 
 pytestmark = pytest.mark.spark
 
@@ -153,3 +157,44 @@ def test_multimodal_plumbing(spark):
     vids = plan.filter(F.col("kind") == "video")
     assert vids.count() > 0
     assert plan.filter(F.col("kind") != "video").count() == 0
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from snips_nlu_spark.functions.similarity import (brute_force_topk,
+                                                      ivf_topk)
+    import numpy as np
+    rng = np.random.RandomState(3)
+    # 6 well-separated clusters so the coarse quantizer has structure
+    centers = rng.randn(6, 16) * 4
+    base = np.concatenate([
+        centers[i % 6] + rng.randn(1, 16) for i in range(72)
+    ]).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(72)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, k=1, n_queries=8).collect()}
+    ivf = ivf_topk(emb, k=1, n_queries=8, n_centroids=6, n_probe=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.75  # probe knob, not exactness
+
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_topk(emb, k=1, n_queries=8, n_centroids=6,
+                               n_probe=2).collect()}
+    assert got == again  # quantizer + assignment are deterministic
+
+
+def test_ivf_topk_matches_committed_oracle(spark):
+    """The driver-gate differential, run locally: Spark IVF ≡ the
+    pure-numpy re-execution committed by make_oracle.py."""
+    import pandas as pd
+    import __spark_entry__ as em
+
+    got = (em._q_ivf_topk(spark, "/root/testdata/sf0.01")
+           .toPandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    want = (pd.read_parquet(REPO / "oracle" / "ivf_topk_sf0.01.parquet")
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].astype({"rank": "int32"}),
+        want[sorted(want.columns)].astype({"rank": "int32"}))
