@@ -159,6 +159,10 @@ def main() -> None:
     t0 = time.time()
     lsh_bucketed_topk(embs, k=5, n_queries=20).count()
     queries["emb_lsh_topk"] = round(time.time() - t0, 3)
+    from snips_nlu_spark.functions.similarity import ivf_topk
+    t0 = time.time()
+    ivf_topk(embs, k=5, n_queries=20).count()
+    queries["emb_ivf_topk"] = round(time.time() - t0, 3)
 
     # q2d: cold path — fully-unique texts defeat every executor memo, so
     # this measures the raw per-string engine (BASELINE.md cold-path
