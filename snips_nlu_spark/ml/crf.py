@@ -23,6 +23,9 @@ def _logsumexp(a: np.ndarray, axis: int | None = None) -> np.ndarray:
     return out if axis is None else np.squeeze(out, axis=axis)
 
 
+_KV_MISS = object()
+
+
 class LinearChainCRF:
     def __init__(self, c2: float = 0.1, n_iter: int = 120,
                  learning_rate: float = 0.5) -> None:
@@ -31,6 +34,7 @@ class LinearChainCRF:
         self.learning_rate = learning_rate
         self.labels: list[str] = []
         self.feature_index: dict[str, int] = {}
+        self._kv_cache: dict = {}  # (name, value) -> feature id or None
         self.emission: np.ndarray | None = None    # F × L
         self.transition: np.ndarray | None = None  # L × L
         self.bos: np.ndarray | None = None         # L (start scores)
@@ -87,6 +91,7 @@ class LinearChainCRF:
                              np.array([lab_idx[t] for t in tags],
                                       dtype=np.int64)))
         self.feature_index = feature_index
+        self._kv_cache = {}
         n_feats = len(feature_index)
 
         em = np.zeros((n_feats, n_labels))
@@ -168,13 +173,23 @@ class LinearChainCRF:
             return [[] for _ in seqs]
 
         index = self.feature_index
+        # (name, value) → id-or-None memo: feature values repeat heavily
+        # across tokens/rows (shapes, is_first, cluster ids, common
+        # ngrams), so most lookups skip the f-string format + hash
+        kv_cache = self._kv_cache
+        if len(kv_cache) > 200_000:
+            kv_cache.clear()
+        miss = _KV_MISS
         f_ids: list[int] = []
         f_row: list[int] = []
         f_tok: list[int] = []
         for b, seq in enumerate(seqs):
             for t, feats in enumerate(seq):
-                for k, v in feats.items():
-                    j = index.get(f"{k}={v}")
+                for kv in feats.items():
+                    j = kv_cache.get(kv, miss)
+                    if j is miss:
+                        j = index.get(f"{kv[0]}={kv[1]}")
+                        kv_cache[kv] = j
                     if j is not None:
                         f_ids.append(j)
                         f_row.append(b)
