@@ -1136,7 +1136,7 @@ class BuiltinEntityParser:
     (cheap — no compiled state beyond module-level tables). Parses are
     memoized per (text, scope, anchor); treat results as immutable.
 
-    ``language`` selects the word tables (en/fr) — the reference reaches
+    ``language`` selects the word tables (all shipped language packs) — the reference reaches
     the same effect by loading the per-language Rust grammar
     (builtin_entity_parser.py:22-77)."""
 

@@ -1,4 +1,4 @@
-"""Number words ↔ values (en, fr, es, de, it, pt).
+"""Number words ↔ values (en, fr, es, de, it, pt, ja, ko).
 
 From-scratch replacement for the number grammar of the reference's Rust
 ``snips_nlu_parsers`` (snips/number kind, /root/reference/snips_nlu/
