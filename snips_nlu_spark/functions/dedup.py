@@ -108,14 +108,21 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
     ~1e-10 at J≥0.85); the win is replacing the all-pairs shingle join
     with band-bucket collisions.
     """
-    sh = _shingles(documents, n=n).cache()
+    sh = _shingles(documents, n=n)
 
-    # signatures: for each of bands*rows hash seeds, min over shingles
+    # ONE aggregation computes the signatures (bands*rows min-hashes)
+    # AND the exact shingle sets used for verification — the exploded
+    # shingle table is shuffled/scanned once, not twice
     n_hashes = bands * rows
     minhash_cols = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)]
-    sig = sh.groupBy("doc_id").agg(*minhash_cols)
+    per_doc = (sh.groupBy("doc_id")
+               .agg(F.collect_set("shingle").alias("shset"),
+                    F.count(F.lit(1)).alias("n_shingles"),
+                    *minhash_cols)
+               .cache())
+    sig = per_doc
 
     # band signatures → candidate pairs from bucket collisions. ONE
     # posexplode over an array of per-band bucket hashes — a 24-way union
@@ -139,9 +146,7 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
     # the two docs' shingle sets and intersect. Cost is O(|candidates|) —
     # the all-pairs co-shingle join never runs (that join is exactly the
     # quadratic blowup LSH exists to avoid; see round-1 VERDICT).
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shset"),
-        F.count(F.lit(1)).alias("n_shingles"))
+    doc_sets = per_doc.select("doc_id", "shset", "n_shingles")
     sa = doc_sets.select(F.col("doc_id").alias("doc_a"),
                          F.col("shset").alias("set_a"),
                          F.col("n_shingles").alias("na"))
