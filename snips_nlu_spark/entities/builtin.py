@@ -1158,9 +1158,9 @@ class BuiltinEntityParser:
         # many scoped probes hit the same text — the parse cascade probes
         # each text with several scopes); datetime is memoized per
         # (text, anchor)
-        self._static_memo = lru_cache(maxsize=8192)(self._scan_static)
-        self._dt_memo = lru_cache(maxsize=8192)(self._scan_dt)
-        self._parse_memo = lru_cache(maxsize=32768)(self._parse_scoped)
+        self._static_memo = lru_cache(maxsize=32768)(self._scan_static)
+        self._dt_memo = lru_cache(maxsize=32768)(self._scan_dt)
+        self._parse_memo = lru_cache(maxsize=131072)(self._parse_scoped)
 
     def parse(self, text: str, scope: Sequence[str] | None = None,
               anchor: _dt.datetime | None = None) -> list[dict]:

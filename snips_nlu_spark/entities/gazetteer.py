@@ -41,12 +41,14 @@ class GazetteerParser:
         self._values: dict[str, list[tuple[tuple[str, ...], str]]] = {}
         self._token_index: dict[str, dict[str, list[int]]] = {}
         self._gaz_stop_words: dict[str, set[str]] = {}
-        # bounded per-instance memo (the reference keeps a LimitedSizeDict
+        # bounded per-instance memos (the reference keeps a LimitedSizeDict
         # of 1000 entries per parser, entity_parser/entity_parser.py:22-55);
         # the scan is scope-independent, so one memo entry serves every
-        # scoped probe of the same text
-        self._scan_memo = lru_cache(maxsize=2048)(self._scan_all)
-        self._filter_memo = lru_cache(maxsize=8192)(self._filter_by_scope)
+        # scoped probe of the same text. Sizes cover a full 10k-row Arrow
+        # batch of unique texts (each text is probed with several scopes
+        # and a stemmed variant) — an undersized memo churns and re-scans
+        self._scan_memo = lru_cache(maxsize=32768)(self._scan_all)
+        self._filter_memo = lru_cache(maxsize=131072)(self._filter_by_scope)
 
     # -- build (driver side) ------------------------------------------------
     STOPWORDS_FRACTION = 1e-3  # ref: custom_entity_parser.py:108
