@@ -46,6 +46,10 @@ SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 # documented in BASELINE.md.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_SF = float(os.environ.get("SPARK_GRAFT_SCALE_SF", "8.0"))
+# best-of-N timing for every query: single samples are hostage to box
+# load (round-2 driver capture recorded a phantom 1.5x parse regression
+# that a quiet-box rerun contradicted)
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 
 # compute-bound stage: ~2 MB parquet ≈ 60k turns ≈ 2-3 s of kernel work
 SPLIT_BYTES = 2 << 20
@@ -97,6 +101,18 @@ def _warm(spark, model_json, df, cpus: int) -> None:
     _warm_engine(spark, model_json, df, cpus)
 
 
+def _best_of(fn, repeats: int = 0) -> float:
+    """Best wall time over `repeats` runs of fn (peak steady-state)."""
+    repeats = repeats or REPEATS
+    best = None
+    for i in range(repeats):
+        t0 = time.time()
+        fn(i)
+        run = time.time() - t0
+        best = run if best is None else min(best, run)
+    return best
+
+
 def _timed_parse(spark, model_json, df, repeats: int = 1) -> dict:
     """Steady-state throughput; with repeats > 1 the best wall time is
     reported (standard peak-steady-state methodology)."""
@@ -124,7 +140,8 @@ def main() -> None:
     _warm(spark, model_json, transcripts, CPUS)
 
     # q1: full parse (transcripts → triples), the flagship stage
-    parse_stats = _timed_parse(spark, model_json, transcripts)
+    parse_stats = _timed_parse(spark, model_json, transcripts,
+                               repeats=REPEATS)
     queries["parse_triples"] = round(parse_stats["wall_sec"], 3)
 
     # q2: graph rollups (dedup + nodes + edges) over parsed triples
@@ -133,66 +150,68 @@ def main() -> None:
     from snips_nlu_spark.spark.stages import parse_transcripts
     triples = parse_transcripts(transcripts, model_json).cache()
     triples.count()
-    t0 = time.time()
-    d = dedup_triples(triples)
-    nodes_rollup(d).count()
-    edges_rollup(d).count()
-    queries["graph_rollups"] = round(time.time() - t0, 3)
+
+    def _rollups(_):
+        d = dedup_triples(triples)
+        nodes_rollup(d).count()
+        edges_rollup(d).count()
+    queries["graph_rollups"] = round(_best_of(_rollups), 3)
     triples.unpersist()
 
     # q2b: n-best intent ranking (round-1 verdict: was the slowest
     # per-turn kernel; now batched through one classifier matmul)
     from snips_nlu_spark.spark.stages import rank_intents
-    t0 = time.time()
-    rank_intents(transcripts, model_json, top_n=3).count()
-    queries["intent_nbest"] = round(time.time() - t0, 3)
+    queries["intent_nbest"] = round(_best_of(
+        lambda _: rank_intents(transcripts, model_json, top_n=3).count()), 3)
 
     # q2c: training-data ops (LSH-based dedup + ANN — the round-1 verdict
     # perf-weak items; timed so BENCH tracks them across rounds)
     from snips_nlu_spark.functions.dedup import minhash_duplicate_pairs
     from snips_nlu_spark.functions.similarity import lsh_bucketed_topk
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    minhash_duplicate_pairs(docs, threshold=0.5).count()
-    queries["doc_minhash_pairs"] = round(time.time() - t0, 3)
+    queries["doc_minhash_pairs"] = round(_best_of(
+        lambda _: minhash_duplicate_pairs(docs, threshold=0.5).count()), 3)
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    t0 = time.time()
-    lsh_bucketed_topk(embs, k=5, n_queries=20).count()
-    queries["emb_lsh_topk"] = round(time.time() - t0, 3)
+    queries["emb_lsh_topk"] = round(_best_of(
+        lambda _: lsh_bucketed_topk(embs, k=5, n_queries=20).count()), 3)
     from snips_nlu_spark.functions.similarity import ivf_topk
-    t0 = time.time()
-    ivf_topk(embs, k=5, n_queries=20).count()
-    queries["emb_ivf_topk"] = round(time.time() - t0, 3)
+    queries["emb_ivf_topk"] = round(_best_of(
+        lambda _: ivf_topk(embs, k=5, n_queries=20).count()), 3)
 
     # q2d: cold path — fully-unique texts defeat every executor memo, so
     # this measures the raw per-string engine (BASELINE.md cold-path
-    # section tracks the optimization work on it)
+    # section tracks the optimization work on it). Each repeat uses a
+    # DISTINCT text set — the parse memo lives on the per-worker engine
+    # and survives across jobs, so re-running identical texts would time
+    # memo lookups, not the engine.
     from pyspark.sql import functions as F
-    unique = spark.range(50_000).select(
-        F.concat(F.lit("conv_u"), (F.col("id") / 50).cast("long")
-                 .cast("string")).alias("conv_id"),
-        F.pmod(F.col("id"), F.lit(50)).cast("int").alias("turn_idx"),
-        F.concat(F.lit("make me "), F.col("id").cast("string"),
-                 F.lit(" cups of coffee variant "),
-                 F.col("id").cast("string")).alias("text"),
-        F.lit(None).cast("timestamp").alias("ts"))
     from snips_nlu_spark.spark.stages import parse_transcripts as _pt
-    _pt(unique.limit(CPUS * 50), model_json).count()  # warm
-    t0 = time.time()
-    _pt(unique, model_json).count()
-    cold_sec = time.time() - t0
+
+    def _unique_batch(tag: str):
+        return spark.range(50_000).select(
+            F.concat(F.lit("conv_u"), (F.col("id") / 50).cast("long")
+                     .cast("string")).alias("conv_id"),
+            F.pmod(F.col("id"), F.lit(50)).cast("int").alias("turn_idx"),
+            F.concat(F.lit("make me "), F.col("id").cast("string"),
+                     F.lit(f" cups of coffee variant {tag}_"),
+                     F.col("id").cast("string")).alias("text"),
+            F.lit(None).cast("timestamp").alias("ts"))
+    _pt(_unique_batch("warm").limit(CPUS * 50), model_json).count()
+    cold_sec = _best_of(lambda i: _pt(_unique_batch(f"r{i}"),
+                                      model_json).count())
     queries["cold_unique_parse"] = round(cold_sec, 3)
     cold_tps = round(50_000 / cold_sec, 1)
 
     # q3: checkpointed end-to-end build (parse + partitioned write +
-    # lineage + rollup sinks)
+    # lineage + rollup sinks); fresh output dir per repeat so each run
+    # is a full build, not a resume no-op
     from snips_nlu_spark.spark.lineage import build_kg
-    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
-    t0 = time.time()
-    build_kg(spark, transcripts, model_json, out_dir,
-             n_buckets=max(CPUS, 8))
-    queries["build_kg_checkpointed"] = round(time.time() - t0, 3)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dirs = [tempfile.mkdtemp(prefix="bench_kg_") for _ in range(REPEATS)]
+    queries["build_kg_checkpointed"] = round(_best_of(
+        lambda i: build_kg(spark, transcripts, model_json, out_dirs[i],
+                           n_buckets=max(CPUS, 8))), 3)
+    for d in out_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     spark.stop()
 
     result = {

