@@ -108,20 +108,19 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
     ~1e-10 at J≥0.85); the win is replacing the all-pairs shingle join
     with band-bucket collisions.
     """
-    sh = _shingles(documents, n=n)
+    # exploded (doc_id, shingle) layout persisted once (MEMORY_AND_DISK —
+    # spillable); round 2 instead cached a collect_set(shingle) per doc,
+    # whose agg buffers must fit per-task execution memory — unbounded at
+    # corpus scale (round-2 VERDICT perf note #5)
+    sh = _shingles(documents, n=n).persist()
 
-    # ONE aggregation computes the signatures (bands*rows min-hashes)
-    # AND the exact shingle sets used for verification — the exploded
-    # shingle table is shuffled/scanned once, not twice
     n_hashes = bands * rows
     minhash_cols = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)]
     per_doc = (sh.groupBy("doc_id")
-               .agg(F.collect_set("shingle").alias("shset"),
-                    F.count(F.lit(1)).alias("n_shingles"),
-                    *minhash_cols)
-               .cache())
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    *minhash_cols))
     sig = per_doc
 
     # band signatures → candidate pairs from bucket collisions. ONE
@@ -142,21 +141,34 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
                           F.col("b.doc_id").alias("doc_b"))
                   .distinct())
 
-    # exact verification of candidates ONLY: join each candidate pair to
-    # the two docs' shingle sets and intersect. Cost is O(|candidates|) —
-    # the all-pairs co-shingle join never runs (that join is exactly the
-    # quadratic blowup LSH exists to avoid; see round-1 VERDICT).
-    doc_sets = per_doc.select("doc_id", "shset", "n_shingles")
-    sa = doc_sets.select(F.col("doc_id").alias("doc_a"),
-                         F.col("shset").alias("set_a"),
-                         F.col("n_shingles").alias("na"))
-    sb = doc_sets.select(F.col("doc_id").alias("doc_b"),
-                         F.col("shset").alias("set_b"),
-                         F.col("n_shingles").alias("nb"))
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    jaccard = (inter.cast("double")
-               / (F.col("na") + F.col("nb") - inter).cast("double"))
-    return (candidates
+    # exact verification of candidates ONLY, against the EXPLODED shingle
+    # table: semi-join each side of the shingle table down to candidate
+    # docs, then count matching shingles per pair. Cost is
+    # O(sum over pairs of |shingles|) rows flowing through ordinary hash
+    # joins — shuffle-and-spill, never a per-doc set held in an agg
+    # buffer. The all-pairs co-shingle join still never runs: the shingle
+    # equi-join below is keyed on (doc_b, shingle), i.e. scoped to
+    # candidate pairs.
+    cand_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
+    cand_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_a = (sh.join(cand_a, "doc_id", "semi")
+            .select(F.col("doc_id").alias("doc_a"), "shingle"))
+    sh_b = (sh.join(cand_b, "doc_id", "semi")
+            .select(F.col("doc_id").alias("doc_b"), "shingle"))
+    inter = (candidates
+             .join(sh_a, "doc_a")
+             .join(sh_b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = per_doc.select("doc_id", "n_shingles")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    jaccard = (F.col("inter").cast("double")
+               / (F.col("na") + F.col("nb")
+                  - F.col("inter")).cast("double"))
+    return (inter
             .join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("jaccard", jaccard)
             .filter(F.col("jaccard") >= threshold)

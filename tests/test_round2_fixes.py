@@ -316,11 +316,20 @@ def test_minhash_plan_has_no_allpairs_verify(spark):
         [(0, "a b c d e f"), (1, "a b c d e g")], ["doc_id", "text"])
     out = minhash_duplicate_pairs(df, threshold=0.5)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "array_intersect" in plan
-    # the old verify path aggregated over an a.shingle = b.shingle
-    # self-join; the candidate-scoped plan has no such equi-join
+    # no full-corpus per-doc shingle-set materialization in agg buffers
+    # (round-2 VERDICT #5: collect_set per doc is unbounded task memory)
+    assert "collect_set" not in plan
+    # every shingle equi-join must be candidate-pair-scoped: its join
+    # condition also carries a doc-id equality. The round-1 all-pairs
+    # verify joined on shingle ALONE (with only doc_id < doc_id beside
+    # it), which this assertion rejects.
     import re
-    assert not re.search(r"shingle#\d+ = shingle#\d+", plan)
+    shingle_joins = [
+        cond for cond in re.findall(r"Join \w+, \((.*)\)", plan)
+        if re.search(r"shingle#\d+ = shingle#\d+", cond)]
+    assert shingle_joins, "verification no longer joins on shingles?"
+    for cond in shingle_joins:
+        assert re.search(r"doc_\w+#\d+L? = doc_\w+#\d+L?", cond), cond
 
 
 def test_lookup_prune_is_result_invariant(engine):
