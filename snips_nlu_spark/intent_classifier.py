@@ -57,7 +57,31 @@ class LogRegIntentClassifier:
         path by construction."""
         x = self.featurizer.transform_texts(texts, entity_bundle, anchors)
         proba = self.classifier.predict_proba(x)
-        return [self._ranked_from_proba(row) for row in proba]
+        return self._ranked_from_proba_batch(proba)
+
+    def _ranked_from_proba_batch(self, proba) -> list[list[dict]]:
+        """Whole-batch ranking: one rounded matrix + one stable argsort
+        instead of a per-row Python sort. Row i is identical to
+        ``_ranked_from_proba(proba[i])``: same rounding (half-even), same
+        column construction order, and stable descending order replicates
+        Python's stable sort tie-breaking."""
+        import numpy as np
+        names = [self.intent_list[int(c)]
+                 for c in self.classifier.classes_]
+        seen = set(names)
+        extra = [i for i in self.intent_list if i not in seen]
+        if None not in seen:
+            extra.append(None)
+        all_names = names + extra
+        p = np.round(np.asarray(proba, dtype=float), 12)
+        if extra:
+            p = np.concatenate(
+                [p, np.zeros((p.shape[0], len(extra)))], axis=1)
+        order = np.argsort(-p, axis=1, kind="stable")
+        return [
+            [{"intentName": all_names[j], "probability": float(p[b, j])}
+             for j in order[b]]
+            for b in range(p.shape[0])]
 
     def _ranked_from_proba(self, proba_row) -> list[dict]:
         results = []

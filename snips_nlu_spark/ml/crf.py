@@ -35,6 +35,10 @@ class LinearChainCRF:
         self.labels: list[str] = []
         self.feature_index: dict[str, int] = {}
         self._kv_cache: dict = {}  # (name, value) -> feature id or None
+        # (base name, offset, value) -> feature id or None; owned here
+        # because ids are only meaningful against THIS feature_index
+        # (filled by FeatureSet.compute_ids on the inference fast path)
+        self._id_memo: dict = {}
         self.emission: np.ndarray | None = None    # F × L
         self.transition: np.ndarray | None = None  # L × L
         self.bos: np.ndarray | None = None         # L (start scores)
@@ -92,6 +96,7 @@ class LinearChainCRF:
                                       dtype=np.int64)))
         self.feature_index = feature_index
         self._kv_cache = {}
+        self._id_memo = {}
         n_feats = len(feature_index)
 
         em = np.zeros((n_feats, n_labels))
@@ -200,9 +205,50 @@ class LinearChainCRF:
                       (np.array(f_row, dtype=np.int64),
                        np.array(f_tok, dtype=np.int64)),
                       self.emission[np.array(f_ids, dtype=np.int64)])
+        return self._viterbi_padded(emit, lens)
 
+    def predict_batch_ids(self, seqs: list[list[list[int]]]
+                          ) -> list[list[str]]:
+        """Batched Viterbi over precomputed per-token feature-id lists
+        (FeatureSet.compute_ids) — skips the per-token dict iteration and
+        string-key lookups of ``predict_batch`` entirely. Emission
+        accumulation uses the same np.add.at gather, so rows are
+        float-identical to the dict path on equal feature content."""
+        if not seqs or not self.labels:
+            return [[] for _ in seqs]
+        n_labels = len(self.labels)
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        t_max = int(lens.max()) if len(lens) else 0
+        n_seq = len(seqs)
+        if t_max == 0:
+            return [[] for _ in seqs]
+
+        counts = np.empty(int(lens.sum()), dtype=np.int64)
+        flat_ids: list[int] = []
+        k = 0
+        for seq in seqs:
+            for ids in seq:
+                counts[k] = len(ids)
+                k += 1
+                flat_ids.extend(ids)
+        emit = np.zeros((n_seq, t_max, n_labels))
+        if flat_ids:
+            row_of_tok = np.repeat(np.arange(n_seq, dtype=np.int64), lens)
+            tok_pos = np.concatenate(
+                [np.arange(n, dtype=np.int64) for n in lens])
+            f_row = np.repeat(row_of_tok, counts)
+            f_tok = np.repeat(tok_pos, counts)
+            np.add.at(emit, (f_row, f_tok),
+                      self.emission[np.array(flat_ids, dtype=np.int64)])
+        return self._viterbi_padded(emit, lens)
+
+    def _viterbi_padded(self, emit: np.ndarray, lens: np.ndarray
+                        ) -> list[list[str]]:
+        """Shared (B, T, L) Viterbi DP + per-row backtrace; rows beyond
+        their length are frozen so padding never affects the path."""
+        n_seq, t_max, _ = emit.shape
         delta = self.bos + emit[:, 0, :]                       # (B, L)
-        back = np.zeros((n_seq, t_max, n_labels), dtype=np.int64)
+        back = np.zeros(emit.shape, dtype=np.int64)
         for t in range(1, t_max):
             scores = delta[:, :, None] + self.transition[None, :, :]
             back[:, t, :] = np.argmax(scores, axis=1)

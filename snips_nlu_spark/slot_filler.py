@@ -91,16 +91,23 @@ EN_DEFAULT_FEATURES: list[dict] = [
 
 
 def _norm_words(args: dict, fs: "FeatureSet", ctx: dict) -> list[str]:
-    """Normalized (and optionally stemmed) token values."""
-    stems = fs.resources.get("stems", {})
+    """Normalized (and optionally stemmed) token values — computed once
+    per (ctx, use_stemming) and shared across factories (the en default
+    config reads them from three factories per text). Treat as
+    read-only."""
     use_stemming = args.get("use_stemming", False)
-    out = []
-    for v in ctx["values"]:
-        w = normalize(v)
-        if use_stemming:
-            w = stems.get(w, w)
-        out.append(w)
-    return out
+    key = ("_norm_words", use_stemming)
+    cached = ctx.get(key)
+    if cached is None:
+        stems = fs.resources.get("stems", {})
+        cached = []
+        for v in ctx["values"]:
+            w = normalize(v)
+            if use_stemming:
+                w = stems.get(w, w)
+            cached.append(w)
+        ctx[key] = cached
+    return cached
 
 
 @register_feature_factory("ngram")
@@ -164,10 +171,15 @@ def _length_factory(args, fs, ctx):
 def _shape_ngram_factory(args, fs, ctx):
     """ref: feature_factory.py:283-331"""
     n = args["n"]
-    values = ctx["values"]
-    n_tok = len(values)
-    series = [" ".join(get_shape(v) for v in values[i:i + n])
-              if i + n <= n_tok else None for i in range(n_tok)]
+    shapes = ctx.get("_shapes")
+    if shapes is None:
+        shapes = ctx["_shapes"] = [get_shape(v) for v in ctx["values"]]
+    n_tok = len(shapes)
+    if n == 1:
+        series = list(shapes)
+    else:
+        series = [" ".join(shapes[i:i + n]) if i + n <= n_tok else None
+                  for i in range(n_tok)]
     yield f"shape_ngram_{n}", series
 
 
@@ -224,9 +236,16 @@ def _entity_match_factory(args, fs, ctx):
     by_kind: dict[str, list] = {}
     for m in fs.bundle.parse_custom(match_text, wanted):
         by_kind.setdefault(m["entity_kind"], []).append(m)
+    # entities with no mentions would yield an all-None series — a no-op
+    # for both the dict path and the id path, so skip them (most entities
+    # don't appear in most texts; the loop over their Nones dominated
+    # compute_ids in the cold-path profile)
     for entity in wanted:
+        mentions = by_kind.get(entity)
+        if not mentions:
+            continue
         feats = [None] * n
-        _tag_mentions(by_kind.get(entity, ()), match_tokens, feats, scheme)
+        _tag_mentions(mentions, match_tokens, feats, scheme)
         yield f"entity_match_{entity}", feats
 
 
@@ -240,9 +259,13 @@ def _builtin_entity_match_factory(args, fs, ctx):
     by_kind: dict[str, list] = {}
     for m in fs.bundle.parse_builtin(ctx["text"], kinds, ctx["anchor"]):
         by_kind.setdefault(m["entity_kind"], []).append(m)
+    # kinds with no mentions: all-None series, a no-op either path — skip
     for kind in kinds:
+        mentions = by_kind.get(kind)
+        if not mentions:
+            continue
         feats = [None] * n
-        _tag_mentions(by_kind.get(kind, ()), ctx["tokens"], feats, scheme)
+        _tag_mentions(mentions, ctx["tokens"], feats, scheme)
         yield f"builtin_entity_match_{kind[6:]}", feats
 
 
@@ -250,6 +273,9 @@ def _offset_name(name: str, offset: int) -> str:
     if offset == 0:
         return name
     return f"{name}[{offset:+d}]"
+
+
+_ID_MISS = object()
 
 
 class FeatureSet:
@@ -296,6 +322,48 @@ class FeatureSet:
                         j = i - off
                         if 0 <= j < n:
                             out[j][off_name] = value
+        return out
+
+    def compute_ids(self, text: str, tokens: list[Token], id_memo: dict,
+                    feature_index: dict, anchor=None) -> list[list[int]]:
+        """Inference fast path: per-token CRF feature IDs, skipping the
+        per-token string-dict of ``compute`` and the downstream
+        per-feature f-string/index lookups (builder ROADMAP #1). Same
+        feature content as ``compute`` with no drop-out (inference never
+        drops). ``id_memo`` maps (base name, offset, value) → id-or-None
+        and must belong to the CRF owning ``feature_index``.
+
+        Uniqueness invariant (mirrors ``compute``'s dict semantics):
+        factories yield distinct base names within one call, config
+        entries yield disjoint name sets, and each (series index, offset)
+        targets one token — so a token never receives an id twice and
+        emission scores accumulate identically."""
+        n = len(tokens)
+        ctx = {"text": text, "tokens": tokens,
+               "values": [t.value for t in tokens], "anchor": anchor}
+        out: list[list[int]] = [[] for _ in range(n)]
+        miss = _ID_MISS
+        get_memo = id_memo.get
+        get_index = feature_index.get
+        for cfg in self.features_config:
+            factory = FEATURE_FACTORIES[cfg["factory_name"]]
+            offs = tuple(cfg.get("offsets", (0,)))
+            for name, series in factory(cfg.get("args", {}), self, ctx):
+                for i in range(n):
+                    value = series[i]
+                    if value is None:
+                        continue
+                    for off in offs:
+                        j = i - off
+                        if 0 <= j < n:
+                            key = (name, off, value)
+                            fid = get_memo(key, miss)
+                            if fid is miss:
+                                fid = get_index(
+                                    f"{_offset_name(name, off)}={value}")
+                                id_memo[key] = fid
+                            if fid is not None:
+                                out[j].append(fid)
         return out
 
 
@@ -397,10 +465,15 @@ class CRFSlotFiller:
         anchors = anchors or [None] * len(texts)
         feature_set = self._get_feature_set(entity_bundle)
         tokens_list = [list(tokenize(t)) for t in texts]
+        id_memo = self.crf._id_memo
+        if len(id_memo) > 300_000:
+            id_memo.clear()
+        index = self.crf.feature_index
         seqs = [
-            feature_set.compute(text, toks, anchor=a) if toks else []
+            feature_set.compute_ids(text, toks, id_memo, index, anchor=a)
+            if toks else []
             for text, toks, a in zip(texts, tokens_list, anchors)]
-        tags_list = self.crf.predict_batch(seqs)
+        tags_list = self.crf.predict_batch_ids(seqs)
         return [
             self._tags_to_slot_dicts(text, toks, tags) if toks else []
             for text, toks, tags in zip(texts, tokens_list, tags_list)]

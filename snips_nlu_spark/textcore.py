@@ -94,6 +94,10 @@ def tokenize(text: str) -> tuple[Token, ...]:
     caches per-text parse results for the same reason,
     entity_parser/entity_parser.py:22-55). Treat the result as immutable.
     """
+    if text.isascii():
+        # fast path: no token can need CJK script splitting
+        return tuple(Token(m.group(0), m.start(), m.end())
+                     for m in _TOKEN_RE.finditer(text))
     out = []
     for m in _TOKEN_RE.finditer(text):
         value = m.group(0)
@@ -154,9 +158,12 @@ def regex_escape(s: str) -> str:
     return "".join("\\" + c if c in _REGEX_SPECIAL else c for c in s)
 
 
+@lru_cache(maxsize=65536)
 def get_shape(token: str) -> str:
     """Token shape class: xxx / XXX / Xxx / xX
-    (ref: Rust get_shape, used at slot_filler/feature_factory.py:323-331)."""
+    (ref: Rust get_shape, used at slot_filler/feature_factory.py:323-331).
+    Memoized — the shape-ngram factories probe every token several times
+    per text and token values repeat heavily across a corpus."""
     if token.islower():
         return "xxx"
     if token.isupper():
