@@ -46,6 +46,14 @@ def _load_entity_doc(doc: dict) -> tuple[str, dict]:
             data.append({"value": str(value["value"]),
                          "synonyms": [str(s) for s in
                                       value.get("synonyms", [])]})
+        elif isinstance(value, (list, tuple)):
+            # inline-list form "[canonical, syn1, syn2]" (ref:
+            # dataset/entity.py:136-142 — first element is the value,
+            # the rest are its synonyms)
+            if not value:
+                continue
+            data.append({"value": str(value[0]),
+                         "synonyms": [str(s) for s in value[1:]]})
         else:
             data.append({"value": str(value), "synonyms": []})
     return doc["name"], {

@@ -87,7 +87,7 @@ def is_gazetteer_entity(name: str) -> bool:
 # number candidates over the token stream
 # ---------------------------------------------------------------------------
 
-_DECIMAL_RE = re.compile(r"^\d+$")
+_DECIMAL_RE = re.compile(r"^\d+(\.\d+)?$")
 
 
 def _digit_candidates(tokens: Sequence[Token]) -> list[dict]:
@@ -491,6 +491,12 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {"from": ("to", "until", "till"),
                        "between": ("and",)},
+        # "in [the next] N day(s)/week(s)/..." and "every <weekday|unit>"
+        "rel_range_open": ("in", "within"),
+        "rel_units": {"day": "day", "days": "day", "week": "week",
+                      "weeks": "week", "month": "month",
+                      "months": "month", "year": "year", "years": "year"},
+        "every_words": ("every", "each"),
     },
     # ja: no-whitespace script — the CJK script-run tokenizer (textcore)
     # isolates the day words, particles (の/から/まで), digit runs, and
@@ -654,6 +660,11 @@ _DT = {
 
 _TIME_RE = re.compile(r"^(\d{1,2})(?::(\d{2}))?$")
 _CLOCK_AMPM_RE = re.compile(r"^(\d{1,2})(am|pm)$")
+# dotted meridiem: "10p.m." / "10a.m." arrive as ONE token (textcore
+# tokenizer keeps the abbreviation whole, trailing dot included)
+_CLOCK_AMPM_DOT_RE = re.compile(r"^(\d{1,2})([ap])\.m\.?$")
+_MERIDIEM_TOKENS = {"am": "am", "pm": "pm", "a.m.": "am", "p.m.": "pm",
+                    "a.m": "am", "p.m": "pm"}
 _CLOCK_FR_RE = re.compile(r"^(\d{1,2})h([0-5]\d)?$")
 _CLOCK_MM_RE = re.compile(r"^([0-5]\d)(am|pm)?$")
 
@@ -737,6 +748,30 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
     if day < base_date:
         day = day.replace(year=day.year + 1)
     return day, last
+
+
+def _add_units(base_date, unit, n):
+    """``base_date`` + n day/week/month/year, clamping the day-of-month
+    (jan 31 + 1 month → feb 28/29)."""
+    if unit == "day":
+        return base_date + _dt.timedelta(days=n)
+    if unit == "week":
+        return base_date + _dt.timedelta(weeks=n)
+    if unit == "month":
+        m0 = base_date.month - 1 + n
+        year = base_date.year + m0 // 12
+        month = m0 % 12 + 1
+        day = min(base_date.day, _month_len(year, month))
+        return base_date.replace(year=year, month=month, day=day)
+    try:
+        return base_date.replace(year=base_date.year + n)
+    except ValueError:  # feb 29 → feb 28
+        return base_date.replace(year=base_date.year + n, day=28)
+
+
+def _month_len(year: int, month: int) -> int:
+    import calendar
+    return calendar.monthrange(year, month)[1]
 
 
 def _next_period(base_date, unit):
@@ -871,6 +906,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
         i = last2 + 1
 
     # pass 1: day-level anchors, optionally followed by a time part
+    num_at = {c["tok_start"]: c for c in cands}
     i = 0
     while i < n:
         if i in used:
@@ -912,6 +948,56 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             # single-token periods (ja 来週/来月/来年)
             day, grain = _next_period(base_date,
                                       tables["period_words"][w])
+        elif w in tables.get("every_words", ()) and i + 1 < n:
+            # recurrence: "every monday" / "every week". The snips
+            # payload has no recurrence kind, and the reference's
+            # Rustling grammar resolves recurrent expressions to their
+            # next occurrence as an InstantTime — mirrored here.
+            nxt = lower(i + 1)
+            if nxt in tables["weekdays"]:
+                ahead = (tables["weekdays"][nxt]
+                         - base_date.weekday()) % 7
+                day = base_date + _dt.timedelta(days=ahead or 7)
+                tok_end = i + 1
+            elif nxt in tables.get("rel_units", {}):
+                unit = tables["rel_units"][nxt]
+                if unit == "day":
+                    day = base_date + _dt.timedelta(days=1)
+                else:
+                    day, grain = _next_period(base_date, unit)
+                tok_end = i + 1
+        elif w in tables.get("rel_range_open", ()):
+            # "in the next 3 weeks" → interval [anchor, anchor+3w];
+            # "in 3 weeks" → instant point anchor+3w (Rustling shapes)
+            j = i + 1
+            if j < n and lower(j) in tables["the_words"]:
+                j += 1
+            has_next = j < n and lower(j) == tables["next_word"]
+            if has_next:
+                j += 1
+            c = num_at.get(j)
+            nval = None
+            if c is not None and float(c["num"]).is_integer() \
+                    and c["num"] > 0:
+                nval = int(c["num"])
+                j = c["tok_end"] + 1
+            elif has_next:
+                nval = 1  # "in the next week"
+            unit = tables.get("rel_units", {}).get(lower(j)) \
+                if j < n else None
+            if unit is not None and nval is not None:
+                if has_next:
+                    end = _add_units(base_date, unit, nval)
+                    used.update(range(i, j + 1))
+                    out.append(_mention(
+                        text, tokens, i, j, "snips/datetime",
+                        _fmt_interval(base_date, end)))
+                    i = j + 1
+                    continue
+                day = _add_units(base_date, unit, nval)
+                grain = {"day": "Day", "week": "Week", "month": "Month",
+                         "year": "Year"}[unit]
+                tok_end = j
         else:
             iso = _parse_iso_date(tokens, i, n)
             if iso is not None:
@@ -991,6 +1077,10 @@ def _parse_clock(tokens, i, n):
     if m:
         hh = int(m.group(1)) % 12 + (12 if m.group(2) == "pm" else 0)
         return hh, 0, i, True
+    m = _CLOCK_AMPM_DOT_RE.match(v)
+    if m:
+        hh = int(m.group(1)) % 12 + (12 if m.group(2) == "p" else 0)
+        return hh, 0, i, True
     m = _CLOCK_FR_RE.match(v)  # french "8h"/"8h30"
     if m:
         hh = int(m.group(1))
@@ -1018,8 +1108,9 @@ def _parse_clock(tokens, i, n):
     if hh > 23 or mm > 59:
         return None
     j = last + 1
-    if j < n and tokens[j].value.lower() in ("am", "pm") and hh <= 12:
-        hh = hh % 12 + (12 if tokens[j].value.lower() == "pm" else 0)
+    if j < n and tokens[j].value.lower() in _MERIDIEM_TOKENS and hh <= 12:
+        hh = hh % 12 + (12 if _MERIDIEM_TOKENS[tokens[j].value.lower()]
+                        == "pm" else 0)
         return hh, mm, j, True
     if j < n and tokens[j].value.lower() == "uhr":  # german "8 uhr"
         return hh, mm, j, True

@@ -29,8 +29,16 @@ class Token(NamedTuple):
 
 # Word = run of unicode word chars (incl. digits, underscore removed);
 # everything that is neither word nor whitespace is a single-char symbol
-# token. This is the project-wide tokenizer spec.
-_TOKEN_RE = re.compile(r"[^\W_]+|[^\w\s]|_", re.UNICODE)
+# token; decimal numbers ("3.5") and dotted meridiem abbreviations
+# ("10p.m.", "a.m.") stay single tokens so the number/clock grammar sees
+# them whole — and their spans keep the trailing dot, matching the
+# reference's char-level datetime spans (its test expects "at 10p.m."
+# to cover the final period, test_deterministic_intent_parser.py:377) —
+# even though "." alone is separator punctuation.
+# This is the project-wide tokenizer spec.
+_TOKEN_RE = re.compile(
+    r"(?i:\d{1,2}[ap]\.m\.?|[ap]\.m\.?)(?!\w)|\d+\.\d+|[^\W_]+|[^\w\s]|_",
+    re.UNICODE)
 
 _WS_RE = re.compile(r"\s+", re.UNICODE)
 
@@ -86,6 +94,20 @@ def _split_hangul_particle(value: str, start: int) -> list[Token]:
     return [Token(value, start, start + len(value))]
 
 
+# separator punctuation the reference tokenizer drops entirely, derived
+# from its observable behavior: the deterministic-parser goldens require
+# "," "." "’" to vanish from the cleaned/matched text
+# (ref: tests/test_deterministic_intent_parser.py:385-437 — queries like
+# "this, is,, a, dummy a" and " at 8am ’ there ..." must match patterns
+# whose tokens are joined by \s*), while tests/test_preprocessing.py:50-66
+# pins "$" "%" "!" as real tokens. Symbols stay tokens; textual
+# punctuation is a separator. ":" and "'" are deliberately KEPT: this
+# repo's datetime/number grammar is token-based (the reference's Rust
+# grammar is character-based, so its tokenizer choice doesn't bind it)
+# and consumes them ("8 : 30", "o ' clock", French elision).
+_SEPARATOR_PUNCT = frozenset(",.;’‘“”\"()[]{}«»…¡¿")
+
+
 @lru_cache(maxsize=65536)
 def tokenize(text: str) -> tuple[Token, ...]:
     """Tokenize with character ranges (ref: preprocessing.py:72-89).
@@ -97,10 +119,13 @@ def tokenize(text: str) -> tuple[Token, ...]:
     if text.isascii():
         # fast path: no token can need CJK script splitting
         return tuple(Token(m.group(0), m.start(), m.end())
-                     for m in _TOKEN_RE.finditer(text))
+                     for m in _TOKEN_RE.finditer(text)
+                     if m.group(0) not in _SEPARATOR_PUNCT)
     out = []
     for m in _TOKEN_RE.finditer(text):
         value = m.group(0)
+        if value in _SEPARATOR_PUNCT:
+            continue
         if not value.isascii() and _CJK_PROBE.search(value):
             base = m.start()
             for sm in _SCRIPT_RUN_RE.finditer(value):

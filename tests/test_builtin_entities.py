@@ -120,3 +120,53 @@ def test_datetime_is_pure_function_of_anchor():
 
 def test_no_spurious_matches_on_plain_text():
     assert P.parse("hello there general", anchor=ANCHOR) == []
+
+
+def test_datetime_recurrence_resolves_to_next_occurrence():
+    # "every monday" — no recurrence kind in the snips payload; the
+    # reference's Rustling grammar resolves recurrents to their next
+    # occurrence (ANCHOR 2024-03-14 is a Thursday → next monday 03-18)
+    ms = P.parse("see you every monday", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "every monday"
+    assert ms[0]["resolved_value"]["value"] == "2024-03-18 00:00:00"
+    ms = P.parse("standup every day", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "every day"
+    assert ms[0]["resolved_value"]["value"] == "2024-03-15 00:00:00"
+
+
+def test_datetime_relative_range_interval():
+    ms = P.parse("finish it in the next 3 weeks", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "in the next 3 weeks"
+    assert ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-03-14 00:00:00",
+        "to": "2024-04-04 00:00:00"}
+    # number words compose too
+    ms = P.parse("within the next two months", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-03-14 00:00:00",
+        "to": "2024-05-14 00:00:00"}
+
+
+def test_datetime_in_n_units_is_instant():
+    ms = P.parse("call me in 3 weeks", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "in 3 weeks"
+    assert ms[0]["resolved_value"]["value"] == "2024-04-04 00:00:00"
+    assert ms[0]["resolved_value"]["grain"] == "Week"
+
+
+def test_datetime_dotted_meridiem():
+    # dotted abbreviations stay one token, span includes the final dot
+    # (ref: test_deterministic_intent_parser.py:377-380 pins the
+    # "at 10p.m." span over the trailing period)
+    ms = P.parse("meet at 10p.m. ok", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "at 10p.m."
+    assert ms[0]["resolved_value"]["value"] == "2024-03-14 22:00:00"
+    ms = P.parse("lunch at 12 p.m.", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["resolved_value"]["value"] == "2024-03-14 12:00:00"

@@ -20,8 +20,15 @@ def test_tokenize_spans():
 
 
 def test_tokenize_punctuation_and_apostrophe():
-    assert tokenize_light("I'd like tea.") == ["I", "'", "d", "like", "tea",
-                                               "."]
+    # separator punctuation ("." "," quotes) is tokenized out — the
+    # reference's deterministic goldens require it to vanish from the
+    # cleaned text (test_deterministic_intent_parser.py:385-437) — while
+    # "'" stays a token (this repo's clock/elision grammar consumes it)
+    assert tokenize_light("I'd like tea.") == ["I", "'", "d", "like", "tea"]
+    # symbols are real tokens (ref: test_preprocessing.py:50-66)
+    assert tokenize_light("$$ % !!") == ["$", "$", "%", "!", "!"]
+    assert tokenize_light("this, is,, a, test") == ["this", "is", "a",
+                                                    "test"]
 
 
 def test_tokenize_empty_and_whitespace():
