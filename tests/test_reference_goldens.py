@@ -15,6 +15,7 @@ grammar or synonym resolution fails here independently of the oracle.
 from __future__ import annotations
 
 from copy import deepcopy
+from pathlib import Path
 
 import pytest
 
@@ -383,3 +384,162 @@ values:
         "entity": "dummy_entity_1",
         "slotName": "dummy_slot_name",
     }]
+
+
+# ref: test_lookup_intent_parser.py:250-282 — ambivalent words: "daisy"
+# is both a flower word in an utterance and a trained name value
+def test_lookup_ambivalent_words():
+    yaml_text = """
+---
+type: intent
+name: give_flower
+utterances:
+  - give a rose to [name](emily)
+  - give a daisy to [name](tom)
+  - give a tulip to [name](daisy)
+"""
+    parser, bundle = _fit(yaml_text, LookupIntentParser)
+    parsing = parser.parse("give a daisy to emily", bundle)
+    assert parsing["intent"] == \
+        intent_classification_result("give_flower", 1.0)
+    assert parsing["slots"] == [
+        {"entity": "name", "range": {"start": 16, "end": 21},
+         "slotName": "name", "value": "emily"}]
+
+
+# ref: test_lookup_intent_parser.py:283-339 — the lookup parser drops
+# ambiguous keys at fit, exactly like the deterministic parser
+def test_lookup_ambiguous_utterances_ignored():
+    yaml_both = """
+---
+type: intent
+name: dummy_intent_1
+utterances:
+  - Hello world
+
+---
+type: intent
+name: dummy_intent_2
+utterances:
+  - Hello world
+"""
+    parser, bundle = _fit(yaml_both, LookupIntentParser)
+    assert parser.parse("Hello world", bundle) == \
+        empty_result("Hello world", 1.0)
+
+    yaml_very = """
+---
+type: intent
+name: intent_1
+utterances:
+  - "[event_type](meeting) tomorrow"
+
+---
+type: intent
+name: intent_2
+utterances:
+  - call [time:snips/datetime](today)
+
+---
+type: entity
+name: event_type
+values:
+  - call
+  - diner
+"""
+    parser, bundle = _fit(yaml_very, LookupIntentParser)
+    assert parser.parse("call tomorrow", bundle) == \
+        empty_result("call tomorrow", 1.0)
+
+
+# ref: test_deterministic_intent_parser.py:484-542 — exact n-best
+# probabilities from the 1/(1+n_slots) ambiguity weighting
+def test_deterministic_get_intents_reference_probabilities():
+    yaml_text = """
+---
+type: intent
+name: greeting1
+utterances:
+  - Hello John
+
+---
+type: intent
+name: greeting2
+utterances:
+  - Hello [name](John)
+
+---
+type: intent
+name: greeting3
+utterances:
+  - "[greeting](Hello) [name](John)"
+"""
+    parser, bundle = _fit(yaml_text, DeterministicIntentParser)
+    top = parser.get_intents("Hello John", bundle)
+    total = 1.0 + 1.0 / 2.0 + 1.0 / 3.0
+    expected = {
+        "greeting1": 1.0 / total,
+        "greeting2": (1.0 / 2.0) / total,
+        "greeting3": (1.0 / 3.0) / total,
+        None: 0.0,
+    }
+    assert top[0] == {"intentName": "greeting1",
+                      "probability": pytest.approx(1.0 / total)}
+    got = {r["intentName"]: r["probability"] for r in top}
+    assert got == pytest.approx(expected)
+
+
+# ref: test_deterministic_intent_parser.py:543-579 and :581-597
+def test_deterministic_get_slots_per_intent():
+    yaml_text = """
+---
+type: intent
+name: greeting1
+utterances:
+  - Hello [name1](John)
+
+---
+type: intent
+name: greeting2
+utterances:
+  - Hello [name2](Thomas)
+
+---
+type: intent
+name: goodbye
+utterances:
+  - Goodbye [name](Eric)
+"""
+    parser, bundle = _fit(yaml_text, DeterministicIntentParser)
+    slots_greeting1 = parser.get_slots("Hello John", bundle, "greeting1")
+    slots_greeting2 = parser.get_slots("Hello Thomas", bundle, "greeting2")
+    slots_goodbye = parser.get_slots("Goodbye Eric", bundle, "greeting1")
+    assert len(slots_greeting1) == 1
+    assert len(slots_greeting2) == 1
+    assert slots_goodbye == []
+    assert slots_greeting1[0]["value"] == "John"
+    assert slots_greeting1[0]["entity"] == "name1"
+    assert slots_greeting2[0]["value"] == "Thomas"
+    assert slots_greeting2[0]["entity"] == "name2"
+    # ref :581-597: None intent → no slots
+    assert parser.get_slots("Hello John", bundle, None) == []
+
+
+# ref: test_deterministic_intent_parser.py:721-742 — the parser must
+# not raise on any naughty string (the reference ships the corpus)
+def test_deterministic_survives_naughty_strings():
+    yaml_text = """
+---
+type: intent
+name: my_intent
+utterances:
+- this is [slot1:entity1](my first entity)
+- this is [slot2:entity2](second_entity)
+"""
+    parser, bundle = _fit(yaml_text, DeterministicIntentParser)
+    naughty = (Path("/root/reference/snips_nlu/tests/resources")
+               / "naughty_strings.txt")
+    if not naughty.exists():
+        pytest.skip("reference naughty_strings.txt unavailable")
+    for s in naughty.read_text("utf8").splitlines():
+        parser.parse(s, bundle)
