@@ -191,6 +191,21 @@ class GazetteerParser:
             if key not in seen:
                 seen.add(key)
                 unique.append(m)
+        # same-entity overlap resolution (the reference's gazetteer
+        # parser emits non-overlapping matches per entity, keeping the
+        # longest): drop mentions strictly contained in another mention
+        # of the SAME entity — "rolling" must not survive inside
+        # "rolling stones"
+        if len(unique) > 1:
+            unique = [
+                m for m in unique
+                if not any(
+                    m2 is not m
+                    and m2["entity_kind"] == m["entity_kind"]
+                    and m2["start"] <= m["start"]
+                    and m["end"] <= m2["end"]
+                    and (m2["end"] - m2["start"]) > (m["end"] - m["start"])
+                    for m2 in unique)]
         return tuple(unique)
 
     def _fuzzy_matches(self, entity, text, tokens, norm):

@@ -117,10 +117,11 @@ def tokenize(text: str) -> tuple[Token, ...]:
     entity_parser/entity_parser.py:22-55). Treat the result as immutable.
     """
     if text.isascii():
-        # fast path: no token can need CJK script splitting
-        return tuple(Token(m.group(0), m.start(), m.end())
-                     for m in _TOKEN_RE.finditer(text)
-                     if m.group(0) not in _SEPARATOR_PUNCT)
+        # fast path: no token can need CJK script splitting (list comp
+        # beats a genexpr here — this is the hottest allocation site)
+        return tuple([Token(m.group(0), m.start(), m.end())
+                      for m in _TOKEN_RE.finditer(text)
+                      if m.group(0) not in _SEPARATOR_PUNCT])
     out = []
     for m in _TOKEN_RE.finditer(text):
         value = m.group(0)

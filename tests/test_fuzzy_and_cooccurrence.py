@@ -88,3 +88,40 @@ def test_featurizer_with_cooccurrence_ratio():
     clone = Featurizer.from_dict(f.to_dict())
     assert np.allclose(
         clone.transform_texts(["switch on the light"], bundle), xt)
+
+
+def test_fuzzy_ranking_prefers_more_matched_tokens():
+    # documented gazetteer-entity-parser ranking: among candidate values
+    # matching from the same start token, the one with the most matched
+    # tokens wins
+    gaz = GazetteerParser.build(
+        {"artist": {"the rolling stones": "The Rolling Stones",
+                    "rolling": "Rolling Solo"}},
+        strictness={"artist": 0.5})
+    ms = gaz.parse("play rolling stones", scope=["artist"])
+    assert ms[0]["resolved_value"]["value"] == "The Rolling Stones"
+
+
+def test_fuzzy_ranking_tie_prefers_tighter_value():
+    # tie on matched tokens → the value with fewer tokens (the tighter
+    # match) wins: 2/2 of "daft punk" beats 2/4 of the longer value
+    gaz = GazetteerParser.build(
+        {"artist": {"daft punk": "Daft Punk",
+                    "daft punk tribute band": "Tribute"}},
+        strictness={"artist": 0.5})
+    ms = gaz.parse("play daft punk xyz", scope=["artist"])
+    assert ms[0]["resolved_value"]["value"] == "Daft Punk"
+    assert ms[0]["value"] == "daft punk"
+
+
+def test_fuzzy_canonical_readme_example():
+    # the crate's canonical example: "les rolling stones" resolves with
+    # ratio 2/3 when "the" is missing from the query
+    gaz = GazetteerParser.build(
+        {"artist": {"the rolling stones": "The Rolling Stones",
+                    "blink 182": "Blink-182"}},
+        strictness={"artist": 0.6})
+    ms = gaz.parse("i want to listen to rolling stones", scope=["artist"])
+    assert len(ms) == 1
+    assert ms[0]["resolved_value"]["value"] == "The Rolling Stones"
+    assert ms[0]["value"] == "rolling stones"
