@@ -238,7 +238,10 @@ def main() -> None:
             s = _fresh_spark(cpus)
             df = _scale_input(s)
             _warm_engine(s, model_json, df, cpus)
-            unprimed[cpus] = _timed_parse(s, model_json, df)
+            # best-of-2 like the primed pair — a single sample recorded
+            # an unprimed N throughput ABOVE the primed one in round 3
+            # (run-order page-cache luck), skewing the ratio
+            unprimed[cpus] = _timed_parse(s, model_json, df, repeats=2)
             s.stop()
         scale = {}
         for cpus in (SCALE_N, 4 * SCALE_N):
