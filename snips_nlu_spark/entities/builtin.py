@@ -569,6 +569,13 @@ _DT = {
         "period_map": {},
         "weekday_suffix": ("que",),
         "range_open": {"de": ("a", "até", "ate"), "entre": ("e",)},
+        "rel_range_open": ("em", "dentro", "nas", "nos"),
+        "rel_units": {"dia": "day", "dias": "day", "semana": "week",
+                      "semanas": "week", "mês": "month", "mes": "month",
+                      "meses": "month", "ano": "year", "anos": "year"},
+        "next_adjs": ("próximo", "proximo", "próxima", "proxima",
+                      "próximos", "proximos", "próximas", "proximas"),
+        "every_words": ("cada", "todo", "toda"),
     },
     "it": {
         "weekdays": {"lunedì": 0, "lunedi": 0, "martedì": 1, "martedi": 1,
@@ -592,6 +599,13 @@ _DT = {
         "weekday_suffix": ("prossimo", "prossima"),
         "range_open": {"da": ("a", "al"), "dal": ("al",), "tra": ("e",),
                        "fra": ("e",)},
+        "rel_range_open": ("entro", "nelle", "nei", "in"),
+        "rel_units": {"giorno": "day", "giorni": "day",
+                      "settimana": "week", "settimane": "week",
+                      "mese": "month", "mesi": "month",
+                      "anno": "year", "anni": "year"},
+        "next_adjs": ("prossimo", "prossima", "prossimi", "prossime"),
+        "every_words": ("ogni",),
     },
     "de": {
         "weekdays": {"montag": 0, "dienstag": 1, "mittwoch": 2,
@@ -613,6 +627,16 @@ _DT = {
         "period_map": {},
         "weekday_suffix": (),
         "range_open": {"von": ("bis",), "zwischen": ("und",)},
+        "rel_range_open": ("in", "innerhalb", "binnen"),
+        "range_articles": ("den", "der", "die", "das"),
+        "rel_units": {"tag": "day", "tage": "day", "tagen": "day",
+                      "woche": "week", "wochen": "week",
+                      "monat": "month", "monate": "month",
+                      "monaten": "month", "jahr": "year", "jahre": "year",
+                      "jahren": "year"},
+        "next_adjs": ("nächste", "naechste", "nächsten", "naechsten",
+                      "nächstes", "naechstes"),
+        "every_words": ("jeden", "jede", "jedes"),
     },
     "es": {
         "weekdays": {"lunes": 0, "martes": 1, "miércoles": 2,
@@ -635,6 +659,16 @@ _DT = {
         "weekday_suffix": ("próximo", "proximo", "próxima", "proxima"),
         "range_open": {"de": ("a", "al"), "del": ("al",),
                        "entre": ("y",)},
+        "rel_range_open": ("en", "dentro"),
+        "range_articles": ("la", "las", "los", "el"),
+        "rel_units": {"día": "day", "dia": "day", "días": "day",
+                      "dias": "day", "semana": "week", "semanas": "week",
+                      "mes": "month", "meses": "month",
+                      "año": "year", "ano": "year", "años": "year",
+                      "anos": "year"},
+        "next_adjs": ("próximo", "proximo", "próxima", "proxima",
+                      "próximos", "proximos", "próximas", "proximas"),
+        "every_words": ("cada",),
     },
     "fr": {
         "weekdays": {"lundi": 0, "mardi": 1, "mercredi": 2, "jeudi": 3,
@@ -655,6 +689,16 @@ _DT = {
         "weekday_suffix": ("prochain", "prochaine"),
         "range_open": {"de": ("à", "a", "au"), "du": ("au",),
                        "entre": ("et",)},
+        "rel_range_open": ("dans", "d"),
+        "range_articles": ("les", "la", "le", "l"),
+        "rel_units": {"jour": "day", "jours": "day", "semaine": "week",
+                      "semaines": "week", "mois": "month",
+                      "an": "year", "ans": "year", "année": "year",
+                      "annee": "year", "années": "year",
+                      "annees": "year"},
+        "next_adjs": ("prochain", "prochaine", "prochains",
+                      "prochaines"),
+        "every_words": ("chaque",),
     },
 }
 
@@ -968,11 +1012,18 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 tok_end = i + 1
         elif w in tables.get("rel_range_open", ()):
             # "in the next 3 weeks" → interval [anchor, anchor+3w];
-            # "in 3 weeks" → instant point anchor+3w (Rustling shapes)
+            # "in 3 weeks" → instant point anchor+3w (Rustling shapes).
+            # The "next" marker may precede the number (en "the next 3
+            # weeks", es "las próximas 3 semanas", de "den nächsten 3
+            # wochen") or follow it (fr "les 3 prochaines semaines") —
+            # per-language adjective forms in "next_adjs".
             j = i + 1
-            if j < n and lower(j) in tables["the_words"]:
+            arts = tables.get("range_articles", tables["the_words"])
+            if j < n and lower(j) in arts:
                 j += 1
-            has_next = j < n and lower(j) == tables["next_word"]
+            adjs = tables.get("next_adjs", ())
+            has_next = j < n and (lower(j) == tables["next_word"]
+                                  or lower(j) in adjs)
             if has_next:
                 j += 1
             c = num_at.get(j)
@@ -981,8 +1032,11 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                     and c["num"] > 0:
                 nval = int(c["num"])
                 j = c["tok_end"] + 1
-            elif has_next:
-                nval = 1  # "in the next week"
+            if j < n and lower(j) in adjs:
+                has_next = True
+                j += 1
+            if nval is None and has_next:
+                nval = 1  # "in the next week" / "la prochaine semaine"
             unit = tables.get("rel_units", {}).get(lower(j)) \
                 if j < n else None
             if unit is not None and nval is not None:

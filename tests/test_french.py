@@ -122,3 +122,21 @@ def test_unsupported_language_fails_loudly():
     from snips_nlu_spark.resources import get_resources
     with pytest.raises(ValueError, match="unsupported language"):
         get_resources("xx")
+
+
+def test_fr_datetime_recurrence_and_relative_range():
+    # recurrences resolve to the next occurrence; "next N units" is an
+    # interval, bare "in N units" an instant (round-3 grammar additions,
+    # same shapes as the en constructions)
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="fr")
+    anchor = datetime.datetime(2024, 5, 2)  # a Thursday
+    ms = p.parse("x chaque lundi y", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["value"] == "chaque lundi"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 00:00:00"
+    ms = p.parse("dans les 3 prochaines semaines", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-02 00:00:00",
+        "to": "2024-05-23 00:00:00"}
+    ms = p.parse("dans 3 semaines", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"]["value"] == "2024-05-23 00:00:00"

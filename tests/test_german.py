@@ -98,3 +98,21 @@ def test_de_bundle_roundtrip(engine):
     assert reloaded._bundle.builtin.language == "de"
     r = reloaded.parse("mach mir zwei tassen kaffee", anchor=ANCHOR)
     assert r["intent"]["intentName"] == "getraenkKochen"
+
+
+def test_de_datetime_recurrence_and_relative_range():
+    # recurrences resolve to the next occurrence; "next N units" is an
+    # interval, bare "in N units" an instant (round-3 grammar additions,
+    # same shapes as the en constructions)
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="de")
+    anchor = datetime.datetime(2024, 5, 2)  # a Thursday
+    ms = p.parse("x jeden montag y", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["value"] == "jeden montag"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 00:00:00"
+    ms = p.parse("in den nächsten 3 wochen", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-02 00:00:00",
+        "to": "2024-05-23 00:00:00"}
+    ms = p.parse("in 3 wochen", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"]["value"] == "2024-05-23 00:00:00"

@@ -94,3 +94,21 @@ def test_it_bundle_roundtrip(engine):
     assert reloaded._bundle.builtin.language == "it"
     r = reloaded.parse("fammi due tazze di caffè", anchor=ANCHOR)
     assert r["intent"]["intentName"] == "preparareBevanda"
+
+
+def test_it_datetime_recurrence_and_relative_range():
+    # recurrences resolve to the next occurrence; "next N units" is an
+    # interval, bare "in N units" an instant (round-3 grammar additions,
+    # same shapes as the en constructions)
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="it")
+    anchor = datetime.datetime(2024, 5, 2)  # a Thursday
+    ms = p.parse("x ogni lunedì y", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["value"] == "ogni lunedì"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 00:00:00"
+    ms = p.parse("nelle prossime 3 settimane", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-02 00:00:00",
+        "to": "2024-05-23 00:00:00"}
+    ms = p.parse("entro 3 settimane", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"]["value"] == "2024-05-23 00:00:00"

@@ -92,3 +92,21 @@ def test_pt_bundle_roundtrip(engine):
     assert reloaded._bundle.builtin.language == "pt"
     r = reloaded.parse("faz duas xícaras de café", anchor=ANCHOR)
     assert r["intent"]["intentName"] == "prepararBebida"
+
+
+def test_pt_datetime_recurrence_and_relative_range():
+    # recurrences resolve to the next occurrence; "next N units" is an
+    # interval, bare "in N units" an instant (round-3 grammar additions,
+    # same shapes as the en constructions)
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="pt")
+    anchor = datetime.datetime(2024, 5, 2)  # a Thursday
+    ms = p.parse("x cada segunda y", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["value"] == "cada segunda"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 00:00:00"
+    ms = p.parse("nas próximas 3 semanas", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-02 00:00:00",
+        "to": "2024-05-23 00:00:00"}
+    ms = p.parse("em 3 semanas", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"]["value"] == "2024-05-23 00:00:00"

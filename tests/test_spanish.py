@@ -88,3 +88,21 @@ def test_es_bundle_roundtrip(engine):
     assert reloaded._bundle.builtin.language == "es"
     r = reloaded.parse("hazme dos tazas de café", anchor=ANCHOR)
     assert r["intent"]["intentName"] == "prepararBebida"
+
+
+def test_es_datetime_recurrence_and_relative_range():
+    # recurrences resolve to the next occurrence; "next N units" is an
+    # interval, bare "in N units" an instant (round-3 grammar additions,
+    # same shapes as the en constructions)
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="es")
+    anchor = datetime.datetime(2024, 5, 2)  # a Thursday
+    ms = p.parse("x cada lunes y", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["value"] == "cada lunes"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 00:00:00"
+    ms = p.parse("en las próximas 3 semanas", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-02 00:00:00",
+        "to": "2024-05-23 00:00:00"}
+    ms = p.parse("en 3 semanas", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"]["value"] == "2024-05-23 00:00:00"
