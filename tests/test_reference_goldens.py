@@ -543,3 +543,90 @@ utterances:
         pytest.skip("reference naughty_strings.txt unavailable")
     for s in naughty.read_text("utf8").splitlines():
         parser.parse(s, bundle)
+
+
+# ref: test_lookup_intent_parser.py:556-604 — the lookup parser's exact
+# get_intents probabilities (ORDERED list, None intent 0.0 last) and
+# per-intent get_slots, mirrored from the deterministic cases
+def test_lookup_get_intents_reference_probabilities():
+    yaml_text = """
+---
+type: intent
+name: greeting1
+utterances:
+  - Hello John
+
+---
+type: intent
+name: greeting2
+utterances:
+  - Hello [name](John)
+
+---
+type: intent
+name: greeting3
+utterances:
+  - "[greeting](Hello) [name](John)"
+"""
+    parser, bundle = _fit(yaml_text, LookupIntentParser)
+    top = parser.get_intents("Hello John", bundle)
+    total = 1.0 + 1.0 / 2.0 + 1.0 / 3.0
+    expected = [("greeting1", 1.0 / total),
+                ("greeting2", (1.0 / 2.0) / total),
+                ("greeting3", (1.0 / 3.0) / total),
+                (None, 0.0)]
+    got = [(r["intentName"], r["probability"]) for r in top]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    assert [g[1] for g in got] == pytest.approx([e[1] for e in expected])
+
+
+# ref: test_lookup_intent_parser.py:606-660
+def test_lookup_get_slots_per_intent():
+    yaml_text = """
+---
+type: intent
+name: greeting1
+utterances:
+  - Hello [name1](John)
+
+---
+type: intent
+name: greeting2
+utterances:
+  - Hello [name2](Thomas)
+
+---
+type: intent
+name: goodbye
+utterances:
+  - Goodbye [name](Eric)
+"""
+    parser, bundle = _fit(yaml_text, LookupIntentParser)
+    s1 = parser.get_slots("Hello John", bundle, "greeting1")
+    s2 = parser.get_slots("Hello Thomas", bundle, "greeting2")
+    s3 = parser.get_slots("Goodbye Eric", bundle, "greeting1")
+    assert [(s["value"], s["entity"]) for s in s1] == [("John", "name1")]
+    assert [(s["value"], s["entity"]) for s in s2] == [("Thomas", "name2")]
+    assert s3 == []
+    assert parser.get_slots("Hello John", bundle, None) == []
+
+
+# ref: test_deterministic_intent_parser.py:743-765 — fitting must
+# survive the naughty-strings corpus used as tag-free utterances
+def test_fit_with_naughty_strings_no_tags():
+    naughty = (Path("/root/reference/snips_nlu/tests/resources")
+               / "naughty_strings.txt")
+    if not naughty.exists():
+        pytest.skip("reference naughty_strings.txt unavailable")
+    lines = [ln for ln in naughty.read_text("utf8").splitlines()
+             if ln.strip()][:200]
+    ds = {
+        "language": "en",
+        "intents": {"naughty_intent": {
+            "utterances": [{"data": [{"text": ln}]} for ln in lines]}},
+        "entities": {},
+    }
+    ds = validate_and_format_dataset(ds)
+    for cls in (DeterministicIntentParser, LookupIntentParser):
+        parser = cls().fit(ds, get_resources("en"))
+        assert parser.fitted
