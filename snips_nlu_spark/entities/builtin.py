@@ -206,6 +206,7 @@ _JA_GRAMMAR_WORDS = (
     "月曜", "火曜", "水曜", "木曜", "金曜", "土曜", "日曜",
     "来週", "来月", "来年", "午前", "午後", "番目",
     "秒間", "分間", "時間", "日間", "週間", "年間",
+    "毎週", "毎月", "毎年", "毎日", "今後", "ヶ月", "か月",
 )
 _JA_GRAMMAR_SET = frozenset(_JA_GRAMMAR_WORDS)
 _JA_GRAMMAR_MAX = max(len(w) for w in _JA_GRAMMAR_WORDS)
@@ -524,6 +525,12 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {},
         "range_post": ("から", "まで"),
+        "every_prefix": {"毎週": "week", "毎月": "month",
+                         "毎年": "year", "毎日": "day"},
+        "rel_units_post": {"日": "day", "週間": "week", "ヶ月": "month",
+                           "か月": "month", "年": "year"},
+        "later_words": ("後",),
+        "ahead_words": ("今後",),
     },
     # ko: hangul spaces between eojeol + the tokenizer's particle split
     # (textcore._split_hangul_particle) expose the grammar words; ranges
@@ -548,6 +555,12 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {},
         "range_post": ("부터", "까지"),
+        "every_prefix": {"매주": "week", "매월": "month",
+                         "매달": "month", "매년": "year", "매일": "day"},
+        "rel_units_post": {"일": "day", "주": "week", "개월": "month",
+                           "달": "month", "년": "year"},
+        "later_words": ("후", "뒤"),
+        "ahead_words": ("앞으로",),
     },
     "pt": {
         "weekdays": {"segunda-feira": 0, "segunda": 0, "terça": 1,
@@ -959,6 +972,24 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
         w = lower(i)
         day = None
         grain = "Day"
+        # postfix relative point (ja/ko): 3週間後 / 3주 후 → anchor+N
+        # units. The 後/후 marker is REQUIRED — a bare "3日"/"3일" is a
+        # day-of-month and must fall through to the month-day parser.
+        post_point = None
+        if i in num_at and tables.get("rel_units_post") \
+                and tables.get("later_words"):
+            c = num_at[i]
+            jj = c["tok_end"] + 1
+            post_unit = tables["rel_units_post"].get(lower(jj)) \
+                if jj < n else None
+            if post_unit is not None and jj + 1 < n \
+                    and lower(jj + 1) in tables["later_words"] \
+                    and float(c["num"]).is_integer() and c["num"] > 0:
+                post_point = (
+                    _add_units(base_date, post_unit, int(c["num"])),
+                    {"day": "Day", "week": "Week", "month": "Month",
+                     "year": "Year"}[post_unit],
+                    jj + 1)
         tok_start, tok_end = i, i
         if w in tables["rel_days"]:
             day = base_date + _dt.timedelta(days=tables["rel_days"][w])
@@ -976,6 +1007,44 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             # absorb a trailing "prochain"/"prochaine" (fr)
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
+        elif w in tables.get("every_prefix", {}):
+            # CJK recurrences: 毎週[月曜日] / 매주 [월요일] / 毎日 / 매년 —
+            # resolved to the next occurrence like the European
+            # every-words (the snips payload has no recurrence kind)
+            unit = tables["every_prefix"][w]
+            tok_end = i
+            if unit == "week" and i + 1 < n \
+                    and lower(i + 1) in tables["weekdays"]:
+                ahead = (tables["weekdays"][lower(i + 1)]
+                         - base_date.weekday()) % 7
+                day = base_date + _dt.timedelta(days=ahead or 7)
+                tok_end = i + 1
+            elif unit == "day":
+                day = base_date + _dt.timedelta(days=1)
+            else:
+                day, grain = _next_period(base_date, unit)
+        elif w in tables.get("ahead_words", ()) or (
+                i + 1 < n and tables.get("ahead_words")
+                and w + lower(i + 1) in tables["ahead_words"]):
+            # 今後3週間 / 앞으로 3주 → interval [anchor, anchor+N units]
+            # (앞으로 arrives as two tokens — 앞 + particle 으로)
+            k = i if w in tables.get("ahead_words", ()) else i + 1
+            c = num_at.get(k + 1)
+            if c is not None and float(c["num"]).is_integer() \
+                    and c["num"] > 0:
+                j = c["tok_end"] + 1
+                unit = tables.get("rel_units_post", {}).get(lower(j)) \
+                    if j < n else None
+                if unit is not None:
+                    end = _add_units(base_date, unit, int(c["num"]))
+                    used.update(range(i, j + 1))
+                    out.append(_mention(
+                        text, tokens, i, j, "snips/datetime",
+                        _fmt_interval(base_date, end)))
+                    i = j + 1
+                    continue
+        elif post_point is not None:
+            day, grain, tok_end = post_point
         elif w in tables["months"] or (
                 lang in ("fr", "es", "it", "pt", "ja", "ko")
                 and _parse_month_day(tokens, i, n, base_date,

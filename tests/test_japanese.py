@@ -141,3 +141,25 @@ def test_ja_engine_bundle_roundtrip(engine):
                  "意味のない文字列"]:
         assert clone.parse(text, anchor=ANCHOR) == \
             engine.parse(text, anchor=ANCHOR)
+
+
+def test_ja_datetime_recurrence_and_relative():
+    import datetime
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="ja")
+    anchor = datetime.datetime(2024, 5, 2)  # thursday
+    ms = p.parse("毎週月曜日に会いましょう", scope=("snips/datetime",),
+                 anchor=anchor)
+    assert ms and ms[0]["value"] == "毎週月曜日"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 00:00:00"
+    ms = p.parse("3週間後に電話して", scope=("snips/datetime",),
+                 anchor=anchor)
+    assert ms and ms[0]["value"] == "3週間後"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-23 00:00:00"
+    ms = p.parse("今後3週間", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-02 00:00:00",
+        "to": "2024-05-23 00:00:00"}
+    # month-day parses are untouched by the postfix probe
+    ms = p.parse("5月3日に行く", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["value"] == "5月3日"

@@ -128,3 +128,25 @@ def test_ko_engine_bundle_roundtrip(engine):
                  "의미없는 문자열"]:
         assert clone.parse(text, anchor=ANCHOR) == \
             engine.parse(text, anchor=ANCHOR)
+
+
+def test_ko_datetime_recurrence_and_relative():
+    import datetime
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    p = BuiltinEntityParser(language="ko")
+    anchor = datetime.datetime(2024, 5, 2)  # thursday
+    ms = p.parse("매주 월요일에 만나요", scope=("snips/datetime",),
+                 anchor=anchor)
+    assert ms and ms[0]["value"] == "매주 월요일"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 00:00:00"
+    ms = p.parse("3주 후에 전화해", scope=("snips/datetime",),
+                 anchor=anchor)
+    assert ms and ms[0]["value"] == "3주 후"
+    assert ms[0]["resolved_value"]["value"] == "2024-05-23 00:00:00"
+    ms = p.parse("앞으로 3주", scope=("snips/datetime",), anchor=anchor)
+    assert ms and ms[0]["resolved_value"] == {
+        "kind": "TimeInterval", "from": "2024-05-02 00:00:00",
+        "to": "2024-05-23 00:00:00"}
+    ms = p.parse("5월 3일에 가요", scope=("snips/datetime",),
+                 anchor=anchor)
+    assert ms and ms[0]["value"] == "5월 3일"
