@@ -282,7 +282,7 @@ class LinearChainCRF:
         for t in range(1, len(seq_feats)):
             alpha = emit[t] + _logsumexp(alpha[:, None] + self.transition,
                                          axis=0)
-        return float(score - _logsumexp(alpha))
+        return float(np.asarray(score - _logsumexp(alpha)).reshape(-1)[0])
 
     # ----------------------------------------------------------------- io
     def to_dict(self) -> dict:
