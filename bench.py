@@ -50,6 +50,11 @@ SCALE_SF = float(os.environ.get("SPARK_GRAFT_SCALE_SF", "8.0"))
 # load (round-2 driver capture recorded a phantom 1.5x parse regression
 # that a quiet-box rerun contradicted)
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+# the scaling pairs feed a RATIO gate — median-of-5 by default: this box
+# sees external (host-side) load spikes of 4-6 that a 3-sample median
+# cannot always reject (observed primed ratios 0.64-0.93 across runs of
+# identical code)
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 
 # compute-bound stage: ~2 MB parquet ≈ 60k turns ≈ 2-3 s of kernel work
 SPLIT_BYTES = 2 << 20
@@ -113,18 +118,23 @@ def _best_of(fn, repeats: int = 0) -> float:
     return best
 
 
-def _timed_parse(spark, model_json, df, repeats: int = 1) -> dict:
-    """Steady-state throughput; with repeats > 1 the best wall time is
-    reported (standard peak-steady-state methodology)."""
+def _timed_parse(spark, model_json, df, repeats: int = 1,
+                 stat: str = "best") -> dict:
+    """Steady-state throughput. stat="best" reports the best wall time
+    (peak steady-state — right for absolute headline numbers);
+    stat="median" reports the median (right for the N→4N efficiency
+    RATIO, where a lucky sample in either level's denominator skews the
+    quotient both ways — observed ±15% on the 4-core leg)."""
     from snips_nlu_spark.spark.stages import parse_transcripts
     n_turns = df.count()
-    wall = None
+    walls = []
     n_triples = 0
     for _ in range(repeats):
         t0 = time.time()
         n_triples = parse_transcripts(df, model_json).count()
-        run = time.time() - t0
-        wall = run if wall is None else min(wall, run)
+        walls.append(time.time() - t0)
+    walls.sort()
+    wall = walls[0] if stat == "best" else walls[len(walls) // 2]
     return {"wall_sec": wall, "n_turns": n_turns, "n_triples": n_triples,
             "turns_per_sec": n_turns / wall,
             "triples_per_sec": n_triples / wall}
@@ -228,36 +238,39 @@ def main() -> None:
     }
 
     if SCALING:
-        # unprimed pair FIRST (engine warm, page cache in whatever state
-        # the machine is in — round-1 verdict: report this alongside the
-        # primed number, it measured 0.80-1.07 across runs), then the
-        # primed pair (identical I/O conditions at both levels — the
-        # pipeline-scaling measurement)
+        # INTERLEAVED sampling: alternate N and 4N sessions so both legs
+        # of the ratio sample the same external-load regime — round 3
+        # observed host-side load spikes of 4-6 on an otherwise idle VM,
+        # and the old phase-per-leg protocol let one spike land entirely
+        # on one leg (primed ratios 0.64-0.93 for identical code). The
+        # ratio is median(thr_4N samples) / (4 * median(thr_N samples)).
+        # "unprimed" = the first-touch pair (page cache as found; round-1
+        # verdict asked for it alongside the primed number); every later
+        # sample runs after an explicit cache prime so both levels see
+        # identical I/O conditions.
+        import statistics
+        primed: dict[int, list] = {SCALE_N: [], 4 * SCALE_N: []}
         unprimed = {}
-        for cpus in (SCALE_N, 4 * SCALE_N):
-            s = _fresh_spark(cpus)
-            df = _scale_input(s)
-            _warm_engine(s, model_json, df, cpus)
-            # best-of-2 like the primed pair — a single sample recorded
-            # an unprimed N throughput ABOVE the primed one in round 3
-            # (run-order page-cache luck), skewing the ratio
-            unprimed[cpus] = _timed_parse(s, model_json, df, repeats=2)
-            s.stop()
-        scale = {}
-        for cpus in (SCALE_N, 4 * SCALE_N):
-            s = _fresh_spark(cpus)
-            df = _scale_input(s)
-            _warm(s, model_json, df, cpus)
-            stats = _timed_parse(s, model_json, df, repeats=2)
-            scale[cpus] = stats
-            s.stop()
-        thr_n = scale[SCALE_N]["turns_per_sec"]
-        thr_4n = scale[4 * SCALE_N]["turns_per_sec"]
+        n_scale_turns = 0
+        for rep in range(SCALE_REPEATS):
+            for cpus in (SCALE_N, 4 * SCALE_N):
+                s = _fresh_spark(cpus)
+                df = _scale_input(s)
+                _warm_engine(s, model_json, df, cpus)
+                if rep == 0:
+                    unprimed[cpus] = _timed_parse(s, model_json, df)
+                _prime_cache(df)
+                r = _timed_parse(s, model_json, df)
+                primed[cpus].append(r["turns_per_sec"])
+                n_scale_turns = r["n_turns"]
+                s.stop()
+        thr_n = statistics.median(primed[SCALE_N])
+        thr_4n = statistics.median(primed[4 * SCALE_N])
         u_n = unprimed[SCALE_N]["turns_per_sec"]
         u_4n = unprimed[4 * SCALE_N]["turns_per_sec"]
         result["scaling"] = {
             "scale_sf": SCALE_SF,
-            "n_turns": scale[SCALE_N]["n_turns"],
+            "n_turns": n_scale_turns,
             "cores_n": SCALE_N, "cores_4n": 4 * SCALE_N,
             "turns_per_sec_n": round(thr_n, 1),
             "turns_per_sec_4n": round(thr_4n, 1),
