@@ -141,19 +141,21 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         _clear_partitions(triples_path, pending_buckets)
         _clear_partitions(lineage_path, pending_buckets)
 
-        # co-partition the INPUT on the bucket key so the parse output is
-        # already task-aligned with the partitioned write: each task owns
-        # exactly one bucket dir (without this, every parse task spills a
-        # file into every bucket: tasks × buckets small files). Shuffling
-        # the input replaces round-2's full post-parse shuffle of the
-        # (equally wide) triple set AND drops the persist of the parse
-        # output — round-2 VERDICT perf item. At scale a bucket is ~250k
-        # turns of compute-bound kernel work; n_buckets >> cores keeps
-        # load balance.
-        co_partitioned = pending.repartition(n_buckets, F.col("bucket"))
-        triples = parse_transcripts(co_partitioned, model_json,
+        # parse from the scan's own (compute-sized) partitions — the
+        # parse stage stays shuffle-FREE — then repartition the TRIPLES
+        # on the bucket key so each write task owns exactly one bucket
+        # dir (without this, every parse task spills a file into every
+        # bucket: tasks × buckets small files). Shuffling the triple
+        # side is the scale-correct choice: triples are ~0.8 rows/turn
+        # of narrow columns vs the input's full text (~0.55× the bytes,
+        # measured at 8M turns — co-partitioning the INPUT instead cost
+        # +10 s there while saving <1 s at sf0.1). Unlike round 2, the
+        # parse output is NOT persisted: per-bucket stats come from a
+        # columnar re-scan of the just-written store.
+        triples = parse_transcripts(pending, model_json,
                                     extra_columns=("bucket",))
-        (triples.write.partitionBy("bucket").mode("overwrite")
+        (triples.repartition(n_buckets, F.col("bucket"))
+         .write.partitionBy("bucket").mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(triples_path))
 

@@ -9,11 +9,13 @@ import pytest
 
 
 @pytest.mark.spark
-def test_build_kg_parse_plan_shuffles_input_not_triples(spark):
-    """The checkpointed build co-partitions the INPUT on the bucket key
-    before parsing, so the partitioned triple write needs no post-parse
-    shuffle of the (wide) triple set: exactly one exchange, BELOW the
-    mapInPandas parse stage."""
+def test_build_kg_plan_shuffles_triples_not_input(spark):
+    """The checkpointed build parses from the scan's own partitions
+    (shuffle-free compute stage) and repartitions the TRIPLE side for
+    the partitioned write — triples are the narrower dataset (~0.55× the
+    input bytes at 8M turns), so the single exchange must sit ABOVE the
+    mapInPandas parse, never below it (shuffling the full-text input
+    cost +10 s at 8M turns)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -31,17 +33,17 @@ def test_build_kg_parse_plan_shuffles_input_not_triples(spark):
         "conv_id string, turn_idx int, text string, ts timestamp")
 
     # the exact dataflow build_kg uses for the triple store write
-    co_partitioned = _bucketed(tr, 8).repartition(8, F.col("bucket"))
-    triples = parse_transcripts(co_partitioned, model_json,
+    triples = parse_transcripts(_bucketed(tr, 8), model_json,
                                 extra_columns=("bucket",))
-    plan = triples._jdf.queryExecution().optimizedPlan().toString()
+    staged = triples.repartition(8, F.col("bucket"))
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
 
-    # one shuffle total, and it sits below the Python parse stage
+    # one shuffle total, and it sits above the Python parse stage
     # (optimizedPlan prints parents first)
     assert plan.count("RepartitionByExpression") == 1, plan
     assert "MapInPandas" in plan
-    assert plan.index("MapInPandas") < plan.index(
-        "RepartitionByExpression"), plan
+    assert plan.index("RepartitionByExpression") < plan.index(
+        "MapInPandas"), plan
 
 
 @pytest.mark.spark
