@@ -192,20 +192,24 @@ class GazetteerParser:
                 seen.add(key)
                 unique.append(m)
         # same-entity overlap resolution (the reference's gazetteer
-        # parser emits non-overlapping matches per entity, keeping the
-        # longest): drop mentions strictly contained in another mention
-        # of the SAME entity — "rolling" must not survive inside
-        # "rolling stones"
+        # parser emits NON-OVERLAPPING matches per entity, keeping the
+        # longest): greedy by descending length — suppress any mention
+        # overlapping an already-kept longer (or equal, earlier) mention
+        # of the SAME entity. Strict containment alone is not enough:
+        # two partially-overlapping matches would both survive where the
+        # reference emits only the longer one (round-3 ADVICE).
         if len(unique) > 1:
-            unique = [
-                m for m in unique
-                if not any(
-                    m2 is not m
-                    and m2["entity_kind"] == m["entity_kind"]
-                    and m2["start"] <= m["start"]
-                    and m["end"] <= m2["end"]
-                    and (m2["end"] - m2["start"]) > (m["end"] - m["start"])
-                    for m2 in unique)]
+            kept: list = []
+            for m in sorted(unique,
+                            key=lambda m: (m["start"] - m["end"],
+                                           m["start"])):
+                if not any(k["entity_kind"] == m["entity_kind"]
+                           and k["start"] < m["end"]
+                           and m["start"] < k["end"]
+                           for k in kept):
+                    kept.append(m)
+            unique = sorted(kept,
+                            key=lambda m: (m["start"], m["end"]))
         return tuple(unique)
 
     def _fuzzy_matches(self, entity, text, tokens, norm):

@@ -26,6 +26,9 @@ from .text import doc_fingerprint
 
 _WORD_RE = "[a-z0-9]+"
 
+# the latest minhash call's persisted shingle table (bounded: ≤1 entry)
+_SHINGLE_CACHE: list[DataFrame] = []
+
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """(keep_doc_id, dup_doc_id, fingerprint): for every fingerprint class
@@ -111,8 +114,16 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
     # exploded (doc_id, shingle) layout persisted once (MEMORY_AND_DISK —
     # spillable); round 2 instead cached a collect_set(shingle) per doc,
     # whose agg buffers must fit per-task execution memory — unbounded at
-    # corpus scale (round-2 VERDICT perf note #5)
+    # corpus scale (round-2 VERDICT perf note #5). The returned plan
+    # references this persist lazily, so we can't unpersist before
+    # returning; instead each call releases the PREVIOUS call's cache
+    # (round-3 ADVICE: repeated calls otherwise accumulate cached shingle
+    # tables for the session's lifetime). A still-lazy earlier result
+    # stays correct — it just recomputes its shingles.
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist()
     sh = _shingles(documents, n=n).persist()
+    _SHINGLE_CACHE.append(sh)
 
     n_hashes = bands * rows
     minhash_cols = [

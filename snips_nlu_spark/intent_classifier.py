@@ -70,7 +70,10 @@ class LogRegIntentClassifier:
                  for c in self.classifier.classes_]
         seen = set(names)
         extra = [i for i in self.intent_list if i not in seen]
-        if None not in seen:
+        # dedup guard mirrors _ranked_from_proba: None may already be in
+        # extra via intent_list — appending again would emit a duplicate
+        # None row (round-3 ADVICE)
+        if None not in seen and None not in extra:
             extra.append(None)
         all_names = names + extra
         p = np.round(np.asarray(proba, dtype=float), 12)

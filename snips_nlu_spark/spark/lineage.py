@@ -36,7 +36,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 from .graph import dedup_triples, edges_rollup, nodes_rollup
-from .stages import parse_transcripts
+from .stages import TRIPLE_SCHEMA, parse_transcripts
+
+# triple store on disk = parse output + the bucket partition column
+STORE_SCHEMA = TRIPLE_SCHEMA + ", bucket int"
+
+
+def _read_triple_store(spark: SparkSession, triples_path: str) -> DataFrame:
+    """Read the partitioned triple store with an EXPLICIT schema: a
+    pending parse that yields zero triples leaves the store dir with no
+    part files, and schema inference would fail with 'Unable to infer
+    schema' (round-3 ADVICE) — an explicit schema returns an empty DF."""
+    return spark.read.schema(STORE_SCHEMA).parquet(triples_path)
 
 LINEAGE_SCHEMA = ("bucket int, n_turns long, n_triples long, "
                   "fingerprint long, status string")
@@ -164,7 +175,7 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         # pending buckets — one parse total, no wide persist
         turns_per_bucket = pending.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_turns"))
-        written = spark.read.parquet(triples_path)
+        written = _read_triple_store(spark, triples_path)
         if done:
             written = written.filter(~F.col("bucket").isin(done))
         stats = written.groupBy("bucket").agg(
@@ -201,7 +212,7 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         summary["n_triples"] = int(total or 0)
         return summary
     if Path(triples_path).exists():
-        all_triples = spark.read.parquet(triples_path)
+        all_triples = _read_triple_store(spark, triples_path)
         deduped = dedup_triples(all_triples).persist()
         deduped.count()
         # the two rollup writes are independent small jobs — submit them
