@@ -45,7 +45,12 @@ SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 # headroom, like separate executor hosts on a real cluster. Both pairs are
 # documented in BASELINE.md.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-SCALE_SF = float(os.environ.get("SPARK_GRAFT_SCALE_SF", "8.0"))
+# 0.5 → 500k turns. Round 3 used sf8 (8M turns), but that corpus was
+# memo-bound (261 distinct texts); with the round-4 diversified corpus
+# (35% globally-unique texts) the scaling legs time the real parse
+# kernel, and 500k turns already gives a 4-core leg tens of seconds of
+# kernel compute — far above fixed stage overheads.
+SCALE_SF = float(os.environ.get("SPARK_GRAFT_SCALE_SF", "0.5"))
 # best-of-N timing for every query: single samples are hostage to box
 # load (round-2 driver capture recorded a phantom 1.5x parse regression
 # that a quiet-box rerun contradicted)
@@ -77,9 +82,10 @@ def _transcripts(spark, sf_dir: str):
 
 
 def _scale_input(spark):
-    """Pre-generated parquet for the scaling runs (cached across runs)."""
-    from snips_nlu_spark.datagen import generate_spark
-    path = Path(__file__).parent / "_generated" / f"transcripts_sf{SCALE_SF:g}"
+    """Pre-generated parquet for the scaling runs (cached across runs;
+    versioned path — a generator change invalidates the cache)."""
+    from snips_nlu_spark.datagen import cache_path_for_sf, generate_spark
+    path = Path(cache_path_for_sf(SCALE_SF))
     if not (path / "_SUCCESS").exists():
         generate_spark(spark, SCALE_SF, num_partitions=128) \
             .write.mode("overwrite").parquet(str(path))
@@ -133,10 +139,13 @@ def _timed_parse(spark, model_json, df, repeats: int = 1,
         t0 = time.time()
         n_triples = parse_transcripts(df, model_json).count()
         walls.append(time.time() - t0)
-    walls.sort()
+    first = walls[0]
+    walls = sorted(walls)
     wall = walls[0] if stat == "best" else walls[len(walls) // 2]
-    return {"wall_sec": wall, "n_turns": n_turns, "n_triples": n_triples,
+    return {"wall_sec": wall, "first_wall_sec": first,
+            "n_turns": n_turns, "n_triples": n_triples,
             "turns_per_sec": n_turns / wall,
+            "first_turns_per_sec": n_turns / first,
             "triples_per_sec": n_triples / wall}
 
 
@@ -149,10 +158,16 @@ def main() -> None:
     transcripts = _transcripts(spark, SF_DIR)
     _warm(spark, model_json, transcripts, CPUS)
 
-    # q1: full parse (transcripts → triples), the flagship stage
+    # q1: full parse (transcripts → triples), the flagship stage.
+    # HEADLINE = the FIRST run's wall: repeats 2..N re-read the same
+    # input while the worker-lifetime parse memo survives across jobs,
+    # so best-of-N times memo lookups, not parsing (round-3 VERDICT #1).
+    # The warm number is still reported separately — it is the honest
+    # steady-state for a repetitive corpus, just not the headline.
     parse_stats = _timed_parse(spark, model_json, transcripts,
                                repeats=REPEATS)
-    queries["parse_triples"] = round(parse_stats["wall_sec"], 3)
+    queries["parse_triples"] = round(parse_stats["first_wall_sec"], 3)
+    queries["parse_triples_warm"] = round(parse_stats["wall_sec"], 3)
 
     # q2: graph rollups (dedup + nodes + edges) over parsed triples
     from snips_nlu_spark.spark.graph import (dedup_triples, edges_rollup,
@@ -224,16 +239,21 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     spark.stop()
 
+    first_tps = parse_stats["first_turns_per_sec"]
     result = {
         "metric": "turns_per_sec",
-        "value": round(parse_stats["turns_per_sec"], 1),
+        "value": round(first_tps, 1),
         "unit": "sec",
         "queries": queries,
         "sf": sf,
         "n_turns": parse_stats["n_turns"],
         "n_triples": parse_stats["n_triples"],
-        "triples_per_sec": round(parse_stats["triples_per_sec"], 1),
+        "triples_per_sec": round(
+            parse_stats["n_triples"] / parse_stats["first_wall_sec"], 1),
+        "warm_turns_per_sec": round(parse_stats["turns_per_sec"], 1),
         "cold_unique_turns_per_sec": cold_tps,
+        "unique_text_frac": __import__(
+            "snips_nlu_spark.datagen", fromlist=["UNIQUE_FRAC"]).UNIQUE_FRAC,
         "cpus": CPUS,
     }
 

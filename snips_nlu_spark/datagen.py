@@ -8,6 +8,16 @@ reproducible across runs, and distributable (``generate_spark`` fans the
 index space out with mapInPandas; no driver-side materialization).
 
 sf → rows: ``n_turns(sf) = int(sf * 1_000_000)`` (sf0.001 → 1,000 turns).
+
+Text diversity: a ``unique_frac`` share of rows (default 0.35) embeds a
+row-index-derived token, making those texts GLOBALLY UNIQUE — number and
+datetime slots get derived values ("make me 4821 cups...", "in 4821
+minutes"), slot-free user templates and all filler turns get a derived
+trailing clause. Round-3 VERDICT: the previous corpus collapsed to 261
+distinct texts at every scale factor, so every repeated-input benchmark
+timed executor memo lookups instead of the parse kernel; the unique share
+keeps throughput/scaling numbers kernel-honest while the repeated share
+still exercises the (realistic, reference-matching) memoized path.
 """
 
 from __future__ import annotations
@@ -22,6 +32,16 @@ from .fixtures import FILLER_TEXTS, GEN_TEMPLATES, TOOL_NAMES, VALUE_POOLS
 TURNS_PER_CONV = 8
 BASE_TS = _dt.datetime(2024, 1, 1, 8, 0, 0)
 _ROLES = ("user", "assistant", "tool")
+
+# share of rows carrying a row-index-derived (globally unique) token;
+# DATAGEN_VERSION keys the _generated/ parquet cache — bump it whenever
+# generation output changes, or stale caches mask the change
+UNIQUE_FRAC = 0.35
+DATAGEN_VERSION = 2
+
+
+def _is_unique_row(i: int, unique_frac: float) -> bool:
+    return _mix(i, 31) % 1_000_000 < int(unique_frac * 1_000_000)
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -38,8 +58,33 @@ def _mix(i: int, salt: int) -> int:
     return z ^ (z >> 31)
 
 
-def render_template(template, row_idx: int) -> tuple[str, list[dict]]:
-    """Render (intent, chunks) → (text, slot truth) deterministically."""
+def render_template(template, row_idx: int,
+                    unique: bool = False) -> tuple[str, list[dict]]:
+    """Render (intent, chunks) → (text, slot truth) deterministically.
+
+    ``unique=True`` embeds a row-index-derived token so the text is
+    globally unique, choosing the least-invasive injection the template
+    supports (verified against the fitted engine — intent and slot truth
+    stay exact for all three shapes):
+    - a ``numbers`` slot gets the derived digits ("make me 4823 cups…")
+      — still a deterministic-parser match;
+    - else a ``datetimes`` slot gets "in <digits> days" — still a
+      deterministic-parser match;
+    - else the text gets an opaque leading token ("req4823x turn on …")
+      — deterministic regexes no longer match, so the row exercises the
+      full probabilistic path (classifier + CRF), which keeps intent and
+      slot spans correct for every template (OOV token ⇒ zero TF-IDF
+      feature, O-tagged by the CRF).
+    """
+    inject = None
+    if unique:
+        pools = [c[2] for c in template if not isinstance(c, str)]
+        if "numbers" in pools:
+            inject = "numbers"
+        elif "datetimes" in pools:
+            inject = "datetimes"
+        else:
+            template = (f"req{row_idx + 2}x ", *template)
     parts: list[str] = []
     truth: list[dict] = []
     cursor = 0
@@ -49,8 +94,15 @@ def render_template(template, row_idx: int) -> tuple[str, list[dict]]:
             cursor += len(chunk)
         else:
             slot_name, entity, pool_name = chunk
-            pool = VALUE_POOLS[pool_name]
-            value = pool[_mix(row_idx, 1000 + k) % len(pool)]
+            if inject == "numbers" and pool_name == "numbers":
+                value = str(row_idx + 2)
+                inject = None
+            elif inject == "datetimes" and pool_name == "datetimes":
+                value = f"in {row_idx + 2} days"
+                inject = None
+            else:
+                pool = VALUE_POOLS[pool_name]
+                value = pool[_mix(row_idx, 1000 + k) % len(pool)]
             parts.append(value)
             truth.append({"slot_name": slot_name, "entity": entity,
                           "value": value, "start": cursor,
@@ -59,19 +111,24 @@ def render_template(template, row_idx: int) -> tuple[str, list[dict]]:
     return "".join(parts), truth
 
 
-def turn_record(i: int) -> dict:
+def turn_record(i: int, unique_frac: float = UNIQUE_FRAC) -> dict:
     """Row ``i`` of the transcript table — pure function of ``i``."""
     conv = i // TURNS_PER_CONV
     turn_idx = i % TURNS_PER_CONV
     role = _ROLES[turn_idx % 3]
+    uniq = _is_unique_row(i, unique_frac)
     ts = BASE_TS + _dt.timedelta(minutes=conv * 11, seconds=turn_idx * 45)
     if role == "user":
         tpl_idx = _mix(i, 7) % len(GEN_TEMPLATES)
         intent, template = GEN_TEMPLATES[tpl_idx]
-        text, _ = render_template(template, i)
+        text, _ = render_template(template, i, unique=uniq)
         tool = None
     else:
         text = FILLER_TEXTS[_mix(i, 13) % len(FILLER_TEXTS)]
+        if uniq:
+            # unique filler exercises the full None-intent cascade on a
+            # fresh string (deterministic + lookup miss → probabilistic)
+            text = f"{text} req{i + 2}x"
         tool = TOOL_NAMES[_mix(i, 17) % len(TOOL_NAMES)] \
             if role == "tool" else None
     return {
@@ -84,27 +141,31 @@ def turn_record(i: int) -> dict:
     }
 
 
-def expected_user_turn(i: int) -> tuple[str, list[dict]] | None:
+def expected_user_turn(i: int, unique_frac: float = UNIQUE_FRAC) \
+        -> tuple[str, list[dict]] | None:
     """Ground-truth (intent, slots) for row i, None for non-user rows —
     used by quality-gate tests (triple P/R vs generation truth)."""
     if _ROLES[(i % TURNS_PER_CONV) % 3] != "user":
         return None
     tpl_idx = _mix(i, 7) % len(GEN_TEMPLATES)
     intent, template = GEN_TEMPLATES[tpl_idx]
-    _, truth = render_template(template, i)
+    _, truth = render_template(template, i,
+                               unique=_is_unique_row(i, unique_frac))
     return intent, truth
 
 
-def generate_pandas(start: int, end: int) -> pd.DataFrame:
+def generate_pandas(start: int, end: int,
+                    unique_frac: float = UNIQUE_FRAC) -> pd.DataFrame:
     """Rows [start, end) as a pandas DataFrame."""
-    records = [turn_record(i) for i in range(start, end)]
+    records = [turn_record(i, unique_frac) for i in range(start, end)]
     df = pd.DataFrame.from_records(records, columns=TRANSCRIPT_COLUMNS)
     df["turn_idx"] = df["turn_idx"].astype(np.int32)
     df["ts"] = pd.to_datetime(df["ts"])
     return df
 
 
-def generate_spark(spark, sf: float, num_partitions: int | None = None):
+def generate_spark(spark, sf: float, num_partitions: int | None = None,
+                   unique_frac: float = UNIQUE_FRAC):
     """Distributed generation: spark.range over the row-index space →
     mapInPandas render. Scales linearly — at 10^12 turns this is the same
     job with a bigger range."""
@@ -127,7 +188,8 @@ def generate_spark(spark, sf: float, num_partitions: int | None = None):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             if len(ids):
-                yield generate_pandas(int(ids.min()), int(ids.max()) + 1)
+                yield generate_pandas(int(ids.min()), int(ids.max()) + 1,
+                                      unique_frac)
 
     # range is contiguous per partition, so min..max reconstruction is exact
     return (spark.range(0, total, 1, num_partitions)
@@ -137,10 +199,16 @@ def generate_spark(spark, sf: float, num_partitions: int | None = None):
 def transcripts_path(sf_dir: str) -> str:
     """Cache location for the generated transcript parquet of a given
     testdata sf dir (kept inside the repo; /root/testdata is read-only)."""
-    from pathlib import Path
     sf = sf_from_dir(sf_dir)
+    return cache_path_for_sf(sf)
+
+
+def cache_path_for_sf(sf: float) -> str:
+    """Versioned cache path — the version key guarantees stale parquet
+    from an older generator is never read as current output."""
+    from pathlib import Path
     cache_root = Path(__file__).resolve().parent.parent / "_generated"
-    return str(cache_root / f"transcripts_sf{sf:g}")
+    return str(cache_root / f"transcripts_v{DATAGEN_VERSION}_sf{sf:g}")
 
 
 def sf_from_dir(sf_dir: str) -> float:

@@ -207,6 +207,7 @@ _JA_GRAMMAR_WORDS = (
     "来週", "来月", "来年", "午前", "午後", "番目",
     "秒間", "分間", "時間", "日間", "週間", "年間",
     "毎週", "毎月", "毎年", "毎日", "今後", "ヶ月", "か月",
+    "月末", "月初", "年末", "年始", "今晩", "今朝",
 )
 _JA_GRAMMAR_SET = frozenset(_JA_GRAMMAR_WORDS)
 _JA_GRAMMAR_MAX = max(len(w) for w in _JA_GRAMMAR_WORDS)
@@ -263,7 +264,8 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
                         {"kind": "Ordinal", "value": v}))
         return out
     for i, t in enumerate(tokens):
-        m = suffix_re.match(t.value)
+        # digit-first gate: every suffix-form ordinal starts with digits
+        m = suffix_re.match(t.value) if t.value[:1].isdigit() else None
         if m:
             out.append(_mention(text, tokens, i, i, "snips/ordinal",
                                 {"kind": "Ordinal", "value": int(m.group(1))}))
@@ -498,6 +500,13 @@ _DT = {
                       "weeks": "week", "month": "month",
                       "months": "month", "year": "year", "years": "year"},
         "every_words": ("every", "each"),
+        # fixed-date holidays: first token -> {continuation -> (m, d)}
+        "holidays": {"christmas": {("eve",): (12, 24), (): (12, 25)},
+                     "halloween": {(): (10, 31)}},
+        "this_words": ("this",),
+        "boundary_words": {"beginning": "begin", "start": "begin",
+                           "end": "end", "middle": "mid"},
+        "of_words": ("of",),
     },
     # ja: no-whitespace script — the CJK script-run tokenizer (textcore)
     # isolates the day words, particles (の/から/まで), digit runs, and
@@ -531,6 +540,12 @@ _DT = {
                            "か月": "month", "年": "year"},
         "later_words": ("後",),
         "ahead_words": ("今後",),
+        "holidays": {"クリスマス": {(): (12, 25)}},
+        "daypart_single": {"今晩": (0, 21), "今朝": (0, 8)},
+        "boundary_single": {"月末": ("month", "end"),
+                            "月初": ("month", "begin"),
+                            "年末": ("year", "end"),
+                            "年始": ("year", "begin")},
     },
     # ko: hangul spaces between eojeol + the tokenizer's particle split
     # (textcore._split_hangul_particle) expose the grammar words; ranges
@@ -561,6 +576,11 @@ _DT = {
                            "달": "month", "년": "year"},
         "later_words": ("후", "뒤"),
         "ahead_words": ("앞으로",),
+        "holidays": {"크리스마스": {(): (12, 25)}},
+        "boundary_single": {"월말": ("month", "end"),
+                            "월초": ("month", "begin"),
+                            "연말": ("year", "end"),
+                            "연초": ("year", "begin")},
     },
     "pt": {
         "weekdays": {"segunda-feira": 0, "segunda": 0, "terça": 1,
@@ -589,6 +609,13 @@ _DT = {
         "next_adjs": ("próximo", "proximo", "próxima", "proxima",
                       "próximos", "proximos", "próximas", "proximas"),
         "every_words": ("cada", "todo", "toda"),
+        "holidays": {"natal": {(): (12, 25)}},
+        "this_words": ("esta", "este"),
+        "boundary_words": {"início": "begin", "inicio": "begin",
+                           "começo": "begin", "comeco": "begin",
+                           "fim": "end", "final": "end",
+                           "meados": "mid"},
+        "of_words": ("do", "da", "de"),
     },
     "it": {
         "weekdays": {"lunedì": 0, "lunedi": 0, "martedì": 1, "martedi": 1,
@@ -619,6 +646,13 @@ _DT = {
                       "anno": "year", "anni": "year"},
         "next_adjs": ("prossimo", "prossima", "prossimi", "prossime"),
         "every_words": ("ogni",),
+        "holidays": {"natale": {(): (12, 25)},
+                     "capodanno": {(): (1, 1)}},
+        "this_words": ("questa", "questo"),
+        "daypart_single": {"stamattina": (0, 8), "stanotte": (0, 21)},
+        "boundary_words": {"inizio": "begin", "fine": "end",
+                           "metà": "mid", "meta": "mid"},
+        "of_words": ("del", "della", "dell", "di"),
     },
     "de": {
         "weekdays": {"montag": 0, "dienstag": 1, "mittwoch": 2,
@@ -650,6 +684,16 @@ _DT = {
         "next_adjs": ("nächste", "naechste", "nächsten", "naechsten",
                       "nächstes", "naechstes"),
         "every_words": ("jeden", "jede", "jedes"),
+        "holidays": {"weihnachten": {(): (12, 25)},
+                     "heiligabend": {(): (12, 24)},
+                     "silvester": {(): (12, 31)}},
+        # "heute abend" already resolves via the rel_days branch + the
+        # daypart tail; this_words only needs the demonstrative forms
+        "this_words": ("diesen", "diese", "dieses"),
+        "boundary_words": {"anfang": "begin", "ende": "end",
+                           "mitte": "mid"},
+        "of_words": ("des", "der", "vom"),
+        "period_gen": {"monats": "month", "jahres": "year"},
     },
     "es": {
         "weekdays": {"lunes": 0, "martes": 1, "miércoles": 2,
@@ -682,6 +726,17 @@ _DT = {
         "next_adjs": ("próximo", "proximo", "próxima", "proxima",
                       "próximos", "proximos", "próximas", "proximas"),
         "every_words": ("cada",),
+        "holidays": {"navidad": {(): (12, 25)},
+                     "nochebuena": {(): (12, 24)},
+                     "nochevieja": {(): (12, 31)}},
+        "this_words": ("esta", "este"),
+        # "fin de semana" (weekend) resolves via the end-of-week rule to
+        # that week's sunday — the closest Day-grain approximation
+        "boundary_words": {"principios": "begin", "principio": "begin",
+                           "comienzos": "begin", "comienzo": "begin",
+                           "fin": "end", "finales": "end",
+                           "mediados": "mid"},
+        "of_words": ("del", "de"),
     },
     "fr": {
         "weekdays": {"lundi": 0, "mardi": 1, "mercredi": 2, "jeudi": 3,
@@ -712,6 +767,12 @@ _DT = {
         "next_adjs": ("prochain", "prochaine", "prochains",
                       "prochaines"),
         "every_words": ("chaque",),
+        "holidays": {"noël": {(): (12, 25)}, "noel": {(): (12, 25)},
+                     "halloween": {(): (10, 31)}},
+        "this_words": ("ce", "cette"),
+        "boundary_words": {"début": "begin", "debut": "begin",
+                           "fin": "end", "milieu": "mid"},
+        "of_words": ("du", "de", "d"),
     },
 }
 
@@ -743,12 +804,15 @@ def _parse_iso_date(tokens, i, n):
     (datetime, last_idx) or None."""
     if i + 4 >= n:
         return None
-    y, d1, mo, d2, dd = (tokens[i].value, tokens[i + 1].value,
-                         tokens[i + 2].value, tokens[i + 3].value,
-                         tokens[i + 4].value)
-    if not (re.fullmatch(r"\d{4}", y) and d1 == "-"
-            and re.fullmatch(r"\d{2}", mo) and d2 == "-"
-            and re.fullmatch(r"\d{2}", dd)):
+    y = tokens[i].value
+    # cheap gate first: the scanner probes this at nearly every token
+    # position, and almost all of them can't start a date
+    if len(y) != 4 or not y.isdigit():
+        return None
+    d1, mo, d2, dd = (tokens[i + 1].value, tokens[i + 2].value,
+                      tokens[i + 3].value, tokens[i + 4].value)
+    if not (d1 == "-" and len(mo) == 2 and mo.isdigit()
+            and d2 == "-" and len(dd) == 2 and dd.isdigit()):
         return None
     try:
         return _dt.datetime(int(y), int(mo), int(dd)), i + 4
@@ -843,6 +907,43 @@ def _next_period(base_date, unit):
         return base_date.replace(year=year, month=month, day=1), "Month"
     return (base_date.replace(year=base_date.year + 1, month=1, day=1),
             "Year")
+
+
+def _period_boundary(base_date, unit, nxt, which):
+    """The begin/mid/end day of the current (or next) week/month/year —
+    "beginning of next month", "fin du mois", "anfang nächsten monats",
+    月末. Weeks start Monday; end = last day of the period; mid = the
+    conventional midpoint (thursday / 15th / july 1)."""
+    if unit == "week":
+        start = base_date - _dt.timedelta(days=base_date.weekday())
+        if nxt:
+            start += _dt.timedelta(days=7)
+        end = start + _dt.timedelta(days=6)
+        mid = start + _dt.timedelta(days=3)
+    elif unit == "month":
+        start = base_date.replace(day=1)
+        if nxt:
+            start = (start + _dt.timedelta(days=32)).replace(day=1)
+        end = (start + _dt.timedelta(days=32)).replace(day=1) \
+            - _dt.timedelta(days=1)
+        mid = start.replace(day=15)
+    elif unit == "year":
+        start = base_date.replace(month=1, day=1)
+        if nxt:
+            start = start.replace(year=start.year + 1)
+        end = start.replace(month=12, day=31)
+        mid = start.replace(month=7, day=1)
+    else:
+        return None
+    return {"begin": start, "end": end, "mid": mid}[which]
+
+
+def _next_holiday(base_date, month, day):
+    """Next occurrence of a fixed-date holiday (today counts)."""
+    this_year = base_date.replace(month=month, day=day)
+    if this_year >= base_date:
+        return this_year
+    return this_year.replace(year=this_year.year + 1)
 
 
 def _clock_fn(lang):
@@ -1079,6 +1180,78 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 else:
                     day, grain = _next_period(base_date, unit)
                 tok_end = i + 1
+        elif w in tables.get("holidays", {}):
+            # fixed-date holidays: "next christmas", "noël prochain",
+            # "christmas eve" — resolved to the next occurrence (today
+            # counts), like the weekday rule
+            conts = tables["holidays"][w]
+            md = None
+            for cont, mdv in sorted(conts.items(),
+                                    key=lambda kv: -len(kv[0])):
+                if all(i + 1 + k < n and lower(i + 1 + k) == c
+                       for k, c in enumerate(cont)):
+                    md = mdv
+                    tok_end = i + len(cont)
+                    break
+            if md is not None:
+                day = _next_holiday(base_date, md[0], md[1])
+                if i > 0 and i - 1 not in used \
+                        and lower(i - 1) in tables["day_prefix"]:
+                    tok_start = i - 1
+                if tok_end + 1 < n \
+                        and lower(tok_end + 1) in tables["weekday_suffix"]:
+                    tok_end += 1
+        elif w in tables.get("this_words", ()) and i + 1 < n \
+                and lower(i + 1) in tables["dayparts"]:
+            # standalone part-of-day: "this evening", "ce soir",
+            # "esta noche", "diesen abend"
+            day = base_date.replace(
+                hour=tables["dayparts"][lower(i + 1)])
+            grain = "Hour"
+            tok_end = i + 1
+        elif w in tables.get("daypart_single", {}):
+            # fused part-of-day words: it stasera/stamattina, ja 今晩/今朝
+            off, hour = tables["daypart_single"][w]
+            day = (base_date + _dt.timedelta(days=off)).replace(hour=hour)
+            grain = "Hour"
+        elif w in tables.get("boundary_single", {}):
+            # fused period boundaries: ja 月末/年始, ko 월말/연초 —
+            # these name the UPCOMING boundary (年始 said in June means
+            # next new year), so a past boundary rolls to the next period
+            unit, which = tables["boundary_single"][w]
+            day = _period_boundary(base_date, unit, False, which)
+            if day is not None and day < base_date:
+                day = _period_boundary(base_date, unit, True, which)
+        elif w in tables.get("boundary_words", {}):
+            # "beginning of next month", "fin du mois", "anfang
+            # nächsten monats", "fim do mês" → the boundary day
+            which = tables["boundary_words"][w]
+            j = i + 1
+            if j < n and lower(j) in tables.get("of_words", ()):
+                j += 1
+            arts = tables.get("range_articles", tables["the_words"])
+            if j < n and lower(j) in arts:
+                j += 1
+            nxt = False
+            if j < n and (lower(j) == tables["next_word"]
+                          or lower(j) in tables.get("next_adjs", ())):
+                nxt = True
+                j += 1
+            unit = None
+            if j < n:
+                lw = lower(j)
+                unit = tables.get("rel_units", {}).get(lw) \
+                    or tables["period_map"].get(lw) \
+                    or tables.get("period_gen", {}).get(lw)
+            if unit is not None and unit != "day":
+                k = j
+                if k + 1 < n and (lower(k + 1) in tables.get("next_adjs",
+                                                             ())
+                                  or lower(k + 1) == tables["next_word"]):
+                    nxt = True
+                    k += 1
+                day = _period_boundary(base_date, unit, nxt, which)
+                tok_end = k
         elif w in tables.get("rel_range_open", ()):
             # "in the next 3 weeks" → interval [anchor, anchor+3w];
             # "in 3 weeks" → instant point anchor+3w (Rustling shapes).
@@ -1196,6 +1369,11 @@ def _parse_clock(tokens, i, n):
     if i >= n:
         return None
     v = tokens[i].value.lower()
+    # every clock form starts with a digit token ("8pm", "8h30", "8",
+    # "8:30") — gate before the regex battery (the scanner probes this
+    # at nearly every token position)
+    if not v[:1].isdigit():
+        return None
     m = _CLOCK_AMPM_RE.match(v)
     if m:
         hh = int(m.group(1)) % 12 + (12 if m.group(2) == "pm" else 0)
@@ -1372,6 +1550,7 @@ class BuiltinEntityParser:
         # many scoped probes hit the same text — the parse cascade probes
         # each text with several scopes); datetime is memoized per
         # (text, anchor)
+        self._prep_memo = lru_cache(maxsize=32768)(self._prep)
         self._static_memo = lru_cache(maxsize=32768)(self._scan_static)
         self._dt_memo = lru_cache(maxsize=32768)(self._scan_dt)
         self._parse_memo = lru_cache(maxsize=131072)(self._parse_scoped)
@@ -1397,13 +1576,21 @@ class BuiltinEntityParser:
             mentions.sort(key=lambda m: (m["start"], m["end"]))
         return tuple(mentions)
 
-    def _scan_static(self, text: str) -> tuple:
+    def _prep(self, text: str) -> tuple:
+        """(tokens, number candidates) — computed ONCE per text and
+        shared by the static and datetime scans (previously each scan
+        re-tokenized and re-ran the number-candidate pass)."""
         tokens = tokenize(text)
         if self.language == "ja":
             tokens = _ja_grammar_merge(tokens)
         if not tokens:
+            return (), ()
+        return tokens, tuple(_number_candidates(tokens, self.language))
+
+    def _scan_static(self, text: str) -> tuple:
+        tokens, cands = self._prep_memo(text)
+        if not tokens:
             return ()
-        cands = _number_candidates(tokens, self.language)
         mentions: list[dict] = []
         for kind in BUILTIN_KINDS:
             if kind == "snips/datetime":
@@ -1426,11 +1613,8 @@ class BuiltinEntityParser:
                             key=lambda m: (m["start"], m["end"])))
 
     def _scan_dt(self, text: str, anchor: _dt.datetime | None) -> tuple:
-        tokens = tokenize(text)
-        if self.language == "ja":
-            tokens = _ja_grammar_merge(tokens)
+        tokens, cands = self._prep_memo(text)
         if not tokens:
             return ()
-        cands = _number_candidates(tokens, self.language)
         return tuple(_scan_datetime(text, tokens, cands, anchor,
                                     self.language))

@@ -52,6 +52,16 @@ class LookupIntentParser:
         from functools import lru_cache
         self._preprocess_memo = lru_cache(maxsize=4096)(
             self._preprocess_impl)
+        self._oov_memo = lru_cache(maxsize=8192)(self._oov_tokens)
+
+    def _oov_tokens(self, text: str) -> tuple:
+        """Tokens whose lowercased value is outside the map's key
+        vocabulary — the only tokens the OOV prune ever needs to span-
+        check (per-text, group-independent; the per-group work is then
+        proportional to the few OOV tokens, not to all tokens × intents)."""
+        vocab = self._key_vocab
+        return tuple(t for t in tokenize(text)
+                     if t.value.lower() not in vocab)
 
     @property
     def fitted(self) -> bool:
@@ -262,18 +272,21 @@ class LookupIntentParser:
             # intent, since the vocab spans the whole map. Skips the 2^n
             # enumeration entirely for texts with unseen words (the
             # common case on open-domain corpora).
-            uncovered = [
-                t for t in tokenize(text)
-                if not any(m["start"] < t.end and t.start < m["end"]
-                           for m in mentions)]
-            intent_group = [
-                i for i in intent_group
-                if not any(
-                    t.value.lower() not in self._key_vocab
-                    and normalize(t.value) not in self._intent_stop_words(i)
-                    for t in uncovered)]
-            if not intent_group:
-                continue
+            oov = self._oov_memo(text)
+            if oov:
+                uncovered = [
+                    t for t in oov
+                    if not any(m["start"] < t.end and t.start < m["end"]
+                               for m in mentions)]
+                if uncovered:
+                    intent_group = [
+                        i for i in intent_group
+                        if not any(
+                            normalize(t.value)
+                            not in self._intent_stop_words(i)
+                            for t in uncovered)]
+                    if not intent_group:
+                        continue
 
             # cleaned original text depends only on the intent — hoisted
             # out of the entity-subset loop

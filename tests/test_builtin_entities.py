@@ -170,3 +170,93 @@ def test_datetime_dotted_meridiem():
     ms = P.parse("lunch at 12 p.m.", scope=["snips/datetime"],
                  anchor=ANCHOR)
     assert ms[0]["resolved_value"]["value"] == "2024-03-14 12:00:00"
+
+
+def test_datetime_holidays():
+    # ANCHOR is 2024-03-14 → christmas resolves within the year
+    ms = P.parse("remind me next christmas", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "next christmas"
+    assert ms[0]["resolved_value"]["value"] == "2024-12-25 00:00:00"
+    assert ms[0]["resolved_value"]["grain"] == "Day"
+    ms = P.parse("dinner on christmas eve", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    # "on" absorbs into the mention like the weekday rule ("fly on
+    # monday" → "on monday")
+    assert ms[0]["value"] == "on christmas eve"
+    assert ms[0]["resolved_value"]["value"] == "2024-12-24 00:00:00"
+    # a holiday already past this year rolls to the next occurrence
+    ms = P.parse("halloween", scope=["snips/datetime"],
+                 anchor=dt.datetime(2024, 11, 20))
+    assert ms[0]["resolved_value"]["value"] == "2025-10-31 00:00:00"
+
+
+def test_datetime_this_daypart():
+    ms = P.parse("let's meet this evening", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "this evening"
+    assert ms[0]["resolved_value"]["value"] == "2024-03-14 19:00:00"
+    assert ms[0]["resolved_value"]["grain"] == "Hour"
+    ms = P.parse("this morning", scope=["snips/datetime"], anchor=ANCHOR)
+    assert ms[0]["resolved_value"]["value"] == "2024-03-14 08:00:00"
+
+
+def test_datetime_month_boundaries():
+    # ANCHOR 2024-03-14 (march): begin/mid/end of month + next variants
+    ms = P.parse("pay rent at the beginning of next month",
+                 scope=["snips/datetime"], anchor=ANCHOR)
+    assert ms[0]["value"] == "beginning of next month"
+    assert ms[0]["resolved_value"]["value"] == "2024-04-01 00:00:00"
+    assert ms[0]["resolved_value"]["grain"] == "Day"
+    ms = P.parse("report due end of the month", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "end of the month"
+    assert ms[0]["resolved_value"]["value"] == "2024-03-31 00:00:00"
+    ms = P.parse("middle of next year", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["resolved_value"]["value"] == "2025-07-01 00:00:00"
+    # week boundary: ANCHOR week starts monday 03-11 → ends sunday 03-17
+    ms = P.parse("end of the week", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["resolved_value"]["value"] == "2024-03-17 00:00:00"
+
+
+def test_datetime_holidays_dayparts_boundaries_all_languages():
+    """Round-4 grammar breadth: holidays, standalone part-of-day, and
+    period boundaries in every shipped language (anchor 2024-06-15, a
+    saturday — week 06-10..06-16, month ends 06-30)."""
+    anchor = dt.datetime(2024, 6, 15)
+    cases = [
+        ("fr", "rappelle moi à noël", "2024-12-25 00:00:00"),
+        ("fr", "fin du mois prochain", "2024-07-31 00:00:00"),
+        ("fr", "ce soir", "2024-06-15 19:00:00"),
+        ("es", "navidad", "2024-12-25 00:00:00"),
+        ("es", "a principios del próximo mes", "2024-07-01 00:00:00"),
+        ("es", "esta noche", "2024-06-15 21:00:00"),
+        ("de", "weihnachten", "2024-12-25 00:00:00"),
+        ("de", "anfang nächsten monats", "2024-07-01 00:00:00"),
+        ("de", "silvester", "2024-12-31 00:00:00"),
+        ("it", "natale", "2024-12-25 00:00:00"),
+        ("it", "fine del mese", "2024-06-30 00:00:00"),
+        ("it", "stamattina", "2024-06-15 08:00:00"),
+        ("pt", "natal", "2024-12-25 00:00:00"),
+        ("pt", "fim do mês", "2024-06-30 00:00:00"),
+        ("pt", "esta noite", "2024-06-15 21:00:00"),
+        ("ja", "クリスマス", "2024-12-25 00:00:00"),
+        ("ja", "月末", "2024-06-30 00:00:00"),
+        ("ja", "今晩", "2024-06-15 21:00:00"),
+        # 年始 in june = the UPCOMING new year period
+        ("ja", "年始", "2025-01-01 00:00:00"),
+        ("ko", "크리스마스", "2024-12-25 00:00:00"),
+        ("ko", "월말", "2024-06-30 00:00:00"),
+        ("ko", "연초", "2025-01-01 00:00:00"),
+    ]
+    parsers = {}
+    for lang, text, want in cases:
+        p = parsers.get(lang)
+        if p is None:
+            p = parsers[lang] = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert ms, (lang, text)
+        assert ms[0]["resolved_value"]["value"] == want, (lang, text, ms)
