@@ -909,6 +909,41 @@ def _next_period(base_date, unit):
             "Year")
 
 
+_DT_TRIGGERS: dict[str, frozenset] = {}
+
+# table fields whose words can be a REQUIRED component of a datetime
+# match (every grammar rule needs at least one trigger word, one
+# digit-initial token, or one number candidate — prepositions/articles/
+# prefixes like at_words/the_words/day_prefix only ever attach to one of
+# those). Keeping this list in sync with new _scan_datetime branches is
+# required for correctness of the trigger gate; the per-language golden
+# tests sweep every tabled shape and would catch a missed family.
+_TRIGGER_DICT_FIELDS = ("weekdays", "months", "dayparts", "rel_days",
+                        "every_prefix", "period_words", "holidays",
+                        "daypart_single", "boundary_single",
+                        "boundary_words")
+_TRIGGER_TUPLE_FIELDS = ("every_words", "ahead_words", "next_adjs",
+                         "periods")
+_TRIGGER_SCALAR_FIELDS = ("tonight", "next_word")
+
+
+def _dt_triggers(lang: str) -> frozenset:
+    trig = _DT_TRIGGERS.get(lang)
+    if trig is None:
+        tables = _DT[lang]
+        words: set[str] = set()
+        for f in _TRIGGER_DICT_FIELDS:
+            words.update(tables.get(f, ()))
+        for f in _TRIGGER_TUPLE_FIELDS:
+            words.update(tables.get(f, ()))
+        for f in _TRIGGER_SCALAR_FIELDS:
+            w = tables.get(f)
+            if w:
+                words.add(w)
+        trig = _DT_TRIGGERS[lang] = frozenset(words)
+    return trig
+
+
 def _period_boundary(base_date, unit, nxt, which):
     """The begin/mid/end day of the current (or next) week/month/year —
     "beginning of next month", "fin du mois", "anfang nächsten monats",
@@ -1616,5 +1651,19 @@ class BuiltinEntityParser:
         tokens, cands = self._prep_memo(text)
         if not tokens:
             return ()
+        # trigger gate: every datetime rule requires a trigger word, a
+        # digit-initial token (clock/ISO forms), or a number candidate
+        # (word numbers, kanji/hangul numerals) — texts with none of
+        # those can't match, and most non-datetime texts skip the whole
+        # grammar walk here
+        # ja/ko clocks accept FUSED numeral+counter tokens (여덟시,
+        # 八時半) that are neither digit-initial nor number candidates —
+        # the gate can't see them, so it only applies to the European
+        # packs where every clock form is digit-initial
+        if not cands and self.language not in ("ja", "ko"):
+            trig = _dt_triggers(self.language)
+            if not any(t.value[:1].isdigit() or t.value.lower() in trig
+                       for t in tokens):
+                return ()
         return tuple(_scan_datetime(text, tokens, cands, anchor,
                                     self.language))

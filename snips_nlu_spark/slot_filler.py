@@ -231,11 +231,19 @@ def _entity_match_factory(args, fs, ctx):
         entity for entity in fs.entity_scopes.get("custom", [])
         if "automatically_extensible" not in filt
         or ext_map.get(entity, False) == filt["automatically_extensible"]]
-    # one bundle call for all kinds: scope only filters the memoized
-    # per-text scan, so splitting locally is identical to per-kind calls
-    by_kind: dict[str, list] = {}
-    for m in fs.bundle.parse_custom(match_text, wanted):
-        by_kind.setdefault(m["entity_kind"], []).append(m)
+    # ONE full-scope bundle call shared by both entity_match configs
+    # (ext + non-ext) via the ctx cache: scope only filters the memoized
+    # per-text scan, so grouping the full scan by kind once and
+    # filtering locally is identical to per-config scoped calls
+    cache_key = ("_custom_by_kind", bool(args.get("use_stemming")))
+    by_kind = ctx.get(cache_key)
+    if by_kind is None:
+        by_kind = {}
+        for m in fs.bundle.parse_custom(match_text,
+                                        fs.entity_scopes.get("custom",
+                                                             [])):
+            by_kind.setdefault(m["entity_kind"], []).append(m)
+        ctx[cache_key] = by_kind
     # entities with no mentions would yield an all-None series — a no-op
     # for both the dict path and the id path, so skip them (most entities
     # don't appear in most texts; the loop over their Nones dominated
@@ -273,9 +281,6 @@ def _offset_name(name: str, offset: int) -> str:
     if offset == 0:
         return name
     return f"{name}[{offset:+d}]"
-
-
-_ID_MISS = object()
 
 
 class FeatureSet:
@@ -330,19 +335,24 @@ class FeatureSet:
         per-token string-dict of ``compute`` and the downstream
         per-feature f-string/index lookups (builder ROADMAP #1). Same
         feature content as ``compute`` with no drop-out (inference never
-        drops). ``id_memo`` maps (base name, offset, value) → id-or-None
-        and must belong to the CRF owning ``feature_index``.
+        drops). ``id_memo`` maps (base name, value) → tuple of
+        (offset, id) pairs — every offset of the owning config resolved
+        at once, None ids dropped at memo-build time — and must belong
+        to the CRF owning ``feature_index``. One dict probe per (token,
+        series) instead of one per (token, series, offset), and offsets
+        whose feature string is absent from the model cost nothing on
+        memo hits.
 
         Uniqueness invariant (mirrors ``compute``'s dict semantics):
         factories yield distinct base names within one call, config
-        entries yield disjoint name sets, and each (series index, offset)
-        targets one token — so a token never receives an id twice and
-        emission scores accumulate identically."""
+        entries yield disjoint name sets (so a base name determines its
+        config's offsets), and each (series index, offset) targets one
+        token — so a token never receives an id twice and emission
+        scores accumulate identically."""
         n = len(tokens)
         ctx = {"text": text, "tokens": tokens,
                "values": [t.value for t in tokens], "anchor": anchor}
         out: list[list[int]] = [[] for _ in range(n)]
-        miss = _ID_MISS
         get_memo = id_memo.get
         get_index = feature_index.get
         for cfg in self.features_config:
@@ -353,17 +363,19 @@ class FeatureSet:
                     value = series[i]
                     if value is None:
                         continue
-                    for off in offs:
+                    key = (name, value)
+                    pairs = get_memo(key)
+                    if pairs is None:
+                        pairs = tuple(
+                            (off, fid) for off in offs
+                            if (fid := get_index(
+                                f"{_offset_name(name, off)}={value}"))
+                            is not None)
+                        id_memo[key] = pairs
+                    for off, fid in pairs:
                         j = i - off
                         if 0 <= j < n:
-                            key = (name, off, value)
-                            fid = get_memo(key, miss)
-                            if fid is miss:
-                                fid = get_index(
-                                    f"{_offset_name(name, off)}={value}")
-                                id_memo[key] = fid
-                            if fid is not None:
-                                out[j].append(fid)
+                            out[j].append(fid)
         return out
 
 
