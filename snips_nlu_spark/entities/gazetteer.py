@@ -214,9 +214,13 @@ class GazetteerParser:
 
     def _fuzzy_matches(self, entity, text, tokens, norm):
         """Ordered-subsequence matches covering ≥ strictness of a value's
-        non-stop tokens. Text tokens are consumed contiguously; value
-        tokens may be skipped. Gazetteer stop words never start a match
-        and don't count toward the strictness fraction."""
+        non-stop tokens. Value tokens may be skipped, and — round-4
+        skip tolerance, approximating the crate's input-side tolerance —
+        up to ``floor((1 - strictness) · n_value_tokens)`` stray text
+        tokens may appear INSIDE the span (never at its edges: a match
+        still starts and ends on a matched token). Gazetteer stop words
+        never start a match and don't count toward the strictness
+        fraction."""
         threshold = self._strictness[entity]
         values = self._values[entity]
         index = self._token_index[entity]
@@ -239,10 +243,21 @@ class GazetteerParser:
                 scored = 0
                 end_idx = i - 1
                 t = i
+                skips = 0
+                max_skips = int((1.0 - threshold) * len(v_toks))
                 while t < n and k < len(v_toks):
                     try:
                         k = v_toks.index(norm[t], k)
                     except ValueError:
+                        # stray text token inside the span — tolerated
+                        # up to the skip budget, only after a first
+                        # matched token (a match never starts on a
+                        # stray), and never consuming a stop word
+                        if matched and skips < max_skips \
+                                and norm[t] not in stop:
+                            skips += 1
+                            t += 1
+                            continue
                         break
                     matched += 1
                     if norm[t] not in stop:

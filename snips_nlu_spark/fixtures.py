@@ -946,6 +946,47 @@ def multilang_datasets() -> dict[str, dict]:
             "ko": ko_dataset()}
 
 
+# datetime-grammar breadth utterances for the kg_multilang_triples gate
+# (round-3 VERDICT #8: recurrences, relative ranges, and the round-4
+# holiday / part-of-day / period-boundary families exercised under the
+# driver's hash gate, not only in pytest). Each parses to the language's
+# flight intent with a city slot + a datetime slot.
+MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
+    "de": ("buche mir einen flug nach berlin jeden montag",
+           "buche mir einen flug nach berlin in den nächsten 3 wochen",
+           "buche mir einen flug nach berlin an weihnachten",
+           "buche mir einen flug nach berlin anfang nächsten monats"),
+    "es": ("resérvame un vuelo a madrid cada lunes",
+           "resérvame un vuelo a madrid en las próximas 3 semanas",
+           "resérvame un vuelo a madrid en navidad",
+           "resérvame un vuelo a madrid a principios del próximo mes",
+           "resérvame un vuelo a madrid esta noche"),
+    "fr": ("réserve moi un vol pour paris chaque lundi",
+           "réserve moi un vol pour paris dans les 3 prochaines semaines",
+           "réserve moi un vol pour paris à noël",
+           "réserve moi un vol pour paris fin du mois",
+           "réserve moi un vol pour paris ce soir"),
+    "it": ("prenotami un volo per roma ogni lunedì",
+           "prenotami un volo per roma nelle prossime 3 settimane",
+           "prenotami un volo per roma a natale",
+           "prenotami un volo per roma a fine del mese",
+           "prenotami un volo per roma stasera"),
+    "ja": ("東京行きの飛行機を毎週月曜日予約して",
+           "東京行きの飛行機を3週間後予約して",
+           "東京行きの飛行機をクリスマス予約して",
+           "東京行きの飛行機を月末予約して"),
+    "ko": ("서울로 가는 비행기를 매주 월요일 예약해줘",
+           "서울로 가는 비행기를 3주 후 예약해줘",
+           "서울로 가는 비행기를 크리스마스 예약해줘",
+           "서울로 가는 비행기를 월말 예약해줘"),
+    "pt": ("reserva um voo para lisboa cada segunda",
+           "reserva um voo para lisboa nas próximas 3 semanas",
+           "reserva um voo para lisboa no natal",
+           "reserva um voo para lisboa no fim do mês",
+           "reserva um voo para lisboa esta noite"),
+}
+
+
 def multilang_turns() -> list[dict]:
     """Deterministic multilingual transcript rows
     (lang, conv_id, turn_idx, text, ts) — a pure function of the fixture
@@ -985,6 +1026,7 @@ def multilang_turns() -> list[dict]:
                         swapped.append(c["text"])
                 if changed:
                     texts.append("".join(swapped))
+        texts.extend(MULTILANG_DATETIME_BREADTH.get(lang, ()))
         noise = get_resources(lang)["noise"]
         texts.extend(" ".join(noise[j:j + 3]) for j in (0, 7, 19))
         for i, text in enumerate(texts):

@@ -61,45 +61,71 @@ def _bucketed(transcripts: DataFrame, n_buckets: int) -> DataFrame:
         F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
 
 
-def _commit_marker(lineage_path: str) -> Path:
-    return Path(lineage_path) / "_COMMITTED.json"
+class LocalCommitSurface:
+    """The commit surface of the checkpointed build, local-parquet
+    implementation. Every filesystem side effect of the protocol lives
+    behind these five methods so an object-store/Iceberg sink can swap
+    in without touching the build logic (round-3 VERDICT #7). The
+    Iceberg mapping (spark/iceberg.py): ``clear_pending_partitions`` →
+    no-op (``overwritePartitions`` replaces atomically),
+    ``publish_commit`` → table snapshot commit, ``committed_buckets`` →
+    snapshot metadata read, ``pin_n_buckets`` → table property.
+    """
 
+    def __init__(self, out_dir: str) -> None:
+        self.out = Path(out_dir)
 
-def _completed_buckets(spark: SparkSession, lineage_path: str) -> list[int]:
-    """Buckets recorded in the atomically-renamed commit marker — the
-    single commit point of the protocol. (Dynamic partition overwrite
-    writes no root _SUCCESS; bucket dirs appearing without the marker
-    mean the run died inside the commit window and those buckets are
-    reprocessed + overwritten on resume.)"""
-    marker = _commit_marker(lineage_path)
-    if not marker.exists():
-        return []
-    return list(json.loads(marker.read_text("utf8"))["buckets"])
+    def _commit_marker(self) -> Path:
+        return self.out / "lineage" / "_COMMITTED.json"
 
+    def committed_buckets(self) -> list[int]:
+        """Buckets recorded in the atomically-renamed commit marker —
+        the single commit point of the protocol. (Dynamic partition
+        overwrite writes no root _SUCCESS; bucket dirs appearing without
+        the marker mean the run died inside the commit window and those
+        buckets are reprocessed + overwritten on resume.)"""
+        marker = self._commit_marker()
+        if not marker.exists():
+            return []
+        return list(json.loads(marker.read_text("utf8"))["buckets"])
 
-def _write_commit_marker(lineage_path: str, buckets: list[int]) -> None:
-    marker = _commit_marker(lineage_path)
-    tmp = marker.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"buckets": sorted(buckets)}),
-                   encoding="utf8")
-    tmp.replace(marker)  # atomic rename = the commit
+    def publish_commit(self, buckets: list[int]) -> None:
+        marker = self._commit_marker()
+        tmp = marker.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"buckets": sorted(buckets)}),
+                       encoding="utf8")
+        tmp.replace(marker)  # atomic rename = the commit
 
+    def pin_n_buckets(self, requested: int | None,
+                      transcripts: DataFrame) -> int:
+        """Resolve the bucket count: an existing build's pinned value
+        always wins (resume must keep the conv_id→bucket mapping);
+        otherwise use the caller's value or derive one from the input
+        size."""
+        meta_path = self.out / "_meta.json"
+        if meta_path.exists():
+            return int(json.loads(
+                meta_path.read_text("utf8"))["n_buckets"])
+        if requested is None:
+            n_turns = transcripts.count()
+            requested = max(64, -(-n_turns // TURNS_PER_BUCKET))
+        self.out.mkdir(parents=True, exist_ok=True)
+        meta_path.write_text(json.dumps({"n_buckets": int(requested)}),
+                             encoding="utf8")
+        return int(requested)
 
-def _pin_n_buckets(out: Path, requested: int | None,
-                   transcripts: DataFrame) -> int:
-    """Resolve the bucket count: an existing build's pinned value always
-    wins (resume must keep the conv_id→bucket mapping); otherwise use the
-    caller's value or derive one from the input size."""
-    meta_path = out / "_meta.json"
-    if meta_path.exists():
-        return int(json.loads(meta_path.read_text("utf8"))["n_buckets"])
-    if requested is None:
-        n_turns = transcripts.count()
-        requested = max(64, -(-n_turns // TURNS_PER_BUCKET))
-    out.mkdir(parents=True, exist_ok=True)
-    meta_path.write_text(json.dumps({"n_buckets": int(requested)}),
-                         encoding="utf8")
-    return int(requested)
+    def clear_pending_partitions(self, rel: str,
+                                 buckets: list[int]) -> None:
+        """Drop any partial output a failed prior attempt left in the
+        given partitions (an Iceberg sink makes this a no-op — partition
+        overwrite is already atomic there)."""
+        for b in buckets:
+            part = self.out / rel / f"bucket={b}"
+            if part.exists():
+                shutil.rmtree(part)
+
+    def store_exists(self, rel: str) -> bool:
+        return (self.out / rel).exists()
 
 
 def triple_fingerprint_col():
@@ -113,16 +139,10 @@ def triple_fingerprint_col():
     ).alias("fingerprint")
 
 
-def _clear_partitions(root: str, buckets: list[int]) -> None:
-    for b in buckets:
-        part = Path(root) / f"bucket={b}"
-        if part.exists():
-            shutil.rmtree(part)
-
-
 def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
              out_dir: str, n_buckets: int | None = None,
-             resume: bool = True) -> dict:
+             resume: bool = True, surface: LocalCommitSurface | None = None
+             ) -> dict:
     """Run (or resume) the full KG build. Returns summary counts.
 
     Layout under ``out_dir``:
@@ -130,14 +150,19 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
       lineage/bucket=<b>/...   — per-bucket commit records
       nodes/, edges/           — rollups (recomputed at the end)
       _meta.json               — pinned n_buckets
+
+    All commit-protocol side effects go through ``surface`` (default:
+    the local-parquet LocalCommitSurface for ``out_dir``).
     """
     out = Path(out_dir)
     triples_path = str(out / "triples")
     lineage_path = str(out / "lineage")
+    if surface is None:
+        surface = LocalCommitSurface(out_dir)
 
-    n_buckets = _pin_n_buckets(out, n_buckets, transcripts)
+    n_buckets = surface.pin_n_buckets(n_buckets, transcripts)
     bucketed = _bucketed(transcripts, n_buckets)
-    done = _completed_buckets(spark, lineage_path) if resume else []
+    done = surface.committed_buckets() if resume else []
     pending = bucketed
     if done:
         pending = bucketed.filter(~F.col("bucket").isin(done))
@@ -149,8 +174,8 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         # rows; a bucket that now yields 0 triples must not keep stale
         # files)
         pending_buckets = [b for b in range(n_buckets) if b not in done]
-        _clear_partitions(triples_path, pending_buckets)
-        _clear_partitions(lineage_path, pending_buckets)
+        surface.clear_pending_partitions("triples", pending_buckets)
+        surface.clear_pending_partitions("lineage", pending_buckets)
 
         # parse from the scan's own (compute-sized) partitions — the
         # parse stage stays shuffle-FREE — then repartition the TRIPLES
@@ -200,18 +225,18 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         committed = [r["bucket"] for r in
                      spark.read.parquet(lineage_path)
                      .select("bucket").distinct().collect()]
-        _write_commit_marker(lineage_path, committed)
+        surface.publish_commit(committed)
 
     summary = {"pending_turns": int(n_pending_turns),
                "resumed_buckets": len(done),
                "n_buckets": n_buckets}
-    if n_pending_turns == 0 and done and (Path(out / "nodes")).exists():
+    if n_pending_turns == 0 and done and surface.store_exists("nodes"):
         # no-op resume: everything committed, rollups already built
         total = (spark.read.parquet(lineage_path)
                  .agg(F.sum("n_triples")).collect()[0][0])
         summary["n_triples"] = int(total or 0)
         return summary
-    if Path(triples_path).exists():
+    if surface.store_exists("triples"):
         all_triples = _read_triple_store(spark, triples_path)
         deduped = dedup_triples(all_triples).persist()
         deduped.count()

@@ -125,3 +125,49 @@ def test_fuzzy_canonical_readme_example():
     assert len(ms) == 1
     assert ms[0]["resolved_value"]["value"] == "The Rolling Stones"
     assert ms[0]["value"] == "rolling stones"
+
+
+def test_fuzzy_skip_tolerance_inside_span():
+    """Round-4 (builder ROADMAP #3): bounded stray text tokens INSIDE a
+    match span. strictness 0.5 on a 2-token value tolerates
+    floor(0.5 * 2) = 1 stray token — "rolling mighty stones" matches the
+    full span (matched=2) where the old contiguous matcher stopped at
+    "rolling" (matched=1). Hand-computed reference-semantics expectation:
+    the span covers matched tokens end-to-end, strays included."""
+    gaz = GazetteerParser.build(
+        {"artist": {"rolling stones": "The Rolling Stones"}},
+        strictness={"artist": 0.5})
+    ms = gaz.parse("play rolling mighty stones now", scope=["artist"])
+    assert len(ms) == 1
+    assert ms[0]["value"] == "rolling mighty stones"
+    assert ms[0]["resolved_value"]["value"] == "The Rolling Stones"
+
+
+def test_fuzzy_skip_tolerance_budget_bounded():
+    # two strays exceed the 1-skip budget of a 2-token value at 0.5 —
+    # no bridged span; each matched token stands alone (both ≥ 0.5 on
+    # their own, non-overlapping, so both survive)
+    gaz = GazetteerParser.build(
+        {"artist": {"rolling stones": "The Rolling Stones"}},
+        strictness={"artist": 0.5})
+    ms = gaz.parse("play rolling very mighty stones", scope=["artist"])
+    assert [m["value"] for m in ms] == ["rolling", "stones"]
+
+
+def test_fuzzy_skip_never_at_edges():
+    # a stray can't start a match and the span never ends on one
+    gaz = GazetteerParser.build(
+        {"artist": {"rolling stones": "The Rolling Stones"}},
+        strictness={"artist": 0.5})
+    ms = gaz.parse("mighty rolling stones loud", scope=["artist"])
+    assert len(ms) == 1
+    assert ms[0]["value"] == "rolling stones"
+
+
+def test_fuzzy_skip_tolerance_strictness_one_disables():
+    gaz = GazetteerParser.build(
+        {"artist": {"rolling stones": "The Rolling Stones"}},
+        strictness={"artist": 0.9})
+    # budget floor(0.1 * 2) = 0 — stray token splits the match
+    ms = gaz.parse("play rolling mighty stones", scope=["artist"])
+    assert all(m["value"] != "rolling mighty stones" for m in ms)

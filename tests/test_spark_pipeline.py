@@ -95,8 +95,8 @@ def test_build_kg_resume_identical_state(spark, model_json, tmp_path):
     """Kill-and-resume: building buckets in two steps converges to the
     same lineage fingerprints as a single-shot build."""
     from pyspark.sql import functions as F
-    from snips_nlu_spark.spark.lineage import (_bucketed, build_kg,
-                                               _completed_buckets)
+    from snips_nlu_spark.spark.lineage import (LocalCommitSurface,
+                                               _bucketed, build_kg)
 
     pdf = datagen.generate_pandas(0, N_ROWS)
     df = spark.createDataFrame(pdf)
@@ -111,7 +111,7 @@ def test_build_kg_resume_identical_state(spark, model_json, tmp_path):
     half = df.filter(
         F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int") < 4)
     build_kg(spark, half, model_json, str(part_dir), n_buckets=n_buckets)
-    done_after_half = _completed_buckets(spark, str(part_dir / "lineage"))
+    done_after_half = LocalCommitSurface(str(part_dir)).committed_buckets()
     assert sorted(done_after_half) == [0, 1, 2, 3]
 
     # ...then resume with the full input: only buckets 4-7 are reprocessed
