@@ -1,0 +1,103 @@
+"""Round-4 regression pins: single-parse rollups, empty-store builds,
+bounded shingle caches, and the datetime trigger gate."""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from snips_nlu_spark import datagen
+
+
+@pytest.fixture(scope="module")
+def model_json():
+    bundle = (Path(__file__).resolve().parent.parent
+              / "oracle" / "model_bundle.json")
+    return bundle.read_text("utf8")
+
+
+@pytest.mark.spark
+def test_kg_nodes_parses_once_through_cache(spark, model_json):
+    """The nodes rollup unions two branches over the deduped triples;
+    round 3 re-ran the whole parse stage per branch (VERDICT #3). The
+    eager persist in __spark_entry__._deduped makes both branches read
+    the SAME InMemoryRelation — parse executes once, cache serves the
+    union."""
+    from snips_nlu_spark.spark.graph import dedup_triples, nodes_rollup
+    from snips_nlu_spark.spark.stages import parse_transcripts
+
+    pdf = datagen.generate_pandas(0, 400)
+    df = spark.createDataFrame(pdf)
+    deduped = dedup_triples(parse_transcripts(df, model_json)).persist()
+    deduped.count()
+    plan = (nodes_rollup(deduped)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("InMemoryRelation") >= 2, plan
+    deduped.unpersist()
+
+
+@pytest.mark.spark
+def test_build_kg_zero_triple_input(spark, model_json, tmp_path):
+    """A pending parse yielding ZERO triples must not crash the store
+    re-read (round-3 ADVICE: schema inference failed on a part-file-less
+    dir; reads now carry an explicit schema)."""
+    from snips_nlu_spark.spark.lineage import build_kg
+
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0, "role": "assistant",
+             "text": "acknowledged, standing by", "tool": None,
+             "ts": pd.Timestamp("2024-01-01 08:00:00")}
+            for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    summary = build_kg(spark, df, model_json, str(tmp_path / "kg0"),
+                       n_buckets=4)
+    assert summary["n_triples"] == 0
+
+
+def test_minhash_shingle_cache_bounded(spark):
+    """Repeated minhash calls release the prior call's persisted shingle
+    table (round-3 ADVICE: caches accumulated for the session)."""
+    from snips_nlu_spark.functions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], ["doc_id", "text"])
+    dd.minhash_duplicate_pairs(df, threshold=0.5).count()
+    dd.minhash_duplicate_pairs(df, threshold=0.5).count()
+    assert len(dd._SHINGLE_CACHE) == 1
+
+
+def test_datetime_trigger_gate_soundness():
+    """The trigger gate skips the grammar walk only for texts that can't
+    contain a datetime; tabled words, digit-initial clocks and word
+    numbers all still parse."""
+    import datetime as dt
+
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+
+    p = BuiltinEntityParser()
+    anchor = dt.datetime(2024, 3, 14)
+    assert p.parse("acknowledged, standing by req99x",
+                   scope=["snips/datetime"], anchor=anchor) == []
+    for text in ("at 8pm", "see you tomorrow", "in three weeks",
+                 "end of the month", "next christmas"):
+        assert p.parse(text, scope=["snips/datetime"], anchor=anchor), text
+
+
+def test_corpus_unique_fraction():
+    """The generated corpus stays ≥30% globally-unique (round-3 VERDICT
+    #1: 261 distinct texts at every sf made every repeated-input number
+    memo-bound)."""
+    texts = [datagen.turn_record(i)["text"] for i in range(20000)]
+    assert len(set(texts)) / len(texts) >= 0.30
+
+
+def test_unique_rows_keep_exact_truth():
+    """Unique-row injection preserves exact generation truth: the slot
+    spans in expected_user_turn always slice the rendered text to the
+    slot value."""
+    for i in range(2000):
+        truth = datagen.expected_user_turn(i)
+        if truth is None:
+            continue
+        text = datagen.turn_record(i)["text"]
+        for s in truth[1]:
+            assert text[s["start"]:s["end"]] == s["value"], (i, text, s)
