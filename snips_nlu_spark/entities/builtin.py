@@ -1273,12 +1273,29 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 nxt = True
                 j += 1
             unit = None
+            month = None
             if j < n:
                 lw = lower(j)
                 unit = tables.get("rel_units", {}).get(lw) \
                     or tables["period_map"].get(lw) \
                     or tables.get("period_gen", {}).get(lw)
-            if unit is not None and unit != "day":
+                if unit is None:
+                    month = tables["months"].get(lw)
+            if month is not None:
+                # "end of june" / "fin juin" — the named month's
+                # boundary, next occurrence (a passed month rolls to
+                # next year)
+                start = base_date.replace(month=month, day=1)
+                m_end = (start + _dt.timedelta(days=32)).replace(day=1) \
+                    - _dt.timedelta(days=1)
+                if m_end < base_date:
+                    start = start.replace(year=start.year + 1)
+                    m_end = (start + _dt.timedelta(days=32)) \
+                        .replace(day=1) - _dt.timedelta(days=1)
+                day = {"begin": start, "end": m_end,
+                       "mid": start.replace(day=15)}[which]
+                tok_end = j
+            elif unit is not None and unit != "day":
                 k = j
                 if k + 1 < n and (lower(k + 1) in tables.get("next_adjs",
                                                              ())

@@ -56,3 +56,73 @@ def overwrite_buckets(triples: DataFrame, table: str) -> None:
     atomic commit)."""
     require_iceberg(triples.sparkSession)
     triples.writeTo(table).overwritePartitions()
+
+
+class IcebergCommitSurface:
+    """Iceberg implementation of the build's commit surface
+    (lineage.py::LocalCommitSurface is the jar-free default). The
+    protocol maps 1:1:
+
+    - ``clear_pending_partitions`` → no-op: ``overwritePartitions``
+      replaces exactly the touched partitions atomically at snapshot
+      commit, so there is no partial-output window to sweep;
+    - ``publish_commit`` → a table property update
+      (``kg.committed_buckets``) committed in its own metadata
+      transaction — the snapshot is the atomic publish point;
+    - ``committed_buckets`` → read of that property;
+    - ``pin_n_buckets`` → the ``kg.n_buckets`` table property (set once
+      at table creation, read on resume);
+    - ``store_exists`` → catalog ``tableExists``.
+
+    Instantiating requires the Iceberg runtime on the classpath
+    (``require_iceberg``); the class is import-safe without it so the
+    wiring stays testable in jar-free environments.
+    """
+
+    BUCKETS_PROP = "kg.committed_buckets"
+    N_BUCKETS_PROP = "kg.n_buckets"
+
+    def __init__(self, spark: SparkSession, table_prefix: str) -> None:
+        require_iceberg(spark)
+        self.spark = spark
+        self.table_prefix = table_prefix  # e.g. "catalog.db.kg"
+
+    def _table(self, rel: str) -> str:
+        return f"{self.table_prefix}_{rel}"
+
+    def _props(self, rel: str) -> dict:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self._table(rel)}").collect()
+        return {r["key"]: r["value"] for r in rows}
+
+    def committed_buckets(self) -> list[int]:
+        import json as _json
+        if not self.store_exists("lineage"):
+            return []
+        raw = self._props("lineage").get(self.BUCKETS_PROP)
+        return _json.loads(raw) if raw else []
+
+    def publish_commit(self, buckets: list[int]) -> None:
+        import json as _json
+        payload = _json.dumps(sorted(buckets))
+        self.spark.sql(
+            f"ALTER TABLE {self._table('lineage')} SET TBLPROPERTIES "
+            f"('{self.BUCKETS_PROP}' = '{payload}')")
+
+    def pin_n_buckets(self, requested, transcripts) -> int:
+        if self.store_exists("triples"):
+            pinned = self._props("triples").get(self.N_BUCKETS_PROP)
+            if pinned:
+                return int(pinned)
+        if requested is None:
+            from .lineage import TURNS_PER_BUCKET
+            n_turns = transcripts.count()
+            requested = max(64, -(-n_turns // TURNS_PER_BUCKET))
+        return int(requested)
+
+    def clear_pending_partitions(self, rel: str, buckets) -> None:
+        """No-op: Iceberg partition overwrite is atomic — a failed prior
+        attempt left no published partial output."""
+
+    def store_exists(self, rel: str) -> bool:
+        return self.spark.catalog.tableExists(self._table(rel))

@@ -163,6 +163,25 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
     n_buckets = surface.pin_n_buckets(n_buckets, transcripts)
     bucketed = _bucketed(transcripts, n_buckets)
     done = surface.committed_buckets() if resume else []
+    if done:
+        # APPEND DETECTION (round 4): a committed bucket whose input has
+        # since GROWN (new turns landed in an already-committed
+        # conversation bucket) must be reprocessed, or resume silently
+        # drops the new turns. The ledger records n_turns per bucket at
+        # commit time; compare against the current input. One map-side-
+        # combinable count agg over the input — negligible next to the
+        # parse, and only paid on resumes with committed buckets.
+        ledger_counts = {
+            r["bucket"]: r["n_turns"]
+            for r in spark.read.schema(LINEAGE_SCHEMA)
+            .parquet(lineage_path).select("bucket", "n_turns").collect()}
+        current_counts = {
+            r["bucket"]: r["cnt"]
+            for r in bucketed.filter(F.col("bucket").isin(done))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()}
+        done = [b for b in done
+                if current_counts.get(b, 0) == ledger_counts.get(b, -1)]
     pending = bucketed
     if done:
         pending = bucketed.filter(~F.col("bucket").isin(done))

@@ -260,3 +260,24 @@ def test_datetime_holidays_dayparts_boundaries_all_languages():
               if m["entity_kind"] == "snips/datetime"]
         assert ms, (lang, text)
         assert ms[0]["resolved_value"]["value"] == want, (lang, text, ms)
+
+
+def test_datetime_month_name_boundaries():
+    # named-month boundaries; a passed month rolls to next year
+    ms = P.parse("report due end of june", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "end of june"
+    assert ms[0]["resolved_value"]["value"] == "2024-06-30 00:00:00"
+    ms = P.parse("beginning of february", scope=["snips/datetime"],
+                 anchor=ANCHOR)  # feb 2024 already passed on 03-14
+    assert ms[0]["resolved_value"]["value"] == "2025-02-01 00:00:00"
+
+
+def test_datetime_boundary_composes_with_clock_tail():
+    # the day+clock tail applies to boundary anchors like any Day-grain
+    # anchor: ANCHOR week 03-11..03-17 → next week ends sunday 03-24
+    ms = P.parse("end of next week at 5pm", scope=["snips/datetime"],
+                 anchor=ANCHOR)
+    assert ms[0]["value"] == "end of next week at 5pm"
+    assert ms[0]["resolved_value"]["value"] == "2024-03-24 17:00:00"
+    assert ms[0]["resolved_value"]["grain"] == "Hour"
