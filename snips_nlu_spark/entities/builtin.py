@@ -873,21 +873,26 @@ def _parse_month_day(tokens, i, n, base_date, lang="en"):
 
 def _add_units(base_date, unit, n):
     """``base_date`` + n day/week/month/year, clamping the day-of-month
-    (jan 31 + 1 month → feb 28/29)."""
-    if unit == "day":
-        return base_date + _dt.timedelta(days=n)
-    if unit == "week":
-        return base_date + _dt.timedelta(weeks=n)
-    if unit == "month":
-        m0 = base_date.month - 1 + n
-        year = base_date.year + m0 // 12
-        month = m0 % 12 + 1
-        day = min(base_date.day, _month_len(year, month))
-        return base_date.replace(year=year, month=month, day=day)
+    (jan 31 + 1 month → feb 28/29). Returns None when the result falls
+    outside datetime's representable range ("in 99999999 days" is not a
+    date — callers drop the match)."""
     try:
-        return base_date.replace(year=base_date.year + n)
-    except ValueError:  # feb 29 → feb 28
-        return base_date.replace(year=base_date.year + n, day=28)
+        if unit == "day":
+            return base_date + _dt.timedelta(days=n)
+        if unit == "week":
+            return base_date + _dt.timedelta(weeks=n)
+        if unit == "month":
+            m0 = base_date.month - 1 + n
+            year = base_date.year + m0 // 12
+            month = m0 % 12 + 1
+            day = min(base_date.day, _month_len(year, month))
+            return base_date.replace(year=year, month=month, day=day)
+        try:
+            return base_date.replace(year=base_date.year + n)
+        except ValueError:  # feb 29 → feb 28
+            return base_date.replace(year=base_date.year + n, day=28)
+    except (OverflowError, ValueError):
+        return None
 
 
 def _month_len(year: int, month: int) -> int:
@@ -1121,11 +1126,13 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if post_unit is not None and jj + 1 < n \
                     and lower(jj + 1) in tables["later_words"] \
                     and float(c["num"]).is_integer() and c["num"] > 0:
-                post_point = (
-                    _add_units(base_date, post_unit, int(c["num"])),
-                    {"day": "Day", "week": "Week", "month": "Month",
-                     "year": "Year"}[post_unit],
-                    jj + 1)
+                pp_day = _add_units(base_date, post_unit, int(c["num"]))
+                if pp_day is not None:
+                    post_point = (
+                        pp_day,
+                        {"day": "Day", "week": "Week", "month": "Month",
+                         "year": "Year"}[post_unit],
+                        jj + 1)
         tok_start, tok_end = i, i
         if w in tables["rel_days"]:
             day = base_date + _dt.timedelta(days=tables["rel_days"][w])
@@ -1171,8 +1178,9 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 j = c["tok_end"] + 1
                 unit = tables.get("rel_units_post", {}).get(lower(j)) \
                     if j < n else None
-                if unit is not None:
-                    end = _add_units(base_date, unit, int(c["num"]))
+                end = _add_units(base_date, unit, int(c["num"])) \
+                    if unit is not None else None
+                if end is not None:
                     used.update(range(i, j + 1))
                     out.append(_mention(
                         text, tokens, i, j, "snips/datetime",
@@ -1336,6 +1344,9 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if unit is not None and nval is not None:
                 if has_next:
                     end = _add_units(base_date, unit, nval)
+                    if end is None:  # out-of-range N — not a date
+                        i += 1
+                        continue
                     used.update(range(i, j + 1))
                     out.append(_mention(
                         text, tokens, i, j, "snips/datetime",

@@ -15,6 +15,16 @@ The compiled trie is built once on the driver from the gazetteer dimension
 table and broadcast to executors; ``parse`` runs per Arrow batch. This is
 the Spark-equivalent of a broadcast hash join of token n-grams against the
 gazetteer dimension.
+
+On the scan algorithm: the per-start merged-trie walk is the
+longest-match-per-(entity, start) counterpart of an Aho-Corasick
+automaton scan. AC reports all matches ENDING at each position in one
+pass; this parser needs the longest match per START position, and on
+miss-dominated text (most tokens are not gazetteer words) the walk costs
+one dict probe per token — the same O(n) as AC with smaller constants
+and no failure-link construction. AC wins only when many long dictionary
+phrases overlap densely; switch to token-level AC with failure links if
+a profile ever shows the walk's inner loop dominating.
 """
 
 from __future__ import annotations

@@ -152,3 +152,21 @@ def test_build_kg_resume_detects_appended_input(spark, model_json,
             (r["bucket"], r["n_turns"], r["n_triples"], r["fingerprint"])
             for r in spark.read.parquet(str(d / "lineage")).collect())
     assert ledger(inc_dir) == ledger(ss_dir)
+
+
+def test_datetime_out_of_range_magnitudes_no_crash():
+    """'in 99999999 days' must not overflow datetime — absurd magnitudes
+    are not dates and produce no mention (found by adversarial probe)."""
+    import datetime as dt
+
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+
+    p = BuiltinEntityParser()
+    anchor = dt.datetime(2024, 3, 14)
+    for text in ("in 99999999 days", "in 999999999 years",
+                 "within the next 99999999 weeks"):
+        ms = [m for m in p.parse(text, scope=["snips/datetime"],
+                                 anchor=anchor)]
+        assert ms == [], (text, ms)
+    # sane magnitudes still parse
+    assert p.parse("in 3 weeks", scope=["snips/datetime"], anchor=anchor)
