@@ -100,3 +100,51 @@ def test_tagging_encode_decode_recovers_slot_chunks(chunks_spec, scheme):
     text = "".join(c["text"] for c in chunks)
     for s in slots:
         assert 0 <= s["start"] < s["end"] <= len(text)
+
+
+# --- round 4: datetime trigger-gate soundness ------------------------------
+
+_DT_WORDS = ["monday", "friday", "june", "tomorrow", "today", "evening",
+             "noon", "next", "every", "christmas", "halloween",
+             "beginning", "end", "middle", "of", "the", "at", "in",
+             "week", "month", "year", "weeks", "days", "tonight",
+             "between", "from", "to", "and", "this"]
+_NOISE_WORDS = ["report", "generated", "service", "req99x", "standing",
+                "acknowledged", "device", "backend", "xylophone"]
+_NUMBERISH = ["3", "8pm", "8", "30", "2024", "three", "twenty", "8:30",
+              "10p.m.", "1st"]
+
+_dt_texts = st.lists(
+    st.sampled_from(_DT_WORDS + _NOISE_WORDS + _NUMBERISH),
+    min_size=0, max_size=10).map(" ".join)
+
+
+@given(_dt_texts)
+@settings(max_examples=300, deadline=None)
+def test_datetime_trigger_gate_never_changes_results(text):
+    """The gate (builtin._scan_dt) may only SKIP texts that the full
+    grammar walk would find nothing in — gated and ungated scans must be
+    identical for every composition of trigger words, numbers, clock
+    forms and noise."""
+    import datetime as dt
+
+    from snips_nlu_spark.entities import builtin as B
+
+    p = test_datetime_trigger_gate_never_changes_results._parser
+    anchor = dt.datetime(2024, 3, 14)
+    gated = p.parse(text, scope=["snips/datetime"], anchor=anchor)
+    tokens, cands = p._prep_memo(text)
+    ungated = list(B._scan_datetime(text, tokens, list(cands), anchor,
+                                    p.language)) if tokens else []
+    # the scoped parse sorts mentions by span; the raw scanner emits
+    # pass-1 before pass-2 — compare order-insensitively
+    key = lambda m: (m["start"], m["end"])  # noqa: E731
+    assert sorted(gated, key=key) == sorted(ungated, key=key), text
+
+
+def _make_parser():
+    from snips_nlu_spark.entities.builtin import BuiltinEntityParser
+    return BuiltinEntityParser()
+
+
+test_datetime_trigger_gate_never_changes_results._parser = _make_parser()
