@@ -150,6 +150,7 @@ def _timed_parse(spark, model_json, df, repeats: int = 1,
 
 
 def main() -> None:
+    from snips_nlu_spark.datagen import UNIQUE_FRAC
     sf = float(Path(SF_DIR).name.replace("sf", "") or 0.1)
     queries: dict[str, float] = {}
 
@@ -252,8 +253,7 @@ def main() -> None:
             parse_stats["n_triples"] / parse_stats["first_wall_sec"], 1),
         "warm_turns_per_sec": round(parse_stats["turns_per_sec"], 1),
         "cold_unique_turns_per_sec": cold_tps,
-        "unique_text_frac": __import__(
-            "snips_nlu_spark.datagen", fromlist=["UNIQUE_FRAC"]).UNIQUE_FRAC,
+        "unique_text_frac": UNIQUE_FRAC,
         "cpus": CPUS,
     }
 
@@ -279,6 +279,15 @@ def main() -> None:
                 _warm_engine(s, model_json, df, cpus)
                 if rep == 0:
                     unprimed[cpus] = _timed_parse(s, model_json, df)
+                    # the unprimed run filled the worker-lifetime parse
+                    # memos; restart the session so the rep-0 primed
+                    # sample is kernel-cold like every other sample
+                    # (page-cache priming is the only intended
+                    # difference between the legs)
+                    s.stop()
+                    s = _fresh_spark(cpus)
+                    df = _scale_input(s)
+                    _warm_engine(s, model_json, df, cpus)
                 _prime_cache(df)
                 r = _timed_parse(s, model_json, df)
                 primed[cpus].append(r["turns_per_sec"])

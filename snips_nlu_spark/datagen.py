@@ -98,7 +98,12 @@ def render_template(template, row_idx: int,
                 value = str(row_idx + 2)
                 inject = None
             elif inject == "datetimes" and pool_name == "datetimes":
-                value = f"in {row_idx + 2} days"
+                # modulus keeps anchor+N days inside datetime's range
+                # (~2.9M days to year 9999) at ANY scale factor; rows
+                # ≥2M apart may collide only if every other derived
+                # field also matches — negligible against the ≥30%
+                # uniqueness bound (pinned in test_round4_fixes)
+                value = f"in {row_idx % 2_000_000 + 2} days"
                 inject = None
             else:
                 pool = VALUE_POOLS[pool_name]

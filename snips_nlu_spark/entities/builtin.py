@@ -953,7 +953,15 @@ def _period_boundary(base_date, unit, nxt, which):
     """The begin/mid/end day of the current (or next) week/month/year —
     "beginning of next month", "fin du mois", "anfang nächsten monats",
     月末. Weeks start Monday; end = last day of the period; mid = the
-    conventional midpoint (thursday / 15th / july 1)."""
+    conventional midpoint (thursday / 15th / july 1). Returns None when
+    the boundary falls outside datetime's range (extreme anchors)."""
+    try:
+        return _period_boundary_unguarded(base_date, unit, nxt, which)
+    except (OverflowError, ValueError):
+        return None
+
+
+def _period_boundary_unguarded(base_date, unit, nxt, which):
     if unit == "week":
         start = base_date - _dt.timedelta(days=base_date.weekday())
         if nxt:
@@ -979,11 +987,15 @@ def _period_boundary(base_date, unit, nxt, which):
 
 
 def _next_holiday(base_date, month, day):
-    """Next occurrence of a fixed-date holiday (today counts)."""
-    this_year = base_date.replace(month=month, day=day)
-    if this_year >= base_date:
-        return this_year
-    return this_year.replace(year=this_year.year + 1)
+    """Next occurrence of a fixed-date holiday (today counts); None when
+    the anchor sits at datetime's edge (year 9999 december)."""
+    try:
+        this_year = base_date.replace(month=month, day=day)
+        if this_year >= base_date:
+            return this_year
+        return this_year.replace(year=this_year.year + 1)
+    except (OverflowError, ValueError):
+        return None
 
 
 def _clock_fn(lang):
@@ -1037,6 +1049,12 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
     out = []
     n = len(tokens)
     base_date = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
+    if base_date.year >= 9999:
+        # clamp pathological anchors one year inside datetime's range so
+        # every bounded forward step (next weekday/period/holiday, +32
+        # days) stays representable; unbounded "in N units" arithmetic
+        # is separately guarded in _add_units
+        base_date = base_date.replace(year=9998)
     used: set[int] = set()
     lows = [t.value.lower() for t in tokens]
 
@@ -1292,17 +1310,20 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if month is not None:
                 # "end of june" / "fin juin" — the named month's
                 # boundary, next occurrence (a passed month rolls to
-                # next year)
-                start = base_date.replace(month=month, day=1)
-                m_end = (start + _dt.timedelta(days=32)).replace(day=1) \
-                    - _dt.timedelta(days=1)
-                if m_end < base_date:
-                    start = start.replace(year=start.year + 1)
+                # next year); extreme anchors (year 9999) drop the match
+                try:
+                    start = base_date.replace(month=month, day=1)
                     m_end = (start + _dt.timedelta(days=32)) \
                         .replace(day=1) - _dt.timedelta(days=1)
-                day = {"begin": start, "end": m_end,
-                       "mid": start.replace(day=15)}[which]
-                tok_end = j
+                    if m_end < base_date:
+                        start = start.replace(year=start.year + 1)
+                        m_end = (start + _dt.timedelta(days=32)) \
+                            .replace(day=1) - _dt.timedelta(days=1)
+                    day = {"begin": start, "end": m_end,
+                           "mid": start.replace(day=15)}[which]
+                    tok_end = j
+                except (OverflowError, ValueError):
+                    day = None
             elif unit is not None and unit != "day":
                 k = j
                 if k + 1 < n and (lower(k + 1) in tables.get("next_adjs",

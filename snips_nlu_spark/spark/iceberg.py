@@ -59,9 +59,16 @@ def overwrite_buckets(triples: DataFrame, table: str) -> None:
 
 
 class IcebergCommitSurface:
-    """Iceberg implementation of the build's commit surface
-    (lineage.py::LocalCommitSurface is the jar-free default). The
-    protocol maps 1:1:
+    """Iceberg mapping of the build's commit-METADATA surface
+    (lineage.py::LocalCommitSurface is the jar-free default).
+
+    NOT yet a drop-in for ``build_kg``: the build's data writes are
+    parquet-path-based today, so ``build_kg`` refuses non-local
+    surfaces (NotImplementedError) until the ``writeTo`` data path
+    (``write_triples``/``overwrite_buckets`` above) is wired into the
+    build loop — at which point ``pin_n_buckets`` persists its value as
+    the ``kg.n_buckets`` table property at table creation. The protocol
+    itself maps 1:1:
 
     - ``clear_pending_partitions`` → no-op: ``overwritePartitions``
       replaces exactly the touched partitions atomically at snapshot
@@ -110,6 +117,12 @@ class IcebergCommitSurface:
             f"('{self.BUCKETS_PROP}' = '{payload}')")
 
     def pin_n_buckets(self, requested, transcripts) -> int:
+        """Reads the pin from the triples table's ``kg.n_buckets``
+        property. The WRITE side of the pin belongs to table creation
+        (``write_triples`` sets it with the bucket transform) — until
+        that data path is wired into build_kg, a derived count here is
+        NOT durable, which is one reason build_kg refuses this
+        surface."""
         if self.store_exists("triples"):
             pinned = self._props("triples").get(self.N_BUCKETS_PROP)
             if pinned:

@@ -159,6 +159,17 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
     lineage_path = str(out / "lineage")
     if surface is None:
         surface = LocalCommitSurface(out_dir)
+    elif not isinstance(surface, LocalCommitSurface):
+        # the commit protocol is abstracted, but the DATA writes below
+        # (spark.read/write on parquet paths) are still path-based — an
+        # Iceberg surface also needs the writeTo data path
+        # (spark/iceberg.py::overwrite_buckets; ROADMAP #2). Refuse
+        # loudly instead of committing metadata about tables that were
+        # never written.
+        raise NotImplementedError(
+            "build_kg writes parquet paths; non-local commit surfaces "
+            "require the Iceberg data path (spark/iceberg.py) to be "
+            "wired in first")
 
     n_buckets = surface.pin_n_buckets(n_buckets, transcripts)
     bucketed = _bucketed(transcripts, n_buckets)

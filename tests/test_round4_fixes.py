@@ -53,6 +53,7 @@ def test_build_kg_zero_triple_input(spark, model_json, tmp_path):
     assert summary["n_triples"] == 0
 
 
+@pytest.mark.spark
 def test_minhash_shingle_cache_bounded(spark):
     """Repeated minhash calls release the prior call's persisted shingle
     table (round-3 ADVICE: caches accumulated for the session)."""
@@ -119,6 +120,22 @@ def test_iceberg_commit_surface_wiring(spark):
     if not iceberg_available(spark):
         with pytest.raises(RuntimeError, match="Iceberg runtime"):
             IcebergCommitSurface(spark, "cat.db.kg")
+
+
+@pytest.mark.spark
+def test_build_kg_refuses_unwired_surfaces(spark, model_json, tmp_path):
+    """build_kg's data writes are parquet-path based; committing Iceberg
+    metadata about tables the build never wrote would corrupt resume —
+    refuse non-local surfaces until the writeTo data path is wired."""
+    from snips_nlu_spark.spark.lineage import build_kg
+
+    class FakeSurface:
+        pass
+
+    df = spark.createDataFrame(datagen.generate_pandas(0, 16))
+    with pytest.raises(NotImplementedError, match="parquet paths"):
+        build_kg(spark, df, model_json, str(tmp_path / "x"),
+                 n_buckets=2, surface=FakeSurface())
 
 
 @pytest.mark.spark
