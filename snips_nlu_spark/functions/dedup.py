@@ -276,3 +276,67 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def duplicate_clusters(pairs: DataFrame, documents: DataFrame | None = None,
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id) with cluster_id = the component's minimum doc_id. The
+    step after pair generation in any dedup pipeline: "keep one doc per
+    cluster" needs the transitive closure, not the raw pairs (A~B, B~C
+    must collapse A,B,C together even when A~C was never emitted).
+
+    Algorithm: iterative hash-min label propagation — each round every
+    node takes the min label among itself and its neighbors; converges
+    in O(component diameter) rounds (near-dup clusters are dense, so
+    2-4 rounds in practice). Each round is one join + one min-agg, both
+    shuffle-partitioned on doc_id; labels are localCheckpoint-ed per
+    round so the plan does not grow with iterations. For adversarial
+    chain-shaped graphs the O(log n)-round alternating large-star /
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") is the drop-in upgrade — dup graphs do not
+    need it.
+
+    ``documents`` (optional) adds singleton rows (cluster_id = own id)
+    for docs that appear in no pair, so the output is a total
+    assignment.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct())
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (edges.join(labels,
+                            edges["dst"] == labels["doc_id"])
+                 .groupBy("src")
+                 .agg(F.min("cluster_id").alias("neigh_min")))
+        new_labels = (labels.join(neigh,
+                                  labels["doc_id"] == neigh["src"],
+                                  "left")
+                      .select(labels["doc_id"],
+                              F.least(labels["cluster_id"],
+                                      F.coalesce(F.col("neigh_min"),
+                                                 labels["cluster_id"]))
+                              .alias("cluster_id"))
+                      .localCheckpoint())
+        # converged when no label changed this round (one count job —
+        # the standard price of an iterate-to-fixpoint driver loop)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    if documents is not None:
+        singletons = (documents.select("doc_id")
+                      .join(labels.select("doc_id"), "doc_id",
+                            "left_anti")
+                      .withColumn("cluster_id", F.col("doc_id")))
+        labels = labels.union(singletons)
+    return labels

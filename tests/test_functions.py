@@ -198,3 +198,33 @@ def test_ivf_topk_matches_committed_oracle(spark):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)].astype({"rank": "int32"}),
         want[sorted(want.columns)].astype({"rank": "int32"}))
+
+
+@pytest.mark.spark
+def test_duplicate_clusters_transitive_closure(spark):
+    """A~B and B~C collapse into one cluster even though A~C was never
+    emitted; disjoint components keep distinct labels; singletons get
+    their own id."""
+    from snips_nlu_spark.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)],
+                                 ["doc_id"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs, docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+@pytest.mark.spark
+def test_duplicate_clusters_chain_diameter(spark):
+    """A longer chain (diameter > 2) still converges to one component
+    within the iteration budget."""
+    from snips_nlu_spark.functions.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(10, 18)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {10}
+    assert set(got) == set(range(10, 19))
