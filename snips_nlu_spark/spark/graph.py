@@ -64,3 +64,23 @@ def intent_distribution(triples: DataFrame) -> DataFrame:
             .groupBy(F.col("obj").alias("intent"))
             .agg(F.count(F.lit(1)).alias("n_turns"))
             .orderBy(F.desc("n_turns"), F.asc("intent")))
+
+
+def entity_cooccurrence_edges(triples: DataFrame) -> DataFrame:
+    """(entity_a, obj_a, entity_b, obj_b, n): unordered pairs of distinct
+    entity VALUES asserted in the same turn, weighted by turn count —
+    the KG's value-affinity edges ("berlin" books with "tomorrow").
+    Self-join keyed on subj (one shuffle); the canonical ordering
+    (obj, then entity) keeps each unordered pair on one row."""
+    slots = (triples.filter(F.col("pred") != "intent")
+             .select("subj", "entity", "obj").distinct())
+    a, b = slots.alias("a"), slots.alias("b")
+    ordered = (F.col("a.obj") < F.col("b.obj")) | (
+        (F.col("a.obj") == F.col("b.obj"))
+        & (F.col("a.entity") < F.col("b.entity")))
+    return (a.join(b, (F.col("a.subj") == F.col("b.subj")) & ordered)
+            .groupBy(F.col("a.entity").alias("entity_a"),
+                     F.col("a.obj").alias("obj_a"),
+                     F.col("b.entity").alias("entity_b"),
+                     F.col("b.obj").alias("obj_b"))
+            .agg(F.count(F.lit(1)).alias("n")))

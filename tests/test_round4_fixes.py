@@ -187,3 +187,31 @@ def test_datetime_out_of_range_magnitudes_no_crash():
         assert ms == [], (text, ms)
     # sane magnitudes still parse
     assert p.parse("in 3 weeks", scope=["snips/datetime"], anchor=anchor)
+
+
+@pytest.mark.spark
+def test_entity_cooccurrence_edges(spark):
+    """Unordered same-turn value pairs, duplicates collapsed, weighted
+    by turn count."""
+    from snips_nlu_spark.spark.graph import entity_cooccurrence_edges
+
+    rows = [
+        # turn 1: berlin + tomorrow (+ a duplicate berlin assertion)
+        ("c1", 0, "c1:0", "dest", "berlin", "city", 0, 6, "berlin", 1.0),
+        ("c1", 0, "c1:0", "dest", "berlin", "city", 0, 6, "berlin", 1.0),
+        ("c1", 0, "c1:0", "when", "tomorrow", "snips/datetime", 10, 18,
+         "tomorrow", 1.0),
+        ("c1", 0, "c1:0", "intent", "bookFlight", None, None, None, None,
+         1.0),
+        # turn 2: berlin + tomorrow again
+        ("c2", 1, "c2:1", "dest", "berlin", "city", 0, 6, "berlin", 1.0),
+        ("c2", 1, "c2:1", "when", "tomorrow", "snips/datetime", 10, 18,
+         "tomorrow", 1.0),
+        # turn 3: a single slot — no pair
+        ("c3", 0, "c3:0", "dest", "oslo", "city", 0, 4, "oslo", 1.0),
+    ]
+    from snips_nlu_spark.spark.stages import TRIPLE_SCHEMA
+    df = spark.createDataFrame(rows, schema=TRIPLE_SCHEMA)
+    got = {(r["entity_a"], r["obj_a"], r["entity_b"], r["obj_b"]): r["n"]
+           for r in entity_cooccurrence_edges(df).collect()}
+    assert got == {("city", "berlin", "snips/datetime", "tomorrow"): 2}
