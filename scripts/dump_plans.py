@@ -51,7 +51,9 @@ def main() -> None:
     sections = []
     for name in ("kg_triples", "kg_multilang_triples",
                  "kg_intent_distribution", "kg_nodes",
+                 "kg_entity_cooccurrence",
                  "doc_text_profile", "doc_minhash_pairs",
+                 "doc_dup_clusters",
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
                  "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
                  "event_sessions"):
