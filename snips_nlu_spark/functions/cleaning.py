@@ -1,0 +1,132 @@
+"""Corpus-cleaning operators for LLM training-data pipelines.
+
+Three classic pretraining-cleanup stages, all pure JVM expressions
+(whole-stage codegen; no Python in the hot path):
+
+- line-level boilerplate removal (the CCNet/RefinedWeb recipe): lines
+  occurring in more than ``min_df`` distinct documents are dropped and
+  each document is reassembled in original line order. One explode +
+  one count-distinct agg + one join — the line-frequency side is tiny
+  relative to the corpus and broadcastable at real scale;
+- PII masking: email/phone spans replaced with typed placeholder
+  tokens via regexp_replace (conservative patterns valid in both Java
+  regex and RE2, so the DuckDB oracle runs the same expressions);
+- Gopher-style quality flags: per-document word statistics and the
+  corresponding keep/drop booleans (word-count window, mean word
+  length window, symbol ratio cap) per the repetition/quality filters
+  popularized by the Gopher/MassiveText cleaning rules.
+
+The repo's documents fixture is single-line and digit-free, so the
+boilerplate and PII gate queries run on deterministic synthetic tables
+(pure functions of the row id — reproducible in SQL, same pattern as
+the multimodal plumbing gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+def remove_boilerplate_lines(documents: DataFrame,
+                             min_df: int = 20) -> DataFrame:
+    """(doc_id, text) with every line occurring in > ``min_df`` distinct
+    docs removed; line order preserved; docs whose lines all vanish keep
+    an empty string."""
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n"))
+        .alias("pos", "line"))
+    hot = (lines.groupBy("line")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") > min_df)
+           .select("line"))
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(
+                   "\n",
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "line"))),
+                       lambda s: s["line"])).alias("text")))
+    # docs that lost every line still get a row (empty text)
+    return (documents.select("doc_id")
+            .join(rebuilt, "doc_id", "left")
+            .na.fill({"text": ""}))
+
+
+def mask_pii(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) with emails → <EMAIL> and phone-like digit runs →
+    <PHONE>. Emails first so their digits can't be phone-matched."""
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+    return documents.select("doc_id", masked.alias("text"))
+
+
+def gopher_quality_flags(documents: DataFrame,
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_frac: float = 0.1) -> DataFrame:
+    """Per-doc word statistics + keep/drop booleans (Gopher-style
+    rules). All columns rounded/typed for exact SQL parity."""
+    words = F.regexp_extract_all(F.col("text"), F.lit("\\S+"), F.lit(0))
+    n_words = F.size(words)
+    total_word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0), lambda acc, x: acc + x)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.round(total_word_chars.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length("text")
+    n_symbols = F.length(
+        F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    symbol_frac = F.when(
+        n_chars > 0,
+        F.round(n_symbols.cast("double") / n_chars, 6)
+    ).otherwise(F.lit(0.0))
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_frac.alias("symbol_frac"),
+        ((n_words >= min_words) & (n_words <= max_words))
+        .alias("ok_word_count"),
+        (mean_word_len.between(min_mean_word_len, max_mean_word_len))
+        .alias("ok_mean_word_len"),
+        (symbol_frac <= max_symbol_frac).alias("ok_symbol_frac"))
+
+
+def synthesize_line_docs(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic multi-line doc table for the boilerplate gate —
+    pure function of the row id, reproducible in SQL. Per doc: a shared
+    header (df = n/5), a globally-unique content line, one of two hot
+    footers (df ≈ n/2), and a rare tail (df = n/40, below the default
+    min_df)."""
+    i = F.col("id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("shared header "), (i % 5).cast("string")),
+        F.concat(F.lit("unique content "), i.cast("string"),
+                 F.lit(" value "), ((i * i) % 97).cast("string")),
+        F.when(i % 2 == 0, F.lit("copyright footer line"))
+        .otherwise(F.lit("subscribe newsletter now")),
+        F.concat(F.lit("rare tail "), (i % 40).cast("string")))
+    return spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+
+
+def synthesize_pii_docs(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic doc table with emails + phone numbers derived from
+    the row id — pure function of the id, reproducible in SQL."""
+    i = F.col("id")
+    text = F.concat(
+        F.lit("contact user"), i.cast("string"),
+        F.lit("@example.com or call +1 555 00"),
+        F.lpad((i % 100).cast("string"), 2, "0"),
+        F.lit(" 1234 about order "), ((i * 7) % 1000).cast("string"))
+    return spark.range(n).select(i.alias("doc_id"), text.alias("text"))

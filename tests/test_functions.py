@@ -228,3 +228,45 @@ def test_duplicate_clusters_chain_diameter(spark):
            for r in duplicate_clusters(pairs).collect()}
     assert set(got.values()) == {10}
     assert set(got) == set(range(10, 19))
+
+
+@pytest.mark.spark
+def test_remove_boilerplate_lines(spark):
+    from snips_nlu_spark.functions.cleaning import remove_boilerplate_lines
+
+    docs = [(i, "COMMON FOOTER\nunique %d\nalso common" % i)
+            for i in range(10)]
+    docs.append((99, "COMMON FOOTER\nalso common"))  # loses every line
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_lines(df, min_df=5).collect()}
+    assert got[3] == "unique 3"
+    assert got[99] == ""  # fully-boilerplate doc keeps an empty row
+    assert len(got) == 11
+
+
+@pytest.mark.spark
+def test_mask_pii(spark):
+    from snips_nlu_spark.functions.cleaning import mask_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@x-y.co or ring +49 30 1234 5678 now"),
+         (1, "no pii here, order 42")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in mask_pii(df).collect()}
+    assert got[0] == "mail <EMAIL> or ring <PHONE> now"
+    assert got[1] == "no pii here, order 42"  # short digit runs untouched
+
+
+@pytest.mark.spark
+def test_gopher_quality_flags(spark):
+    from snips_nlu_spark.functions.cleaning import gopher_quality_flags
+
+    long_ok = " ".join(["word"] * 60)
+    df = spark.createDataFrame(
+        [(0, long_ok), (1, "too short"), (2, "$$$ %% ### !!")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[0]["ok_word_count"] and got[0]["ok_mean_word_len"]
+    assert got[0]["n_words"] == 60 and got[0]["mean_word_len"] == 4.0
+    assert not got[1]["ok_word_count"]
+    assert not got[2]["ok_symbol_frac"]
