@@ -86,3 +86,92 @@ def text_profile(documents: DataFrame) -> DataFrame:
         quality_score(F.col("text")).alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+
+# GPT-2-style pretokenizer, restricted to constructs RE2 also supports
+# (no lookahead) so Spark and the DuckDB oracle run the IDENTICAL
+# pattern: contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, then residual whitespace.
+BPE_SPLIT_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretokenizer-piece count — the standard proxy for LLM token
+    budgeting (each piece maps to ≥1 BPE token, so this lower-bounds
+    the real tokenizer; the exact vocab merge step needs the vocab
+    file, which is a resource, not an algorithm)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE),
+                                       F.lit(0)))
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_bpe_pieces, n_chars) — the token-budget
+    rollup a training-data pipeline runs before sampling."""
+    return documents.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_token_count(F.col("text")).alias("n_bpe_pieces"),
+        F.length("text").alias("n_chars"))
+
+
+def repetition_flags(documents: DataFrame,
+                     max_dup_line_frac: float = 0.3,
+                     max_top_bigram_frac: float = 0.2) -> DataFrame:
+    """Gopher/MassiveText within-document repetition filters:
+    - dup_line_frac: fraction of lines that are duplicates of an
+      earlier line in the SAME document;
+    - top_bigram_frac: fraction of words covered by the single most
+      frequent word bigram.
+    Pure JVM expressions via higher-order array functions (aggregate /
+    transform / filter) — no explode, no shuffle: each document's
+    statistics are computed inside one projection."""
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - n_distinct_lines).cast("double") / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+
+    words = F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(_WORD_RE), F.lit(0))
+    n_words = F.size(words)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(F.sequence(F.lit(0), n_words - 2),
+                    lambda i: F.concat_ws(" ", words[i], words[i + 1]))
+    ).otherwise(F.array())
+    # most-frequent-bigram count WITHOUT a quadratic distinct×filter
+    # scan: sort the doc's bigrams and take the longest run of equal
+    # adjacent elements — O(n log n) per document, scale-safe for long
+    # documents
+    sorted_bg = F.array_sort(bigrams)
+    longest_run = F.aggregate(
+        F.sequence(F.lit(1), F.size(sorted_bg) - 1),
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda a, i: F.struct(
+            F.when(sorted_bg[i] == sorted_bg[i - 1], a["cur"] + 1)
+            .otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                a["best"],
+                F.when(sorted_bg[i] == sorted_bg[i - 1], a["cur"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda a: a["best"])
+    top_bigram_count = F.when(F.size(sorted_bg) >= 2, longest_run) \
+        .when(F.size(sorted_bg) == 1, F.lit(1)) \
+        .otherwise(F.lit(0))
+    # a bigram covers 2 words; cap at 1.0 for degenerate repeats
+    top_bigram_frac = F.when(
+        n_words > 0,
+        F.round(F.least(F.lit(1.0),
+                        (top_bigram_count * 2).cast("double") / n_words),
+                6)
+    ).otherwise(F.lit(0.0))
+
+    return documents.select(
+        "doc_id",
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (dup_line_frac <= max_dup_line_frac).alias("ok_dup_lines"),
+        (top_bigram_frac <= max_top_bigram_frac).alias("ok_top_bigram"))

@@ -270,3 +270,36 @@ def test_gopher_quality_flags(spark):
     assert got[0]["n_words"] == 60 and got[0]["mean_word_len"] == 4.0
     assert not got[1]["ok_word_count"]
     assert not got[2]["ok_symbol_frac"]
+
+
+@pytest.mark.spark
+def test_token_counts_and_bpe_pieces(spark):
+    from snips_nlu_spark.functions.text import token_counts
+
+    df = spark.createDataFrame(
+        [(0, "I'll have 2 coffees, thanks!"), (1, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in token_counts(df).collect()}
+    # words: I ll have 2 coffees thanks = 6
+    assert got[0]["n_words"] == 6
+    # pieces: I|'ll|have|2|coffees|,|thanks|! = 8 (+0 residual ws)
+    assert got[0]["n_bpe_pieces"] == 8
+    assert got[1]["n_words"] == 0 and got[1]["n_bpe_pieces"] == 0
+
+
+@pytest.mark.spark
+def test_repetition_flags(spark):
+    from snips_nlu_spark.functions.text import repetition_flags
+
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    loopy = "buy now " * 10            # top bigram dominates
+    dup_lines = "a line\nb line\na line\na line"  # 2 of 4 duplicated
+    df = spark.createDataFrame(
+        [(0, clean), (1, loopy.strip()), (2, dup_lines)],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_flags(df).collect()}
+    assert got[0]["ok_top_bigram"] and got[0]["ok_dup_lines"]
+    assert got[0]["top_bigram_frac"] == 0.2  # 1 of 10 words x2
+    assert not got[1]["ok_top_bigram"]
+    assert got[2]["dup_line_frac"] == 0.5
+    assert not got[2]["ok_dup_lines"]
