@@ -321,6 +321,112 @@ def make_ivf_topk_oracle(sf: float, k: int = 5, n_queries: int = 20,
     return out
 
 
+def make_ivf_pq_oracle(sf: float, k: int = 5, n_queries: int = 20,
+                       n_centroids: int = 32, n_probe: int = 12,
+                       m: int = 8, ksub: int = 16, rerank: int = 64,
+                       seed: int = 42, sample_cap: int = 20000,
+                       n_iter: int = 10) -> Path:
+    """Pure-numpy re-execution of functions/similarity.ivf_pq_topk
+    (same deterministic quantizer + codebook spec, independent encode /
+    ADC / rerank code) — the differential for the Spark PQ plumbing."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = (pd.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
+           .sort_values("vec_id").reset_index(drop=True))
+    vec_ids = emb["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+
+    # coarse quantizer (same spec as _ivf_centroids, seed=seed)
+    train = matn[:sample_cap]
+    rng = np.random.RandomState(seed)
+    cent = train[rng.choice(len(train),
+                            size=min(n_centroids, len(train)),
+                            replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                mcent = members.mean(axis=0)
+                n = np.linalg.norm(mcent)
+                if n > 0:
+                    cent[c] = mcent / n
+    cells = np.argmax(matn @ cent.T, axis=1)
+
+    # PQ codebooks (same spec as _pq_codebooks, seed=seed+1)
+    dim = matn.shape[1]
+    dsub = dim // m
+    rng2 = np.random.RandomState(seed + 1)
+    books = np.empty((m, ksub, dsub))
+    for s_ in range(m):
+        sub = train[:, s_ * dsub:(s_ + 1) * dsub]
+        bc = sub[rng2.choice(len(sub), size=min(ksub, len(sub)),
+                             replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(bc)):
+                members = sub[assign == c]
+                if len(members):
+                    bc[c] = members.mean(axis=0)
+        books[s_, :len(bc)] = bc
+        if len(bc) < ksub:
+            books[s_, len(bc):] = bc[-1]
+
+    # encode corpus
+    codes = np.empty((len(matn), m), dtype=np.int64)
+    for s_ in range(m):
+        sub = matn[:, s_ * dsub:(s_ + 1) * dsub]
+        d2 = (-2.0 * sub @ books[s_].T
+              + (books[s_] ** 2).sum(axis=1)[None, :])
+        codes[:, s_] = np.argmin(d2, axis=1)
+
+    def round6(x: float) -> float:  # HALF_UP like Spark's F.round
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    raw_norms = np.linalg.norm(mat, axis=1)
+    rows = []
+    for qi in np.nonzero(vec_ids < n_queries)[0]:
+        sims_c = matn[qi] @ cent.T
+        probed = np.lexsort((np.arange(len(cent)), -sims_c))[:n_probe]
+        cand = np.isin(cells, probed)
+        cand[qi] = False
+        idxs = np.nonzero(cand)[0]
+        # ADC scores
+        table = np.stack([books[s_] @ matn[qi][s_ * dsub:(s_ + 1) * dsub]
+                          for s_ in range(m)])
+        adc = np.round(
+            table[np.arange(m)[None, :], codes[idxs]].sum(axis=1), 9)
+        # top-rerank by (adc desc, neighbor_id asc)
+        order = sorted(range(len(idxs)),
+                       key=lambda j: (-adc[j], int(vec_ids[idxs[j]])))
+        short = [idxs[j] for j in order[:rerank]]
+        sims = []
+        for ci in short:
+            denom = raw_norms[qi] * raw_norms[ci]
+            sim = float(mat[qi] @ mat[ci] / denom) if denom > 0 else 0.0
+            sims.append((round6(sim), int(vec_ids[ci])))
+        sims.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (sim, nid) in enumerate(sims[:k], start=1):
+            rows.append((int(vec_ids[qi]), nid, sim, rank))
+    table_out = pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "sim": pa.array([r[2] for r in rows], type=pa.float64()),
+        "rank": pa.array([r[3] for r in rows], type=pa.int32())})
+    out = ORACLE_DIR / f"ivf_pq_topk_sf{sf:g}.parquet"
+    pq.write_table(table_out, out)
+    print(f"sf={sf}: ivf-pq topk oracle -> {len(rows)} rows -> {out}")
+    return out
+
+
 if __name__ == "__main__":
     sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01]
     engine = build_engine()
@@ -333,3 +439,4 @@ if __name__ == "__main__":
             make_simhash_oracle(sf)
             make_lsh_topk_oracle(sf)
             make_ivf_topk_oracle(sf)
+            make_ivf_pq_oracle(sf)

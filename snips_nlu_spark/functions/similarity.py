@@ -277,3 +277,148 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
         F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def _pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
+                  seed: int = 43, sample_cap: int = 20000,
+                  n_iter: int = 10) -> np.ndarray:
+    """Product-quantization codebooks trained driver-side on the same
+    deterministic sample policy as the coarse quantizer: the dim axis is
+    split into ``m`` contiguous subspaces and each gets a seeded
+    Lloyd's k-means with ``ksub`` centroids (euclidean, on L2-normalized
+    vectors). Returns (m, ksub, dim//m) float64."""
+    sample = (embeddings.orderBy("vec_id").limit(sample_cap)
+              .select("embedding").toPandas())
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample["embedding"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                              replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s, :len(cent)] = cent
+        if len(cent) < ksub:  # degenerate tiny samples
+            books[s, len(cent):] = cent[-1]
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batched PQ encoding of L2-normalized vectors: per subspace
+    argmin euclidean distance to the codebook → one small int code."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 — argmin over c
+            d2 = (-2.0 * sub @ books[s].T
+                  + (books[s] ** 2).sum(axis=1)[None, :])
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def ivf_pq_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
+                n_centroids: int = 32, n_probe: int = 12, m: int = 8,
+                ksub: int = 16, rerank: int = 64,
+                seed: int = 42) -> DataFrame:
+    """IVF-PQ ANN with asymmetric-distance (ADC) scoring and exact
+    refinement — the canonical 10^9-vector memory layout: the corpus
+    index stores one int cell + ``m`` small-int codes per vector
+    (m·log2(ksub) bits ≈ 4 bytes here vs 256 bytes of float32), probes
+    scan codes with per-query lookup tables (one table per query per
+    batch, numpy fancy-indexed over all its candidates), the ADC
+    top-``rerank`` per query are re-scored EXACTLY against the raw
+    vectors, and the final top-k is exact cosine over that refined set.
+    Recall knobs: n_probe/n_centroids (coarse) and rerank (PQ error).
+    Deterministic end-to-end (seeded quantizers, 6-dp rounding,
+    neighbor_id tie-breaks)."""
+    cents = _ivf_centroids(embeddings, n_centroids, seed=seed)
+    books = _pq_codebooks(embeddings, m=m, ksub=ksub, seed=seed + 1)
+    dsub = books.shape[2]
+
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _cell_udf(cents)(F.col("embedding")).alias("cell"),
+        _pq_encode_udf(books)(F.col("embedding")).alias("codes"))
+    queries = (embeddings.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q"),
+                       F.explode(_probe_udf(cents, n_probe)(
+                           F.col("embedding"))).alias("cell")))
+    candidates = (corpus.join(F.broadcast(queries), "cell")
+                  .filter(F.col("neighbor_id") != F.col("query_id"))
+                  .select("query_id", "neighbor_id", "q", "codes"))
+
+    def adc_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_scores = np.empty(len(pdf))
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                qv = np.asarray(grp["q"].iloc[0], dtype=np.float64)
+                n = np.linalg.norm(qv)
+                if n > 0:
+                    qv = qv / n
+                # ADC table: table[s, j] = <q_sub_s, books[s, j]>
+                table = np.stack([
+                    books[s] @ qv[s * dsub:(s + 1) * dsub]
+                    for s in range(books.shape[0])])
+                codes = np.stack([np.asarray(c, dtype=np.int64)
+                                  for c in grp["codes"]])
+                scores = table[np.arange(books.shape[0])[None, :],
+                               codes].sum(axis=1)
+                out_scores[pdf.index.get_indexer(grp.index)] = scores
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["neighbor_id"],
+                "adc": np.round(out_scores, 9)})
+
+    adc = candidates.mapInPandas(
+        adc_kernel, "query_id long, neighbor_id long, adc double")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = (adc.withColumn("r", F.row_number().over(w_adc))
+                 .filter(F.col("r") <= rerank)
+                 .select("query_id", "neighbor_id"))
+
+    # exact refinement: join raw vectors back for the shortlist only
+    qvec = (embeddings.filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q")))
+    nvec = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("v"))
+    refined = (F.broadcast(shortlist)
+               .join(nvec, "neighbor_id")
+               .join(F.broadcast(qvec), "query_id")
+               .select("query_id", "neighbor_id",
+                       F.round(_cosine(F.col("q"), F.col("v")), 6)
+                       .alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (refined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -303,3 +303,24 @@ def test_repetition_flags(spark):
     assert not got[1]["ok_top_bigram"]
     assert got[2]["dup_line_frac"] == 0.5
     assert not got[2]["ok_dup_lines"]
+
+
+@pytest.mark.spark
+def test_ivf_pq_topk_recall_and_determinism(spark):
+    """IVF-PQ (coarse cells + product-quantized codes + ADC + exact
+    refine): recall vs brute force on the structureless synthetic
+    embeddings (ANN worst case — no cluster structure) and byte-stable
+    across runs. The gate query cross-checks against the committed
+    numpy re-execution of the same spec."""
+    from snips_nlu_spark.functions.similarity import (brute_force_topk,
+                                                      ivf_pq_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, k=5, n_queries=12).collect()}
+    pq = ivf_pq_topk(emb, k=5, n_queries=12)
+    a = sorted(map(tuple, pq.collect()))
+    got = {(r[0], r[1]) for r in a}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.55, recall  # probe/rerank knobs, not exactness
+    assert a == sorted(map(tuple, pq.collect()))
