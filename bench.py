@@ -160,15 +160,30 @@ def main() -> None:
     _warm(spark, model_json, transcripts, CPUS)
 
     # q1: full parse (transcripts → triples), the flagship stage.
-    # HEADLINE = the FIRST run's wall: repeats 2..N re-read the same
-    # input while the worker-lifetime parse memo survives across jobs,
-    # so best-of-N times memo lookups, not parsing (round-3 VERDICT #1).
-    # The warm number is still reported separately — it is the honest
-    # steady-state for a repetitive corpus, just not the headline.
-    parse_stats = _timed_parse(spark, model_json, transcripts,
-                               repeats=REPEATS)
+    # HEADLINE = the median FIRST-run wall across REPEATS independent
+    # sessions: a first run is the only memo-honest sample (repeats in
+    # one session re-hit the worker-lifetime parse memo — round-3
+    # VERDICT #1), and restarting the session per sample makes every
+    # sample cold while the median rejects host-load spikes (single
+    # first-run samples on this box vary ~2x). The warm number is still
+    # reported separately — honest steady-state for a repetitive
+    # corpus, just not the headline.
+    import statistics
+    firsts = []
+    for rep in range(REPEATS):
+        if rep > 0:
+            spark.stop()
+            spark = _fresh_spark(CPUS)
+            transcripts = _transcripts(spark, SF_DIR)
+            _warm(spark, model_json, transcripts, CPUS)
+        r = _timed_parse(spark, model_json, transcripts)
+        firsts.append(r)
+    firsts.sort(key=lambda r: r["first_wall_sec"])
+    parse_stats = firsts[len(firsts) // 2]
     queries["parse_triples"] = round(parse_stats["first_wall_sec"], 3)
-    queries["parse_triples_warm"] = round(parse_stats["wall_sec"], 3)
+    # warm steady-state in the (memo-full) final session
+    warm = _timed_parse(spark, model_json, transcripts, repeats=2)
+    queries["parse_triples_warm"] = round(warm["wall_sec"], 3)
 
     # q2: graph rollups (dedup + nodes + edges) over parsed triples
     from snips_nlu_spark.spark.graph import (dedup_triples, edges_rollup,
@@ -203,6 +218,9 @@ def main() -> None:
     from snips_nlu_spark.functions.similarity import ivf_topk
     queries["emb_ivf_topk"] = round(_best_of(
         lambda _: ivf_topk(embs, k=5, n_queries=20).count()), 3)
+    from snips_nlu_spark.functions.similarity import ivf_pq_topk
+    queries["emb_ivf_pq_topk"] = round(_best_of(
+        lambda _: ivf_pq_topk(embs, k=5, n_queries=20).count()), 3)
 
     # q2d: cold path — fully-unique texts defeat every executor memo, so
     # this measures the raw per-string engine (BASELINE.md cold-path
@@ -251,7 +269,7 @@ def main() -> None:
         "n_triples": parse_stats["n_triples"],
         "triples_per_sec": round(
             parse_stats["n_triples"] / parse_stats["first_wall_sec"], 1),
-        "warm_turns_per_sec": round(parse_stats["turns_per_sec"], 1),
+        "warm_turns_per_sec": round(warm["turns_per_sec"], 1),
         "cold_unique_turns_per_sec": cold_tps,
         "unique_text_frac": UNIQUE_FRAC,
         "cpus": CPUS,
