@@ -324,3 +324,25 @@ def test_ivf_pq_topk_recall_and_determinism(spark):
     recall = len(brute & got) / len(brute)
     assert recall >= 0.55, recall  # probe/rerank knobs, not exactness
     assert a == sorted(map(tuple, pq.collect()))
+
+
+@pytest.mark.spark
+def test_sample_by_token_budget(spark):
+    """First-fit token-budget draw in a deterministic md5 order: kept
+    docs' running totals stay within budget, order is stable across
+    runs, and strata each get their own budget."""
+    from snips_nlu_spark.functions.sampling import sample_by_token_budget
+
+    docs = [(i, "en" if i % 2 == 0 else "fr",
+             " ".join(["w"] * (5 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    a = sorted(map(tuple, sample_by_token_budget(df, 60).collect()))
+    b = sorted(map(tuple, sample_by_token_budget(df, 60).collect()))
+    assert a == b and a  # deterministic, non-empty
+    assert max(r[-1] for r in a) <= 60  # cum within budget
+    strat = sample_by_token_budget(df, 40, strata_col="lang").collect()
+    by_lang = {}
+    for r in strat:
+        by_lang.setdefault(r["lang"], []).append(r["cum_tokens"])
+    assert set(by_lang) == {"en", "fr"}
+    assert all(max(v) <= 40 for v in by_lang.values())
