@@ -178,9 +178,11 @@ def main() -> None:
             _warm(spark, model_json, transcripts, CPUS)
         r = _timed_parse(spark, model_json, transcripts)
         firsts.append(r)
-    firsts.sort(key=lambda r: r["first_wall_sec"])
-    parse_stats = firsts[len(firsts) // 2]
-    queries["parse_triples"] = round(parse_stats["first_wall_sec"], 3)
+    median_wall = statistics.median(r["first_wall_sec"] for r in firsts)
+    parse_stats = dict(firsts[0], first_wall_sec=median_wall,
+                       first_turns_per_sec=firsts[0]["n_turns"]
+                       / median_wall)
+    queries["parse_triples"] = round(median_wall, 3)
     # warm steady-state in the (memo-full) final session
     warm = _timed_parse(spark, model_json, transcripts, repeats=2)
     queries["parse_triples_warm"] = round(warm["wall_sec"], 3)
@@ -286,7 +288,6 @@ def main() -> None:
         # verdict asked for it alongside the primed number); every later
         # sample runs after an explicit cache prime so both levels see
         # identical I/O conditions.
-        import statistics
         primed: dict[int, list] = {SCALE_N: [], 4 * SCALE_N: []}
         unprimed = {}
         n_scale_turns = 0

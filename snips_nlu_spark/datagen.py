@@ -37,7 +37,7 @@ _ROLES = ("user", "assistant", "tool")
 # DATAGEN_VERSION keys the _generated/ parquet cache — bump it whenever
 # generation output changes, or stale caches mask the change
 UNIQUE_FRAC = 0.35
-DATAGEN_VERSION = 2
+DATAGEN_VERSION = 3
 
 
 def _is_unique_row(i: int, unique_frac: float) -> bool:

@@ -1310,12 +1310,14 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if month is not None:
                 # "end of june" / "fin juin" — the named month's
                 # boundary, next occurrence (a passed month rolls to
-                # next year); extreme anchors (year 9999) drop the match
+                # next year; "end of NEXT june" while inside june rolls
+                # too); extreme anchors (year 9999) drop the match
                 try:
                     start = base_date.replace(month=month, day=1)
                     m_end = (start + _dt.timedelta(days=32)) \
                         .replace(day=1) - _dt.timedelta(days=1)
-                    if m_end < base_date:
+                    if m_end < base_date or (nxt
+                                             and start <= base_date):
                         start = start.replace(year=start.year + 1)
                         m_end = (start + _dt.timedelta(days=32)) \
                             .replace(day=1) - _dt.timedelta(days=1)

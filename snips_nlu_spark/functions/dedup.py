@@ -333,6 +333,14 @@ def duplicate_clusters(pairs: DataFrame, documents: DataFrame | None = None,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would return SPLIT components (and
+        # diverge from the exact transitive closure the gate verifies)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a component's "
+            f"diameter exceeds max_iter; raise max_iter or switch to "
+            f"the large-star/small-star variant")
     if documents is not None:
         singletons = (documents.select("doc_id")
                       .join(labels.select("doc_id"), "doc_id",

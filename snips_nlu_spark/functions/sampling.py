@@ -7,9 +7,11 @@ deterministic pseudo-random permutation (md5 of doc_id + seed — chosen
 because Spark and DuckDB produce byte-identical md5 hex, so the oracle
 replays the exact same draw), and the cumulative token count is a
 window cumsum: one shuffle per strata, no driver-side state, stable
-under repartitioning. A document is kept while the running total
-INCLUDING it stays within budget (first-fit; the crossing doc is
-dropped, later smaller docs may still fit).
+under repartitioning. Selection is MAXIMAL-PREFIX: the permutation is
+walked until the running total including the next doc would exceed the
+budget, and everything after the crossing point is dropped (the budget
+may be slightly under-filled; simple, order-stable, and exactly what
+the SQL oracle replays).
 """
 
 from __future__ import annotations

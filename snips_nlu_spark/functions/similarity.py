@@ -175,22 +175,31 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5,
 
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
-def _ivf_centroids(embeddings: DataFrame, n_centroids: int,
-                   seed: int = 42, sample_cap: int = 20000,
-                   n_iter: int = 10) -> np.ndarray:
-    """Deterministic driver-side Lloyd's k-means over a deterministic
-    sample (vec_id order, capped) — the coarse quantizer. Standard IVF
-    practice at scale: the quantizer is trained on a sample (the 100 TB
-    corpus never moves), then broadcast; only assignment is distributed.
-    Rows and centroids are L2-normalized so argmax-dot = cosine cell.
-    Returns (n_centroids, dim) float64."""
+def _normalized_sample(embeddings: DataFrame,
+                       sample_cap: int = 20000) -> np.ndarray:
+    """Deterministic driver-side training sample (vec_id order, capped,
+    L2-normalized) shared by the coarse and PQ quantizer trainers."""
     sample = (embeddings.orderBy("vec_id").limit(sample_cap)
               .select("embedding").toPandas())
     mat = np.stack([np.asarray(v, dtype=np.float64)
                     for v in sample["embedding"]])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    mat = mat / norms
+    return mat / norms
+
+
+def _ivf_centroids(embeddings: DataFrame, n_centroids: int,
+                   seed: int = 42, sample_cap: int = 20000,
+                   n_iter: int = 10,
+                   sample: np.ndarray | None = None) -> np.ndarray:
+    """Deterministic driver-side Lloyd's k-means over a deterministic
+    sample (vec_id order, capped) — the coarse quantizer. Standard IVF
+    practice at scale: the quantizer is trained on a sample (the 100 TB
+    corpus never moves), then broadcast; only assignment is distributed.
+    Rows and centroids are L2-normalized so argmax-dot = cosine cell.
+    Returns (n_centroids, dim) float64."""
+    mat = _normalized_sample(embeddings, sample_cap) \
+        if sample is None else sample
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
                           replace=False)].copy()
@@ -281,19 +290,15 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
 
 def _pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
                   seed: int = 43, sample_cap: int = 20000,
-                  n_iter: int = 10) -> np.ndarray:
+                  n_iter: int = 10,
+                  sample: np.ndarray | None = None) -> np.ndarray:
     """Product-quantization codebooks trained driver-side on the same
     deterministic sample policy as the coarse quantizer: the dim axis is
     split into ``m`` contiguous subspaces and each gets a seeded
     Lloyd's k-means with ``ksub`` centroids (euclidean, on L2-normalized
     vectors). Returns (m, ksub, dim//m) float64."""
-    sample = (embeddings.orderBy("vec_id").limit(sample_cap)
-              .select("embedding").toPandas())
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in sample["embedding"]])
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
+    mat = _normalized_sample(embeddings, sample_cap) \
+        if sample is None else sample
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -357,8 +362,11 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
     Recall knobs: n_probe/n_centroids (coarse) and rerank (PQ error).
     Deterministic end-to-end (seeded quantizers, 6-dp rounding,
     neighbor_id tie-breaks)."""
-    cents = _ivf_centroids(embeddings, n_centroids, seed=seed)
-    books = _pq_codebooks(embeddings, m=m, ksub=ksub, seed=seed + 1)
+    train = _normalized_sample(embeddings)  # ONE sample collection
+    cents = _ivf_centroids(embeddings, n_centroids, seed=seed,
+                           sample=train)
+    books = _pq_codebooks(embeddings, m=m, ksub=ksub, seed=seed + 1,
+                          sample=train)
     dsub = books.shape[2]
 
     corpus = embeddings.select(

@@ -49,8 +49,20 @@ def _read_triple_store(spark: SparkSession, triples_path: str) -> DataFrame:
     schema' (round-3 ADVICE) — an explicit schema returns an empty DF."""
     return spark.read.schema(STORE_SCHEMA).parquet(triples_path)
 
-LINEAGE_SCHEMA = ("bucket int, n_turns long, n_triples long, "
-                  "fingerprint long, status string")
+LINEAGE_SCHEMA = ("bucket int, n_turns long, input_fp long, "
+                  "n_triples long, fingerprint long, status string")
+
+
+def input_fingerprint_col():
+    """Order-insensitive INPUT-content fingerprint of a bucket's turns:
+    bit_xor of per-row xxhash64 over the identity + content columns. The
+    append/change detector compares this against the ledger on resume —
+    a count-preserving edit (turn text replaced) still changes the
+    fingerprint, so the bucket is reprocessed."""
+    return F.expr(
+        "bit_xor(xxhash64(conv_id, turn_idx, coalesce(text, ''), "
+        "coalesce(cast(ts as string), '')))"
+    ).alias("input_fp")
 
 TURNS_PER_BUCKET = 250_000
 
@@ -175,24 +187,27 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
     bucketed = _bucketed(transcripts, n_buckets)
     done = surface.committed_buckets() if resume else []
     if done:
-        # APPEND DETECTION (round 4): a committed bucket whose input has
-        # since GROWN (new turns landed in an already-committed
-        # conversation bucket) must be reprocessed, or resume silently
-        # drops the new turns. The ledger records n_turns per bucket at
-        # commit time; compare against the current input. One map-side-
-        # combinable count agg over the input — negligible next to the
-        # parse, and only paid on resumes with committed buckets.
-        ledger_counts = {
-            r["bucket"]: r["n_turns"]
+        # APPEND/CHANGE DETECTION (round 4): a committed bucket whose
+        # input has since changed (new turns appended, or a turn
+        # edited/replaced — even count-preserving) must be reprocessed,
+        # or resume silently keeps stale triples. The ledger records
+        # per-bucket (n_turns, input content fingerprint) at commit
+        # time; compare against the current input. One map-side-
+        # combinable agg over the input — negligible next to the parse,
+        # and only paid on resumes with committed buckets.
+        ledger_state = {
+            r["bucket"]: (r["n_turns"], r["input_fp"])
             for r in spark.read.schema(LINEAGE_SCHEMA)
-            .parquet(lineage_path).select("bucket", "n_turns").collect()}
-        current_counts = {
-            r["bucket"]: r["cnt"]
+            .parquet(lineage_path)
+            .select("bucket", "n_turns", "input_fp").collect()}
+        current_state = {
+            r["bucket"]: (r["cnt"], r["input_fp"])
             for r in bucketed.filter(F.col("bucket").isin(done))
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"),
+                                   input_fingerprint_col())
             .collect()}
         done = [b for b in done
-                if current_counts.get(b, 0) == ledger_counts.get(b, -1)]
+                if current_state.get(b, (0, 0)) == ledger_state.get(b)]
     pending = bucketed
     if done:
         pending = bucketed.filter(~F.col("bucket").isin(done))
@@ -229,7 +244,8 @@ def build_kg(spark: SparkSession, transcripts: DataFrame, model_json: str,
         # triples; stats come from a columnar re-scan of the just-written
         # pending buckets — one parse total, no wide persist
         turns_per_bucket = pending.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n_turns"))
+            F.count(F.lit(1)).alias("n_turns"),
+            input_fingerprint_col())
         written = _read_triple_store(spark, triples_path)
         if done:
             written = written.filter(~F.col("bucket").isin(done))

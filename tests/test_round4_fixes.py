@@ -215,3 +215,36 @@ def test_entity_cooccurrence_edges(spark):
     got = {(r["entity_a"], r["obj_a"], r["entity_b"], r["obj_b"]): r["n"]
            for r in entity_cooccurrence_edges(df).collect()}
     assert got == {("city", "berlin", "snips/datetime", "tomorrow"): 2}
+
+
+@pytest.mark.spark
+def test_build_kg_resume_detects_content_change(spark, model_json,
+                                                tmp_path):
+    """A COUNT-PRESERVING edit (one turn's text replaced) still
+    invalidates its committed bucket: the ledger's input fingerprint
+    changes even though n_turns doesn't (round-4 review finding)."""
+    from snips_nlu_spark.spark.lineage import build_kg
+
+    base = datagen.generate_pandas(0, 200)
+    edited = base.copy()
+    # replace one user turn's text — same row count
+    edited.loc[0, "text"] = "make me nine cups of espresso"
+    n_buckets = 4
+
+    d = tmp_path / "edit"
+    build_kg(spark, spark.createDataFrame(base), model_json, str(d),
+             n_buckets=n_buckets)
+    summary = build_kg(spark, spark.createDataFrame(edited), model_json,
+                       str(d), n_buckets=n_buckets)
+    assert summary["pending_turns"] > 0  # the edited bucket reprocessed
+
+    ss = tmp_path / "single"
+    build_kg(spark, spark.createDataFrame(edited), model_json, str(ss),
+             n_buckets=n_buckets)
+
+    def ledger(p):
+        return sorted(
+            (r["bucket"], r["n_turns"], r["input_fp"], r["n_triples"],
+             r["fingerprint"])
+            for r in spark.read.parquet(str(p / "lineage")).collect())
+    assert ledger(d) == ledger(ss)
