@@ -4,12 +4,17 @@
         --input /path/to/transcripts_parquet_or_table \
         --model /path/to/model_bundle.json \
         --output /path/to/kg_out \
-        [--n-buckets 512] [--no-resume] [--generate-sf 0.1]
+        [--n-buckets 512] [--no-resume] [--generate-sf 0.1] \
+        [--iceberg-prefix catalog.db.kg] [--input-table catalog.db.turns]
 
 Packaging: ``python scripts/package.py`` produces snips_nlu_spark.zip.
-On a real cluster ``--input`` is the Iceberg transcript table and the
-output sinks are Iceberg tables (bucket-transform partitioning); locally
-they are parquet dirs with the same commit protocol.
+On a real cluster pass ``--input-table`` (the Iceberg transcript table)
+and ``--iceberg-prefix`` (requires the iceberg-spark-runtime jar + a
+configured catalog): the sinks become Iceberg tables
+(``<prefix>_triples`` etc., identity-partitioned on the build's bucket
+column) with snapshot-commit semantics. Without them, ``--input`` is a
+parquet path and ``--output`` parquet dirs carry the same commit
+protocol.
 """
 
 from __future__ import annotations
@@ -34,6 +39,13 @@ def main() -> None:
     ap.add_argument("--generate-sf", type=float, default=None,
                     help="generate a synthetic transcript input at this "
                          "scale factor instead of --input")
+    ap.add_argument("--input-table", default=None,
+                    help="read transcripts from a catalog table "
+                         "(e.g. an Iceberg table) instead of --input")
+    ap.add_argument("--iceberg-prefix", default=None,
+                    help="write through IcebergCommitSurface to tables "
+                         "<prefix>_triples/_lineage/_nodes/_edges "
+                         "(requires the Iceberg runtime + catalog)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,16 +62,23 @@ def main() -> None:
     if args.generate_sf is not None:
         from snips_nlu_spark.datagen import generate_spark
         transcripts = generate_spark(spark, args.generate_sf)
+    elif args.input_table:
+        transcripts = spark.table(args.input_table)
     else:
         if not args.input:
-            raise SystemExit("either --input or --generate-sf is required")
+            raise SystemExit("either --input, --input-table or "
+                             "--generate-sf is required")
         transcripts = spark.read.parquet(args.input)
 
     from snips_nlu_spark.spark.lineage import build_kg
+    surface = None
+    if args.iceberg_prefix:
+        from snips_nlu_spark.spark.iceberg import IcebergCommitSurface
+        surface = IcebergCommitSurface(spark, args.iceberg_prefix)
     t0 = time.time()
     summary = build_kg(spark, transcripts, model_json, args.output,
                        n_buckets=args.n_buckets,
-                       resume=not args.no_resume)
+                       resume=not args.no_resume, surface=surface)
     summary["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()

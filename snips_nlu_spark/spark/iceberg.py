@@ -1,21 +1,47 @@
-"""Iceberg sink adapter (capability-gated).
+"""Iceberg commit surface for the checkpointed KG build.
 
-The checkpointed KG build's commit protocol (spark/lineage.py) is
-Iceberg-shaped: bucket-partitioned triple store + per-bucket commit
-records + atomic publish. On a cluster with the Iceberg runtime jar and a
-configured catalog this module maps that protocol onto real Iceberg
-tables — `writeTo(...).partitionedBy(bucket(N, conv_id))` with
-`overwritePartitions()` as the converging per-bucket commit and the
-table snapshot as the atomic publish point (replacing the parquet path's
-`_COMMITTED.json` rename).
+The build's commit protocol (spark/lineage.py::build_kg) is
+Iceberg-shaped: bucket-keyed triple store + per-bucket lineage records +
+atomic publish. Since round 5 the surface owns the DATA path too, so
+this module is a full drop-in:
 
-The sandbox has no Iceberg jar, so everything here is gated on
-``iceberg_available`` and the parquet fallback in lineage.py remains the
-tested default; the adapter's wiring (not the jar) is what the tests
-cover.
+- ``write_triples``/``write_lineage`` → ``writeTo(table).overwrite
+  (bucket ∈ pending)`` — one atomic snapshot that replaces EXACTLY the
+  pending buckets, including buckets whose new parse yields zero rows
+  (the conditional overwrite deletes their old rows even when the
+  incoming frame has none for them; parquet dynamic overwrite cannot do
+  that, which is why the local surface pre-sweeps partition dirs);
+- first write → ``createOrReplace`` with identity partitioning on the
+  build's own ``bucket`` column (NOT Iceberg's ``bucket(N, conv_id)``
+  transform: the transform hashes with murmur3 while the build buckets
+  with ``pmod(xxhash64(conv_id))`` — the partition layout must match the
+  ledger's commit unit exactly, so the precomputed column is the
+  partition source of truth) plus the ``kg.n_buckets`` table property in
+  the same creation transaction (the durable pin);
+- ``clear_pending_partitions`` → no-op: the conditional overwrite is
+  atomic at snapshot commit, so a failed prior attempt left no published
+  partial output to sweep;
+- ``publish_commit`` → the ``kg.committed_buckets`` table property on
+  the lineage table, its own metadata transaction — the snapshot is the
+  atomic publish point (replacing the parquet path's ``_COMMITTED.json``
+  rename).
+
+The sandbox has no Iceberg runtime jar, so ``IcebergCommitSurface``
+is gated on ``iceberg_available`` and ``EmulatedIcebergSurface`` below
+reproduces the SEMANTICS (conditional overwrite, table properties,
+no pre-sweep) over local parquet — the contract tests drive the build
+through both the local and the emulated surface so the Iceberg-shaped
+protocol (no ``clear_pending_partitions``, property-based pin/publish)
+is exercised jar-free. On a real cluster, add
+``iceberg-spark-runtime`` and a catalog config and pass
+``IcebergCommitSurface(spark, "catalog.db.kg")`` to ``build_kg``.
 """
 
 from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
@@ -37,54 +63,15 @@ def require_iceberg(spark: SparkSession) -> None:
             "Iceberg runtime not available: add the "
             "iceberg-spark-runtime jar and configure a catalog "
             "(spark.sql.catalog.<name>=org.apache.iceberg.spark."
-            "SparkCatalog); the parquet sink (spark/lineage.py::build_kg) "
-            "is the jar-free fallback")
-
-
-def write_triples(triples: DataFrame, table: str, n_buckets: int) -> None:
-    """Create-or-replace the bucket-partitioned Iceberg triple table."""
-    require_iceberg(triples.sparkSession)
-    (triples.writeTo(table)
-     .partitionedBy(F.bucket(n_buckets, F.col("conv_id")))
-     .createOrReplace())
-
-
-def overwrite_buckets(triples: DataFrame, table: str) -> None:
-    """Converging per-bucket commit: replaces exactly the partitions the
-    incoming triples touch (the Iceberg analogue of the parquet path's
-    dynamic partition overwrite + commit marker; the snapshot IS the
-    atomic commit)."""
-    require_iceberg(triples.sparkSession)
-    triples.writeTo(table).overwritePartitions()
+            "SparkCatalog); the parquet sink (spark/lineage.py::"
+            "LocalCommitSurface) is the jar-free fallback")
 
 
 class IcebergCommitSurface:
-    """Iceberg mapping of the build's commit-METADATA surface
-    (lineage.py::LocalCommitSurface is the jar-free default).
-
-    NOT yet a drop-in for ``build_kg``: the build's data writes are
-    parquet-path-based today, so ``build_kg`` refuses non-local
-    surfaces (NotImplementedError) until the ``writeTo`` data path
-    (``write_triples``/``overwrite_buckets`` above) is wired into the
-    build loop — at which point ``pin_n_buckets`` persists its value as
-    the ``kg.n_buckets`` table property at table creation. The protocol
-    itself maps 1:1:
-
-    - ``clear_pending_partitions`` → no-op: ``overwritePartitions``
-      replaces exactly the touched partitions atomically at snapshot
-      commit, so there is no partial-output window to sweep;
-    - ``publish_commit`` → a table property update
-      (``kg.committed_buckets``) committed in its own metadata
-      transaction — the snapshot is the atomic publish point;
-    - ``committed_buckets`` → read of that property;
-    - ``pin_n_buckets`` → the ``kg.n_buckets`` table property (set once
-      at table creation, read on resume);
-    - ``store_exists`` → catalog ``tableExists``.
-
-    Instantiating requires the Iceberg runtime on the classpath
-    (``require_iceberg``); the class is import-safe without it so the
-    wiring stays testable in jar-free environments.
-    """
+    """Drop-in commit surface backed by real Iceberg tables
+    (``<table_prefix>_triples`` / ``_lineage`` / ``_nodes`` /
+    ``_edges``). Requires the Iceberg runtime on the classpath; the
+    import stays jar-safe so the wiring is testable everywhere."""
 
     BUCKETS_PROP = "kg.committed_buckets"
     N_BUCKETS_PROP = "kg.n_buckets"
@@ -93,6 +80,7 @@ class IcebergCommitSurface:
         require_iceberg(spark)
         self.spark = spark
         self.table_prefix = table_prefix  # e.g. "catalog.db.kg"
+        self._pinned: int | None = None
 
     def _table(self, rel: str) -> str:
         return f"{self.table_prefix}_{rel}"
@@ -102,40 +90,188 @@ class IcebergCommitSurface:
             f"SHOW TBLPROPERTIES {self._table(rel)}").collect()
         return {r["key"]: r["value"] for r in rows}
 
+    # -- commit metadata --
+
     def committed_buckets(self) -> list[int]:
-        import json as _json
         if not self.store_exists("lineage"):
             return []
         raw = self._props("lineage").get(self.BUCKETS_PROP)
-        return _json.loads(raw) if raw else []
+        return list(json.loads(raw)) if raw else []
 
     def publish_commit(self, buckets: list[int]) -> None:
-        import json as _json
-        payload = _json.dumps(sorted(buckets))
+        payload = json.dumps(sorted(buckets))
         self.spark.sql(
             f"ALTER TABLE {self._table('lineage')} SET TBLPROPERTIES "
             f"('{self.BUCKETS_PROP}' = '{payload}')")
 
-    def pin_n_buckets(self, requested, transcripts) -> int:
-        """Reads the pin from the triples table's ``kg.n_buckets``
-        property. The WRITE side of the pin belongs to table creation
-        (``write_triples`` sets it with the bucket transform) — until
-        that data path is wired into build_kg, a derived count here is
-        NOT durable, which is one reason build_kg refuses this
-        surface."""
+    def pin_n_buckets(self, requested: int | None,
+                      transcripts: DataFrame) -> int:
+        """An existing table's ``kg.n_buckets`` property always wins
+        (resume must keep the conv_id→bucket mapping). On a first build
+        the resolved value is stashed and becomes durable in the
+        table-CREATION transaction (``write_triples`` sets the property
+        with ``tableProperty`` before any commit is published)."""
         if self.store_exists("triples"):
             pinned = self._props("triples").get(self.N_BUCKETS_PROP)
             if pinned:
-                return int(pinned)
+                self._pinned = int(pinned)
+                return self._pinned
         if requested is None:
             from .lineage import TURNS_PER_BUCKET
             n_turns = transcripts.count()
             requested = max(64, -(-n_turns // TURNS_PER_BUCKET))
-        return int(requested)
+        self._pinned = int(requested)
+        return self._pinned
 
-    def clear_pending_partitions(self, rel: str, buckets) -> None:
-        """No-op: Iceberg partition overwrite is atomic — a failed prior
-        attempt left no published partial output."""
+    def clear_pending_partitions(self, rel: str,
+                                 buckets: list[int]) -> None:
+        """No-op: the conditional overwrite in write_* is atomic — a
+        failed prior attempt left no published partial output."""
 
     def store_exists(self, rel: str) -> bool:
         return self.spark.catalog.tableExists(self._table(rel))
+
+    # -- data path --
+
+    def _overwrite_pending(self, rel: str, df: DataFrame,
+                           pending_buckets: list[int]) -> None:
+        if not self.store_exists(rel):
+            writer = df.writeTo(self._table(rel)).partitionedBy(
+                F.col("bucket"))
+            if rel == "triples" and self._pinned is not None:
+                writer = writer.tableProperty(
+                    self.N_BUCKETS_PROP, str(self._pinned))
+            writer.createOrReplace()
+            return
+        (df.writeTo(self._table(rel))
+         .overwrite(F.col("bucket").isin(pending_buckets)))
+
+    def write_triples(self, triples: DataFrame,
+                      pending_buckets: list[int]) -> None:
+        self._overwrite_pending("triples", triples, pending_buckets)
+
+    def read_triples(self, spark: SparkSession) -> DataFrame:
+        from .lineage import STORE_SCHEMA
+        if not self.store_exists("triples"):
+            return spark.createDataFrame([], STORE_SCHEMA)
+        return spark.table(self._table("triples"))
+
+    def write_lineage(self, lineage: DataFrame,
+                      pending_buckets: list[int]) -> None:
+        self._overwrite_pending("lineage", lineage, pending_buckets)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        from .lineage import LINEAGE_SCHEMA
+        if not self.store_exists("lineage"):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        return spark.table(self._table("lineage"))
+
+    def write_rollup(self, rel: str, df: DataFrame) -> None:
+        df.writeTo(self._table(rel)).createOrReplace()
+
+
+class EmulatedIcebergSurface:
+    """Jar-free surface with ICEBERG semantics over local parquet, for
+    the contract tests (and for dev boxes without the runtime jar):
+    ``clear_pending_partitions`` is a no-op, the n_buckets pin and the
+    committed-bucket set live in per-table ``_props.json`` files
+    (underscore-prefixed → invisible to parquet scans), and write_*
+    emulates ``overwrite(bucket ∈ pending)`` by sweeping the pending
+    partition dirs immediately before the dynamic-overwrite write (the
+    one semantic a real snapshot commit makes atomic; the crash windows
+    the contract tests inject sit BETWEEN surface calls, which is
+    exactly the protocol being verified)."""
+
+    BUCKETS_PROP = IcebergCommitSurface.BUCKETS_PROP
+    N_BUCKETS_PROP = IcebergCommitSurface.N_BUCKETS_PROP
+
+    def __init__(self, out_dir: str) -> None:
+        self.out = Path(out_dir)
+        self._pinned: int | None = None
+
+    def _props_path(self, rel: str) -> Path:
+        return self.out / rel / "_props.json"
+
+    def _props(self, rel: str) -> dict:
+        p = self._props_path(rel)
+        return json.loads(p.read_text("utf8")) if p.exists() else {}
+
+    def _set_prop(self, rel: str, key: str, value: str) -> None:
+        props = self._props(rel)
+        props[key] = value
+        p = self._props_path(rel)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(props), encoding="utf8")
+        tmp.replace(p)  # atomic, like a metadata transaction
+
+    # -- commit metadata --
+
+    def committed_buckets(self) -> list[int]:
+        raw = self._props("lineage").get(self.BUCKETS_PROP)
+        return list(json.loads(raw)) if raw else []
+
+    def publish_commit(self, buckets: list[int]) -> None:
+        self._set_prop("lineage", self.BUCKETS_PROP,
+                       json.dumps(sorted(buckets)))
+
+    def pin_n_buckets(self, requested: int | None,
+                      transcripts: DataFrame) -> int:
+        pinned = self._props("triples").get(self.N_BUCKETS_PROP)
+        if pinned:
+            self._pinned = int(pinned)
+            return self._pinned
+        if requested is None:
+            from .lineage import TURNS_PER_BUCKET
+            n_turns = transcripts.count()
+            requested = max(64, -(-n_turns // TURNS_PER_BUCKET))
+        self._pinned = int(requested)
+        return self._pinned
+
+    def clear_pending_partitions(self, rel: str,
+                                 buckets: list[int]) -> None:
+        """No-op, like the real surface — overwrite handles pending."""
+
+    def store_exists(self, rel: str) -> bool:
+        d = self.out / rel
+        if not d.exists():
+            return False
+        # a props file alone is not a table (matches tableExists: the
+        # lineage props can only exist after the lineage write)
+        return any(p.name != "_props.json" for p in d.iterdir())
+
+    # -- data path --
+
+    def _overwrite_pending(self, rel: str, df: DataFrame,
+                           pending_buckets: list[int]) -> None:
+        first_write = not self.store_exists(rel)
+        for b in pending_buckets:  # emulate overwrite(bucket ∈ pending)
+            part = self.out / rel / f"bucket={b}"
+            if part.exists():
+                shutil.rmtree(part)
+        (df.write.partitionBy("bucket").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(str(self.out / rel)))
+        if rel == "triples" and first_write and self._pinned is not None:
+            self._set_prop(rel, self.N_BUCKETS_PROP, str(self._pinned))
+
+    def write_triples(self, triples: DataFrame,
+                      pending_buckets: list[int]) -> None:
+        self._overwrite_pending("triples", triples, pending_buckets)
+
+    def read_triples(self, spark: SparkSession) -> DataFrame:
+        from .lineage import STORE_SCHEMA
+        return (spark.read.schema(STORE_SCHEMA)
+                .parquet(str(self.out / "triples")))
+
+    def write_lineage(self, lineage: DataFrame,
+                      pending_buckets: list[int]) -> None:
+        self._overwrite_pending("lineage", lineage, pending_buckets)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        from .lineage import LINEAGE_SCHEMA
+        return (spark.read.schema(LINEAGE_SCHEMA)
+                .parquet(str(self.out / "lineage")))
+
+    def write_rollup(self, rel: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(str(self.out / rel))

@@ -299,11 +299,8 @@ def test_iceberg_adapter_capability_gated(spark):
     from snips_nlu_spark.spark import iceberg
 
     assert iceberg.iceberg_available(spark) is False
-    df = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
     with pytest.raises(RuntimeError, match="parquet sink"):
-        iceberg.write_triples(df, "cat.db.triples", n_buckets=8)
-    with pytest.raises(RuntimeError, match="Iceberg runtime"):
-        iceberg.overwrite_buckets(df, "cat.db.triples")
+        iceberg.IcebergCommitSurface(spark, "cat.db.kg")
 
 
 @pytest.mark.spark

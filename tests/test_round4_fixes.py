@@ -113,29 +113,18 @@ def test_iceberg_commit_surface_wiring(spark):
                                                iceberg_available)
     from snips_nlu_spark.spark.lineage import LocalCommitSurface
 
+    from snips_nlu_spark.spark.iceberg import EmulatedIcebergSurface
+
     for meth in ("committed_buckets", "publish_commit", "pin_n_buckets",
-                 "clear_pending_partitions", "store_exists"):
+                 "clear_pending_partitions", "store_exists",
+                 "write_triples", "read_triples", "write_lineage",
+                 "read_lineage", "write_rollup"):
         assert callable(getattr(IcebergCommitSurface, meth))
         assert callable(getattr(LocalCommitSurface, meth))
+        assert callable(getattr(EmulatedIcebergSurface, meth))
     if not iceberg_available(spark):
         with pytest.raises(RuntimeError, match="Iceberg runtime"):
             IcebergCommitSurface(spark, "cat.db.kg")
-
-
-@pytest.mark.spark
-def test_build_kg_refuses_unwired_surfaces(spark, model_json, tmp_path):
-    """build_kg's data writes are parquet-path based; committing Iceberg
-    metadata about tables the build never wrote would corrupt resume —
-    refuse non-local surfaces until the writeTo data path is wired."""
-    from snips_nlu_spark.spark.lineage import build_kg
-
-    class FakeSurface:
-        pass
-
-    df = spark.createDataFrame(datagen.generate_pandas(0, 16))
-    with pytest.raises(NotImplementedError, match="parquet paths"):
-        build_kg(spark, df, model_json, str(tmp_path / "x"),
-                 n_buckets=2, surface=FakeSurface())
 
 
 @pytest.mark.spark
