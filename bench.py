@@ -149,10 +149,62 @@ def _timed_parse(spark, model_json, df, repeats: int = 1,
             "triples_per_sec": n_triples / wall}
 
 
+_BURN_ENGINE = None
+
+
+def _burn_init() -> None:
+    """Pool initializer: build + warm the engine once per worker, so the
+    timed maps measure parsing only (a per-task engine build overlaps
+    other workers' timed regions and collapses the reading)."""
+    global _BURN_ENGINE
+    from snips_nlu_spark.engine import NluEngine
+    _BURN_ENGINE = NluEngine.from_dict(json.loads(_model_json()))
+    _BURN_ENGINE.parse_batch(["make me 2 cups of coffee burnwarm"],
+                             [None])
+
+
+def _burn_worker(args) -> int:
+    wid, n, tag = args
+    texts = [f"make me {i} cups of coffee variant {tag}w{wid}_{i}"
+             for i in range(n)]
+    _BURN_ENGINE.parse_batch(texts, [None] * n)
+    return n
+
+
+def _make_burn_pool(cpus: int):
+    """Persistent pool with warm engines; fork it and run a sync map so
+    every worker is initialized before any timed sample."""
+    import multiprocessing as mp
+    pool = mp.Pool(cpus, initializer=_burn_init)
+    pool.map(_burn_worker, [(w, 20, "poolwarm") for w in range(cpus)])
+    return pool
+
+
+def _burn_tps(pool, cpus: int, n_per_core: int, tag: str) -> float:
+    """Aggregate no-Spark multiprocessing throughput (wall-based): the
+    box's saturated Python ceiling under the CURRENT load."""
+    t0 = time.perf_counter()
+    pool.map(_burn_worker, [(w, n_per_core, tag) for w in range(cpus)])
+    return cpus * n_per_core / (time.perf_counter() - t0)
+
+
+def _loadavg() -> float:
+    """1-min load at sample time. This box sees host-side load spikes
+    (observed 4-18 with zero local processes — round-4 VERDICT #1: the
+    driver's capture ran at elevated load and understated the repo by
+    ~1.7x); stamping the load into the JSON makes a skewed capture
+    self-describing."""
+    return round(os.getloadavg()[0], 2)
+
+
 def main() -> None:
     from snips_nlu_spark.datagen import UNIQUE_FRAC
     sf = float(Path(SF_DIR).name.replace("sf", "") or 0.1)
     queries: dict[str, float] = {}
+    load_start = _loadavg()
+    if load_start > 4:
+        print(f"bench: WARNING 1-min load {load_start} at start — "
+              "headline samples may understate the repo", file=sys.stderr)
 
     spark = _fresh_spark(CPUS)
     model_json = _model_json()
@@ -170,12 +222,14 @@ def main() -> None:
     # corpus, just not the headline.
     import statistics
     firsts = []
+    headline_loads = []
     for rep in range(REPEATS):
         if rep > 0:
             spark.stop()
             spark = _fresh_spark(CPUS)
             transcripts = _transcripts(spark, SF_DIR)
             _warm(spark, model_json, transcripts, CPUS)
+        headline_loads.append(_loadavg())
         r = _timed_parse(spark, model_json, transcripts)
         firsts.append(r)
     median_wall = statistics.median(r["first_wall_sec"] for r in firsts)
@@ -233,8 +287,8 @@ def main() -> None:
     from pyspark.sql import functions as F
     from snips_nlu_spark.spark.stages import parse_transcripts as _pt
 
-    def _unique_batch(tag: str):
-        return spark.range(50_000).select(
+    def _unique_batch(tag: str, n: int = 50_000, parts: int | None = None):
+        return spark.range(n, numPartitions=parts).select(
             F.concat(F.lit("conv_u"), (F.col("id") / 50).cast("long")
                      .cast("string")).alias("conv_id"),
             F.pmod(F.col("id"), F.lit(50)).cast("int").alias("turn_idx"),
@@ -247,6 +301,41 @@ def main() -> None:
                                       model_json).count())
     queries["cold_unique_parse"] = round(cold_sec, 3)
     cold_tps = round(50_000 / cold_sec, 1)
+
+    # q2e: cold path vs the SAME-SESSION multiprocessing-burn ceiling
+    # (round-4 VERDICT: the box saturates at ~68% per-core retention
+    # with NO Spark — the honest bar for the Spark path is that burn
+    # number measured under the same load, not a stale constant).
+    # Interleaved burn/Spark samples; the Spark leg uses 200k texts so
+    # the ~0.8s fixed job cost (plan+submit ~0.4s, task ramp ~0.3s —
+    # measured via in-kernel timelines, scripts/profile_spark_overhead
+    # .py) is <10% of the wall: at 50k texts those fixed costs alone
+    # cap the ratio at ~0.76 and the number measures job latency, not
+    # pipeline throughput.
+    # host load spikes hit single samples hard (observed a full-bench
+    # capture where one spike window read the burn 5x slow): sample
+    # BACK-TO-BACK burn/Spark pairs so each pair shares one load regime,
+    # take the median of per-pair ratios, and export every sample so a
+    # skewed capture is self-describing.
+    import statistics as _stats
+    burn_samples, spark_samples = [], []
+    n_cold = 200_000
+    burn_pool = _make_burn_pool(CPUS)
+    for rep in range(5):
+        burn_samples.append(_burn_tps(burn_pool, CPUS, 1600, f"b{rep}"))
+        t0 = time.time()
+        # 2 waves of CPUS tasks: one wave leaves the wall hostage to the
+        # slowest task (+15-25% under core contention); more waves pay
+        # local-mode per-task overhead (both measured, sweep at 400k)
+        _pt(_unique_batch(f"big{rep}", n_cold, parts=2 * CPUS),
+            model_json).count()
+        spark_samples.append(n_cold / (time.time() - t0))
+    burn_pool.terminate()
+    burn_tps = _stats.median(burn_samples)
+    cold_at_scale = _stats.median(spark_samples)
+    cold_ratio = _stats.median(
+        s / b for s, b in zip(spark_samples, burn_samples))
+    queries["cold_unique_parse_200k"] = round(n_cold / cold_at_scale, 3)
 
     # q3: checkpointed end-to-end build (parse + partitioned write +
     # lineage + rollup sinks); fresh output dir per repeat so each run
@@ -273,8 +362,15 @@ def main() -> None:
             parse_stats["n_triples"] / parse_stats["first_wall_sec"], 1),
         "warm_turns_per_sec": round(warm["turns_per_sec"], 1),
         "cold_unique_turns_per_sec": cold_tps,
+        "cold_at_scale_turns_per_sec": round(cold_at_scale, 1),
+        "burn_ceiling_turns_per_sec": round(burn_tps, 1),
+        "cold_vs_burn_ratio": round(cold_ratio, 3),
+        "cold_burn_samples": [round(b, 1) for b in burn_samples],
+        "cold_spark_samples": [round(s, 1) for s in spark_samples],
         "unique_text_frac": UNIQUE_FRAC,
         "cpus": CPUS,
+        "loadavg": {"start": load_start, "end": _loadavg(),
+                    "headline_samples": headline_loads},
     }
 
     if SCALING:

@@ -63,8 +63,8 @@ def run_spark(n_total: int) -> tuple[float, float]:
     model_json = em._model_json()
     kernel_acc = spark.sparkContext.accumulator(0.0)
 
-    def batch(tag):
-        return spark.range(n_total).select(
+    def batch(tag, n=None):
+        return spark.range(n or n_total).select(
             F.concat(F.lit("conv_u"), (F.col("id") / 50).cast("long")
                      .cast("string")).alias("conv_id"),
             F.pmod(F.col("id"), F.lit(50)).cast("int").alias("turn_idx"),
@@ -85,27 +85,41 @@ def run_spark(n_total: int) -> tuple[float, float]:
 
     stages._parse_batch = timed
     try:
-        parse_transcripts(batch("warm").limit(CPUS * 50),
-                          model_json).count()
-        kernel_acc.value  # noqa: B018 — drain warmup (driver-side read)
+        # warm EVERY worker (a .limit() here would collapse to one task
+        # and leave 31 engine builds inside the timed window)
+        parse_transcripts(batch("warm", CPUS * 200), model_json).count()
+        warm_kernel = kernel_acc.value
         t0 = time.perf_counter()
         parse_transcripts(batch("r0"), model_json).count()
         wall = time.perf_counter() - t0
     finally:
         stages._parse_batch = orig
+    kernel_sec = kernel_acc.value - warm_kernel
     spark.stop()
-    # accumulator includes warmup; subtract nothing — warmup ~CPUS*50
-    # texts, negligible vs n_total, and we report a fraction
-    return n_total / wall, kernel_acc.value / (wall * CPUS)
+    return n_total / wall, kernel_sec / (wall * CPUS)
 
 
 if __name__ == "__main__":
+    import statistics
+
     n_per_core = int(sys.argv[1]) if len(sys.argv) > 1 else 1600
-    burn = run_burn(n_per_core)
-    spark_tps, kernel_frac = run_spark(n_per_core * CPUS)
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # INTERLEAVED sampling (same rationale as bench.py's scaling legs):
+    # host-side load spikes corrupt single samples, and alternating legs
+    # puts both under the same load regime
+    burns, sparks, fracs = [], [], []
+    for _ in range(reps):
+        burns.append(run_burn(n_per_core))
+        tps, frac = run_spark(n_per_core * CPUS)
+        sparks.append(tps)
+        fracs.append(frac)
+    burn = statistics.median(burns)
+    spark_tps = statistics.median(sparks)
     print(json.dumps({
         "burn_tps": round(burn, 1),
         "spark_tps": round(spark_tps, 1),
         "ratio": round(spark_tps / burn, 3),
-        "kernel_frac_of_wall": round(kernel_frac, 3),
+        "kernel_frac_of_wall": round(statistics.median(fracs), 3),
+        "burn_samples": [round(b, 1) for b in burns],
+        "spark_samples": [round(s, 1) for s in sparks],
     }))
