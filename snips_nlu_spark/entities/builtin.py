@@ -502,7 +502,17 @@ _DT = {
         "every_words": ("every", "each"),
         # fixed-date holidays: first token -> {continuation -> (m, d)}
         "holidays": {"christmas": {("eve",): (12, 24), (): (12, 25)},
-                     "halloween": {(): (10, 31)}},
+                     "halloween": {(): (10, 31)},
+                     # movable feasts: ("E", offset) = easter + offset
+                     "easter": {("monday",): ("E", 1),
+                                ("sunday",): ("E", 0), (): ("E", 0)},
+                     "good": {("friday",): ("E", -2)},
+                     "palm": {("sunday",): ("E", -7)},
+                     "ash": {("wednesday",): ("E", -46)},
+                     "mardi": {("gras",): ("E", -47)},
+                     "pentecost": {(): ("E", 49)},
+                     "whitsun": {(): ("E", 49)},
+                     "ascension": {("day",): ("E", 39), (): ("E", 39)}},
         "this_words": ("this",),
         "boundary_words": {"beginning": "begin", "start": "begin",
                            "end": "end", "middle": "mid"},
@@ -540,7 +550,11 @@ _DT = {
                            "か月": "month", "年": "year"},
         "later_words": ("後",),
         "ahead_words": ("今後",),
-        "holidays": {"クリスマス": {(): (12, 25)}},
+        "holidays": {"クリスマス": {(): (12, 25)},
+                     "イースター": {(): ("E", 0)},
+                     # han runs tokenize per-character (no dictionary):
+                     # 復活祭 arrives as 復+活+祭
+                     "復": {("活", "祭"): ("E", 0)}},
         "daypart_single": {"今晩": (0, 21), "今朝": (0, 8)},
         "boundary_single": {"月末": ("month", "end"),
                             "月初": ("month", "begin"),
@@ -576,7 +590,8 @@ _DT = {
                            "달": "month", "년": "year"},
         "later_words": ("후", "뒤"),
         "ahead_words": ("앞으로",),
-        "holidays": {"크리스마스": {(): (12, 25)}},
+        "holidays": {"크리스마스": {(): (12, 25)},
+                     "부활절": {(): ("E", 0)}},
         "boundary_single": {"월말": ("month", "end"),
                             "월초": ("month", "begin"),
                             "연말": ("year", "end"),
@@ -609,7 +624,11 @@ _DT = {
         "next_adjs": ("próximo", "proximo", "próxima", "proxima",
                       "próximos", "proximos", "próximas", "proximas"),
         "every_words": ("cada", "todo", "toda"),
-        "holidays": {"natal": {(): (12, 25)}},
+        "holidays": {"natal": {(): (12, 25)},
+                     "páscoa": {(): ("E", 0)}, "pascoa": {(): ("E", 0)},
+                     "sexta": {("feira", "santa"): ("E", -2)},
+                     "pentecostes": {(): ("E", 49)},
+                     "carnaval": {(): ("E", -47)}},
         "this_words": ("esta", "este"),
         "boundary_words": {"início": "begin", "inicio": "begin",
                            "começo": "begin", "comeco": "begin",
@@ -647,7 +666,13 @@ _DT = {
         "next_adjs": ("prossimo", "prossima", "prossimi", "prossime"),
         "every_words": ("ogni",),
         "holidays": {"natale": {(): (12, 25)},
-                     "capodanno": {(): (1, 1)}},
+                     "capodanno": {(): (1, 1)},
+                     "pasqua": {(): ("E", 0)},
+                     "pasquetta": {(): ("E", 1)},
+                     "venerdì": {("santo",): ("E", -2)},
+                     "venerdi": {("santo",): ("E", -2)},
+                     "pentecoste": {(): ("E", 49)},
+                     "ascensione": {(): ("E", 39)}},
         "this_words": ("questa", "questo"),
         "daypart_single": {"stamattina": (0, 8), "stanotte": (0, 21)},
         "boundary_words": {"inizio": "begin", "fine": "end",
@@ -686,7 +711,14 @@ _DT = {
         "every_words": ("jeden", "jede", "jedes"),
         "holidays": {"weihnachten": {(): (12, 25)},
                      "heiligabend": {(): (12, 24)},
-                     "silvester": {(): (12, 31)}},
+                     "silvester": {(): (12, 31)},
+                     "ostern": {(): ("E", 0)},
+                     "ostersonntag": {(): ("E", 0)},
+                     "ostermontag": {(): ("E", 1)},
+                     "karfreitag": {(): ("E", -2)},
+                     "rosenmontag": {(): ("E", -48)},
+                     "pfingsten": {(): ("E", 49)},
+                     "christi": {("himmelfahrt",): ("E", 39)}},
         # "heute abend" already resolves via the rel_days branch + the
         # daypart tail; this_words only needs the demonstrative forms
         "this_words": ("diesen", "diese", "dieses"),
@@ -728,7 +760,12 @@ _DT = {
         "every_words": ("cada",),
         "holidays": {"navidad": {(): (12, 25)},
                      "nochebuena": {(): (12, 24)},
-                     "nochevieja": {(): (12, 31)}},
+                     "nochevieja": {(): (12, 31)},
+                     "pascua": {(): ("E", 0)},
+                     "viernes": {("santo",): ("E", -2)},
+                     "pentecostés": {(): ("E", 49)},
+                     "pentecostes": {(): ("E", 49)},
+                     "carnaval": {(): ("E", -47)}},
         "this_words": ("esta", "este"),
         # "fin de semana" (weekend) resolves via the end-of-week rule to
         # that week's sunday — the closest Day-grain approximation
@@ -768,7 +805,15 @@ _DT = {
                       "prochaines"),
         "every_words": ("chaque",),
         "holidays": {"noël": {(): (12, 25)}, "noel": {(): (12, 25)},
-                     "halloween": {(): (10, 31)}},
+                     "halloween": {(): (10, 31)},
+                     "pâques": {(): ("E", 0)}, "paques": {(): ("E", 0)},
+                     "lundi": {("de", "pâques"): ("E", 1),
+                               ("de", "paques"): ("E", 1)},
+                     "vendredi": {("saint",): ("E", -2)},
+                     "mardi": {("gras",): ("E", -47)},
+                     "pentecôte": {(): ("E", 49)},
+                     "pentecote": {(): ("E", 49)},
+                     "ascension": {(): ("E", 39)}},
         "this_words": ("ce", "cette"),
         "boundary_words": {"début": "begin", "debut": "begin",
                            "fin": "end", "milieu": "mid"},
@@ -998,6 +1043,56 @@ def _next_holiday(base_date, month, day):
         return None
 
 
+def _easter(year):
+    """Gregorian Easter Sunday (anonymous computus — public-domain
+    algorithm; the reference's Rustling grammar resolves movable feasts
+    the same way)."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    f = (b + 8) // 25
+    g = (b - f + 1) // 3
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    ell = (32 + 2 * e + 2 * i - h - k) % 7
+    m = (a + 11 * h + 22 * ell) // 451
+    month = (h + ell - 7 * m + 114) // 31
+    day = (h + ell - 7 * m + 114) % 31 + 1
+    return month, day
+
+
+def _next_movable(base_date, offset_days):
+    """Next occurrence (today counts) of easter+offset — good friday is
+    offset -2, pentecost +49, mardi gras -47, etc."""
+    try:
+        for year in (base_date.year, base_date.year + 1):
+            m, d = _easter(year)
+            day = (base_date.replace(year=year, month=m, day=d)
+                   + _dt.timedelta(days=offset_days))
+            if day >= base_date:
+                return day
+    except (OverflowError, ValueError):
+        pass
+    return None
+
+
+def _match_holiday(tables, lows, i, n):
+    """Longest-continuation holiday match at token i. Returns
+    (value, tok_end) where value is a fixed (month, day) pair or a
+    movable ("E", offset_from_easter) marker, or None. Probed BEFORE
+    the weekday branch: multi-token feasts like "good friday" /
+    "vendredi saint" / "viernes santo" embed weekday words that would
+    otherwise win and split the mention."""
+    conts = tables.get("holidays", {}).get(lows[i])
+    if conts is None:
+        return None
+    for cont, val in sorted(conts.items(), key=lambda kv: -len(kv[0])):
+        if all(i + 1 + k < n and lows[i + 1 + k] == c
+               for k, c in enumerate(cont)):
+            return val, i + len(cont)
+    return None
+
+
 def _clock_fn(lang):
     if lang == "ja":
         return _parse_clock_ja
@@ -1152,7 +1247,25 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                          "year": "Year"}[post_unit],
                         jj + 1)
         tok_start, tok_end = i, i
-        if w in tables["rel_days"]:
+        hol = _match_holiday(tables, lows, i, n)
+        if hol is not None:
+            # holiday probe FIRST: multi-token feasts ("good friday",
+            # "vendredi saint", "lundi de pâques") embed weekday words
+            # that would otherwise win the chain and split the mention.
+            # Fixed dates resolve to the next occurrence (today counts,
+            # like the weekday rule); movable feasts via the Easter
+            # computus (_next_movable)
+            val, tok_end = hol
+            day = (_next_movable(base_date, val[1]) if val[0] == "E"
+                   else _next_holiday(base_date, val[0], val[1]))
+            if day is not None:
+                if i > 0 and i - 1 not in used \
+                        and lower(i - 1) in tables["day_prefix"]:
+                    tok_start = i - 1
+                if tok_end + 1 < n \
+                        and lower(tok_end + 1) in tables["weekday_suffix"]:
+                    tok_end += 1
+        elif w in tables["rel_days"]:
             day = base_date + _dt.timedelta(days=tables["rel_days"][w])
         elif w == tables["tonight"]:
             day = base_date.replace(hour=tables["dayparts"].get(
@@ -1241,27 +1354,6 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 else:
                     day, grain = _next_period(base_date, unit)
                 tok_end = i + 1
-        elif w in tables.get("holidays", {}):
-            # fixed-date holidays: "next christmas", "noël prochain",
-            # "christmas eve" — resolved to the next occurrence (today
-            # counts), like the weekday rule
-            conts = tables["holidays"][w]
-            md = None
-            for cont, mdv in sorted(conts.items(),
-                                    key=lambda kv: -len(kv[0])):
-                if all(i + 1 + k < n and lower(i + 1 + k) == c
-                       for k, c in enumerate(cont)):
-                    md = mdv
-                    tok_end = i + len(cont)
-                    break
-            if md is not None:
-                day = _next_holiday(base_date, md[0], md[1])
-                if i > 0 and i - 1 not in used \
-                        and lower(i - 1) in tables["day_prefix"]:
-                    tok_start = i - 1
-                if tok_end + 1 < n \
-                        and lower(tok_end + 1) in tables["weekday_suffix"]:
-                    tok_end += 1
         elif w in tables.get("this_words", ()) and i + 1 < n \
                 and lower(i + 1) in tables["dayparts"]:
             # standalone part-of-day: "this evening", "ce soir",

@@ -281,3 +281,84 @@ def test_datetime_boundary_composes_with_clock_tail():
     assert ms[0]["value"] == "end of next week at 5pm"
     assert ms[0]["resolved_value"]["value"] == "2024-03-24 17:00:00"
     assert ms[0]["resolved_value"]["grain"] == "Hour"
+
+
+def test_datetime_movable_feasts_all_languages():
+    """Round-5: Easter-class computed holidays (anonymous Gregorian
+    computus) in all 8 packs; multi-token feasts embedding weekday words
+    ("good friday", "vendredi saint") must win over the weekday branch.
+    Anchor 2024-03-14: Easter 2024-03-31 (upcoming), pre-Easter feasts
+    already passed roll to 2025 (Easter 2025-04-20)."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 3, 14)
+    cases = [
+        ("en", "easter", "2024-03-31 00:00:00"),
+        ("en", "next easter", "2024-03-31 00:00:00"),
+        ("en", "easter monday", "2024-04-01 00:00:00"),
+        ("en", "good friday", "2024-03-29 00:00:00"),
+        ("en", "palm sunday", "2024-03-24 00:00:00"),
+        ("en", "pentecost", "2024-05-19 00:00:00"),
+        ("en", "ascension day", "2024-05-09 00:00:00"),
+        ("en", "ash wednesday", "2025-03-05 00:00:00"),  # passed -> 2025
+        ("en", "mardi gras", "2025-03-04 00:00:00"),
+        ("fr", "pâques", "2024-03-31 00:00:00"),
+        ("fr", "vendredi saint", "2024-03-29 00:00:00"),
+        ("fr", "lundi de pâques", "2024-04-01 00:00:00"),
+        ("fr", "pentecôte", "2024-05-19 00:00:00"),
+        ("es", "pascua", "2024-03-31 00:00:00"),
+        ("es", "viernes santo", "2024-03-29 00:00:00"),
+        ("es", "carnaval", "2025-03-04 00:00:00"),
+        ("de", "ostern", "2024-03-31 00:00:00"),
+        ("de", "karfreitag", "2024-03-29 00:00:00"),
+        ("de", "ostermontag", "2024-04-01 00:00:00"),
+        ("de", "pfingsten", "2024-05-19 00:00:00"),
+        ("de", "christi himmelfahrt", "2024-05-09 00:00:00"),
+        ("de", "rosenmontag", "2025-03-03 00:00:00"),
+        ("it", "pasqua", "2024-03-31 00:00:00"),
+        ("it", "pasquetta", "2024-04-01 00:00:00"),
+        ("it", "venerdì santo", "2024-03-29 00:00:00"),
+        ("pt", "páscoa", "2024-03-31 00:00:00"),
+        ("pt", "sexta feira santa", "2024-03-29 00:00:00"),
+        ("pt", "pentecostes", "2024-05-19 00:00:00"),
+        ("ja", "イースター", "2024-03-31 00:00:00"),
+        ("ja", "復活祭", "2024-03-31 00:00:00"),
+        ("ko", "부활절", "2024-03-31 00:00:00"),
+    ]
+    parsers = {}
+    for lang, text, want in cases:
+        p = parsers.get(lang)
+        if p is None:
+            p = parsers[lang] = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert ms, (lang, text)
+        assert ms[0]["resolved_value"]["value"] == want, (lang, text, ms)
+    # bare weekday words still resolve as weekdays, not feasts
+    fr = parsers["fr"].parse("vendredi", anchor=anchor)
+    assert fr[0]["resolved_value"]["value"] == "2024-03-15 00:00:00"
+
+
+def test_datetime_boundary_clock_combo_all_languages():
+    """Round-5: boundary anchors compose with a clock tail in every
+    pack, CJK fused clocks included (anchor 2024-05-02: month end
+    2024-05-31; "next month" end 2024-06-30)."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 5, 2)
+    cases = [
+        ("de", "ende nächsten monats um 17 uhr", "2024-06-30 17:00:00"),
+        ("es", "a finales del próximo mes a las 8:30",
+         "2024-06-30 08:30:00"),
+        ("fr", "fin du mois à 8h30", "2024-05-31 08:30:00"),
+        ("it", "a fine del mese alle 8:30", "2024-05-31 08:30:00"),
+        ("pt", "no fim do mês às 8:30", "2024-05-31 08:30:00"),
+        ("ja", "月末8時30分", "2024-05-31 08:30:00"),
+        ("ko", "월말 8시 30분", "2024-05-31 08:30:00"),
+    ]
+    for lang, text, want in cases:
+        p = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert ms, (lang, text)
+        assert ms[0]["resolved_value"]["value"] == want, (lang, text, ms)
