@@ -321,16 +321,10 @@ def make_ivf_topk_oracle(sf: float, k: int = 5, n_queries: int = 20,
     return out
 
 
-def make_ivf_pq_oracle(sf: float, k: int = 5, n_queries: int = 20,
-                       n_centroids: int = 32, n_probe: int = 12,
-                       m: int = 8, ksub: int = 16, rerank: int = 64,
-                       seed: int = 42, sample_cap: int = 20000,
-                       n_iter: int = 10) -> Path:
+def make_ivf_pq_oracle(sf: float, **kw) -> Path:
     """Pure-numpy re-execution of functions/similarity.ivf_pq_topk
     (same deterministic quantizer + codebook spec, independent encode /
     ADC / rerank code) — the differential for the Spark PQ plumbing."""
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -339,6 +333,38 @@ def make_ivf_pq_oracle(sf: float, k: int = 5, n_queries: int = 20,
     vec_ids = emb["vec_id"].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64)
                     for v in emb["embedding"]])
+    return _ivf_pq_replay(vec_ids, mat,
+                          ORACLE_DIR / f"ivf_pq_topk_sf{sf:g}.parquet",
+                          **kw)
+
+
+def make_ivf_pq_scale_oracle(n: int = 100_000) -> Path:
+    """VERDICT r4 #7: the >=100k-vector ANN gate. Corpus = the
+    counter-hash clustered synthesizer (similarity.synth_matrix — a pure
+    function of the id, replayed here exactly), knobs = the scale
+    config (sqrt(N) cells, 8-bit PQ codes, 256-deep rerank) whose
+    recall@5 vs brute force is asserted >=0.9 in
+    tests/test_round5_fixes.py."""
+    import numpy as np
+
+    from snips_nlu_spark.functions.similarity import synth_matrix
+
+    ids = np.arange(n, dtype=np.int64)
+    mat = synth_matrix(ids).astype(np.float64)
+    return _ivf_pq_replay(ids, mat, ORACLE_DIR / "ivf_pq_scale.parquet",
+                          n_centroids=316, n_probe=16, m=16, ksub=256,
+                          rerank=256)
+
+
+def _ivf_pq_replay(vec_ids, mat, out: Path, k: int = 5,
+                   n_queries: int = 20, n_centroids: int = 32,
+                   n_probe: int = 12, m: int = 8, ksub: int = 16,
+                   rerank: int = 64, seed: int = 42,
+                   sample_cap: int = 20000, n_iter: int = 10) -> Path:
+    import math
+
+    import numpy as np
+
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     matn = mat / norms
@@ -370,7 +396,9 @@ def make_ivf_pq_oracle(sf: float, k: int = 5, n_queries: int = 20,
         bc = sub[rng2.choice(len(sub), size=min(ksub, len(sub)),
                              replace=False)].copy()
         for _ in range(n_iter):
-            d2 = ((sub[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
+            # same matmul form as similarity._pq_codebooks (the two
+            # sides must round identically)
+            d2 = (-2.0 * sub @ bc.T + (bc ** 2).sum(axis=1)[None, :])
             assign = np.argmin(d2, axis=1)
             for c in range(len(bc)):
                 members = sub[assign == c]
@@ -421,9 +449,9 @@ def make_ivf_pq_oracle(sf: float, k: int = 5, n_queries: int = 20,
         "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
         "sim": pa.array([r[2] for r in rows], type=pa.float64()),
         "rank": pa.array([r[3] for r in rows], type=pa.int32())})
-    out = ORACLE_DIR / f"ivf_pq_topk_sf{sf:g}.parquet"
     pq.write_table(table_out, out)
-    print(f"sf={sf}: ivf-pq topk oracle -> {len(rows)} rows -> {out}")
+    print(f"ivf-pq replay ({len(mat)} vectors) -> {len(rows)} rows "
+          f"-> {out}")
     return out
 
 
@@ -440,3 +468,4 @@ if __name__ == "__main__":
             make_lsh_topk_oracle(sf)
             make_ivf_topk_oracle(sf)
             make_ivf_pq_oracle(sf)
+            make_ivf_pq_scale_oracle()

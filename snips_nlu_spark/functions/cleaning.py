@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-PHONE_RE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+# international formats: "+44 20 7946 0958", "(415) 555-0123",
+# "415.555.0123" — >=9 chars, digit-delimited, no letters inside
+PHONE_RE = "\\(?\\+?[0-9][0-9()\\. -]{7,}[0-9]"
+# country code + check digits + 2-7 groups of 4 (spaced or fused) + an
+# optional short tail — DE89 3704 0044 0532 0130 00 / GB29NWBK6016...
+IBAN_RE = ("\\b[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]{4}){2,7}"
+           "(?: ?[A-Z0-9]{1,3})?\\b")
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
 
 def remove_boilerplate_lines(documents: DataFrame,
@@ -59,11 +66,17 @@ def remove_boilerplate_lines(documents: DataFrame,
 
 
 def mask_pii(documents: DataFrame) -> DataFrame:
-    """(doc_id, text) with emails → <EMAIL> and phone-like digit runs →
-    <PHONE>. Emails first so their digits can't be phone-matched."""
-    masked = F.regexp_replace(
-        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
-        PHONE_RE, "<PHONE>")
+    """(doc_id, text) with emails → <EMAIL>, IBANs → <IBAN>, IPv4
+    addresses → <IP> and phone-like digit runs → <PHONE>. Order
+    matters: emails first (their digits must not phone-match), then
+    IBANs (digit groups would otherwise be phone-eaten), then IPs
+    (dotted quads would otherwise match the dotted-phone form), phones
+    last. All four patterns are valid in BOTH Java regex and RE2, so
+    the DuckDB oracle runs the identical expressions."""
+    masked = F.col("text")
+    for pat, token in ((EMAIL_RE, "<EMAIL>"), (IBAN_RE, "<IBAN>"),
+                       (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")):
+        masked = F.regexp_replace(masked, pat, token)
     return documents.select("doc_id", masked.alias("text"))
 
 
@@ -121,12 +134,20 @@ def synthesize_line_docs(spark: SparkSession, n: int = 200) -> DataFrame:
 
 
 def synthesize_pii_docs(spark: SparkSession, n: int = 200) -> DataFrame:
-    """Deterministic doc table with emails + phone numbers derived from
-    the row id — pure function of the id, reproducible in SQL."""
+    """Deterministic doc table with emails, international + US phone
+    formats, IBANs and IPv4 addresses derived from the row id — pure
+    function of the id, reproducible in SQL."""
     i = F.col("id")
     text = F.concat(
         F.lit("contact user"), i.cast("string"),
         F.lit("@example.com or call +1 555 00"),
         F.lpad((i % 100).cast("string"), 2, "0"),
-        F.lit(" 1234 about order "), ((i * 7) % 1000).cast("string"))
+        F.lit(" 1234, alt (415) 555-0"),
+        F.lpad((i % 1000).cast("string"), 3, "0"),
+        F.lit(", wire DE"), ((i % 89) + 10).cast("string"),
+        F.lit(" 3704 0044 0532 "),
+        F.lpad(((i * 13) % 10000).cast("string"), 4, "0"),
+        F.lit(" 00 from 10."), (i % 256).cast("string"),
+        F.lit(".0."), ((i * 3) % 256).cast("string"),
+        F.lit(" about order "), ((i * 7) % 1000).cast("string"))
     return spark.range(n).select(i.alias("doc_id"), text.alias("text"))

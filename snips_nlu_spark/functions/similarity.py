@@ -310,7 +310,12 @@ def _pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
         cent = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
                               replace=False)].copy()
         for _ in range(n_iter):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; the ||x||^2 term is
+            # constant per row so argmin over c ignores it — one matmul
+            # instead of an (n, ksub, dsub) broadcast diff (6x faster at
+            # ksub=256, the scale-gate knob)
+            d2 = (-2.0 * sub @ cent.T
+                  + (cent ** 2).sum(axis=1)[None, :])
             assign = np.argmin(d2, axis=1)
             for c in range(len(cent)):
                 members = sub[assign == c]
@@ -430,3 +435,66 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
         F.desc("sim"), F.asc("neighbor_id"))
     return (refined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 keys → well-mixed uint64.
+    Counter-based RNG: the value depends only on the key, so any id
+    slice reproduces byte-identically regardless of batching — in Spark
+    AND in the committed numpy oracle (both call this same function)."""
+    z = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _hash_normal(keys: np.ndarray, dim: int) -> np.ndarray:
+    """(n,) uint64 keys → (n, dim) standard normals via per-(key, col)
+    hashing + Box-Muller. Deterministic, vectorized, batch-invariant."""
+    cols = np.arange(dim, dtype=_U64)
+    base = keys[:, None] * _U64(0x9E3779B97F4A7C15) + cols[None, :]
+    half = 1.0 / (1 << 53)
+    u1 = ((_splitmix64(base) >> _U64(11)).astype(np.float64) + 0.5) * half
+    u2 = ((_splitmix64(base ^ _U64(0xDEADBEEFCAFEF00D)) >> _U64(11))
+          .astype(np.float64) + 0.5) * half
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def synth_matrix(ids, dim: int = 64, n_clusters: int = 256,
+                 spread: float = 0.35, seed: int = 7) -> np.ndarray:
+    """The (ids → vectors) function behind synthesize_embeddings — pure
+    and vectorized, so the numpy oracle replays it exactly. Vector i =
+    unit center(i % n_clusters) + noise(i) scaled so E‖noise‖ ≈ spread
+    (i.e. ``spread`` is the noise-to-center NORM ratio — within-cluster
+    cosine ≈ 1/(1+spread²) ≈ 0.89 at the 0.35 default, like embeddings
+    of near-duplicate text); float32."""
+    ids = np.asarray(ids, dtype=np.int64).astype(_U64)
+    centers = _hash_normal(
+        np.arange(n_clusters, dtype=_U64) + _U64(seed * 1_000_003), dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = _hash_normal(ids + _U64(seed * 77_000_001), dim)
+    c = (ids % _U64(n_clusters)).astype(np.int64)
+    return (centers[c]
+            + (spread / np.sqrt(dim)) * noise).astype(np.float32)
+
+
+def synthesize_embeddings(spark, n: int, dim: int = 64,
+                          n_clusters: int = 256, spread: float = 0.35,
+                          seed: int = 7) -> DataFrame:
+    """Deterministic clustered Gaussian embeddings at arbitrary scale —
+    the ≥100k-vector ANN-gate input (the driver's parquet fixtures top
+    out at 2k vectors). Embedding-like structure (tight clusters like
+    near-duplicate text embeddings) via ``synth_matrix``; counter-based
+    hashing makes the table a pure function of the id range, so the
+    generation itself is shuffle-free and scales to any n."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            vecs = synth_matrix(ids, dim, n_clusters, spread, seed)
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": list(map(list, vecs))})
+    return spark.range(n).mapInPandas(
+        gen, "vec_id long, embedding array<float>")

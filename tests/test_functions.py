@@ -251,10 +251,19 @@ def test_mask_pii(spark):
 
     df = spark.createDataFrame(
         [(0, "mail a.b+c@x-y.co or ring +49 30 1234 5678 now"),
-         (1, "no pii here, order 42")], ["doc_id", "text"])
+         (1, "no pii here, order 42"),
+         (2, "us style (415) 555-0123 and dotted 415.555.0123 ok"),
+         (3, "wire DE89 3704 0044 0532 0130 00 or GB29NWBK60161331926819"),
+         (4, "host 192.168.0.1 port 8080; version 2.0.1 untouched"),
+         (5, "IBAN-less caps text WORDS LIKE THESE stay")],
+        ["doc_id", "text"])
     got = {r["doc_id"]: r["text"] for r in mask_pii(df).collect()}
     assert got[0] == "mail <EMAIL> or ring <PHONE> now"
     assert got[1] == "no pii here, order 42"  # short digit runs untouched
+    assert got[2] == "us style <PHONE> and dotted <PHONE> ok"
+    assert got[3] == "wire <IBAN> or <IBAN>"
+    assert got[4] == "host <IP> port 8080; version 2.0.1 untouched"
+    assert got[5] == "IBAN-less caps text WORDS LIKE THESE stay"
 
 
 @pytest.mark.spark
