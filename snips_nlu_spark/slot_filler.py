@@ -335,13 +335,16 @@ class FeatureSet:
         per-token string-dict of ``compute`` and the downstream
         per-feature f-string/index lookups (builder ROADMAP #1). Same
         feature content as ``compute`` with no drop-out (inference never
-        drops). ``id_memo`` maps (base name, value) → tuple of
-        (offset, id) pairs — every offset of the owning config resolved
-        at once, None ids dropped at memo-build time — and must belong
-        to the CRF owning ``feature_index``. One dict probe per (token,
-        series) instead of one per (token, series, offset), and offsets
-        whose feature string is absent from the model cost nothing on
-        memo hits.
+        drops). ``id_memo`` is nested {base name: {value: tuple of
+        (offset, id) pairs}} — every offset of the owning config
+        resolved at once, None ids dropped at memo-build time — and must
+        belong to the CRF owning ``feature_index``. The name level is
+        probed ONCE per series (outside the token loop) and the value
+        level with a plain-string key — no per-probe tuple allocation or
+        tuple hashing (measured ~336 probes/text; the tuple-keyed form
+        spent 4% of the whole parse in dict.get alone). Offsets whose
+        feature string is absent from the model cost nothing on memo
+        hits.
 
         Uniqueness invariant (mirrors ``compute``'s dict semantics):
         factories yield distinct base names within one call, config
@@ -353,25 +356,27 @@ class FeatureSet:
         ctx = {"text": text, "tokens": tokens,
                "values": [t.value for t in tokens], "anchor": anchor}
         out: list[list[int]] = [[] for _ in range(n)]
-        get_memo = id_memo.get
         get_index = feature_index.get
         for cfg in self.features_config:
             factory = FEATURE_FACTORIES[cfg["factory_name"]]
             offs = tuple(cfg.get("offsets", (0,)))
             for name, series in factory(cfg.get("args", {}), self, ctx):
+                vmemo = id_memo.get(name)
+                if vmemo is None:
+                    vmemo = id_memo[name] = {}
+                get_pairs = vmemo.get
                 for i in range(n):
                     value = series[i]
                     if value is None:
                         continue
-                    key = (name, value)
-                    pairs = get_memo(key)
+                    pairs = get_pairs(value)
                     if pairs is None:
                         pairs = tuple(
                             (off, fid) for off in offs
                             if (fid := get_index(
                                 f"{_offset_name(name, off)}={value}"))
                             is not None)
-                        id_memo[key] = pairs
+                        vmemo[value] = pairs
                     for off, fid in pairs:
                         j = i - off
                         if 0 <= j < n:
@@ -478,7 +483,9 @@ class CRFSlotFiller:
         feature_set = self._get_feature_set(entity_bundle)
         tokens_list = [list(tokenize(t)) for t in texts]
         id_memo = self.crf._id_memo
-        if len(id_memo) > 300_000:
+        # nested {name: {value: pairs}}; bound the TOTAL entry count
+        # (name count is small and fixed, values grow with corpus)
+        if sum(map(len, id_memo.values())) > 300_000:
             id_memo.clear()
         index = self.crf.feature_index
         seqs = [
