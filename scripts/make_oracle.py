@@ -321,6 +321,56 @@ def make_ivf_topk_oracle(sf: float, k: int = 5, n_queries: int = 20,
     return out
 
 
+def make_bpe_oracle(sf: float) -> Path:
+    """Independent replay of functions/text.bpe_token_counts: applies
+    the committed merge table SEQUENTIALLY in rank order (replace every
+    occurrence of each pair, lowest rank first) — provably equivalent
+    to the runtime's greedy lowest-rank-first loop (any pair involving
+    a merged symbol was learned after it, so its rank is higher), but a
+    different code path, so the gate is a true differential."""
+    import re
+
+    import pandas as pd
+
+    from snips_nlu_spark.functions.bpe_vocab import MERGES
+    from snips_nlu_spark.functions.text import BPE_SPLIT_RE
+
+    docs = pd.read_parquet(
+        f"/root/testdata/sf{sf:g}/documents.parquet")
+    pat = re.compile(BPE_SPLIT_RE)
+
+    def n_tokens_word(word: str) -> int:
+        sym = list(word)
+        for a, b in MERGES:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i:i + 2] = [a + b]
+                else:
+                    i += 1
+        return len(sym)
+
+    memo: dict[str, int] = {}
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        total = 0
+        for m in pat.finditer(text or ""):
+            w = m.group(0)
+            n = memo.get(w)
+            if n is None:
+                n = memo[w] = n_tokens_word(w)
+            total += n
+        rows.append((int(doc_id), total))
+    out = ORACLE_DIR / f"bpe_counts_sf{sf:g}.parquet"
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_bpe_tokens": pa.array([r[1] for r in rows],
+                                 type=pa.int32())})
+    pq.write_table(table, out)
+    print(f"sf={sf}: bpe token-count oracle -> {len(rows)} rows -> {out}")
+    return out
+
+
 def make_ivf_pq_oracle(sf: float, **kw) -> Path:
     """Pure-numpy re-execution of functions/similarity.ivf_pq_topk
     (same deterministic quantizer + codebook spec, independent encode /
@@ -469,3 +519,4 @@ if __name__ == "__main__":
             make_ivf_topk_oracle(sf)
             make_ivf_pq_oracle(sf)
             make_ivf_pq_scale_oracle()
+            make_bpe_oracle(sf)

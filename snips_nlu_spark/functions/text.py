@@ -7,6 +7,7 @@ oracle equivalents registered in __spark_entry__.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
@@ -113,6 +114,70 @@ def token_counts(documents: DataFrame) -> DataFrame:
         token_count(F.col("text")).alias("n_words"),
         bpe_token_count(F.col("text")).alias("n_bpe_pieces"),
         F.length("text").alias("n_chars"))
+
+
+# --- real vocab-driven BPE ---------------------------------------------------
+
+def _bpe_ranks() -> dict:
+    """pair → merge rank from the committed trained table (generated by
+    scripts/make_bpe_vocab.py; shipped as a .py data module so the
+    spark-submit --py-files zip carries it)."""
+    from .bpe_vocab import MERGES
+    return {pair: rank for rank, pair in enumerate(MERGES)}
+
+
+def bpe_encode(pretoken: str, ranks: dict) -> tuple:
+    """Greedy lowest-rank-first BPE merge loop (the GPT-2 inference
+    algorithm): start from characters, repeatedly merge the adjacent
+    pair with the smallest rank until none is in the table. Exact —
+    not the pretokenizer-piece proxy (``bpe_token_count``)."""
+    sym = list(pretoken)
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return tuple(sym)
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens): EXACT vocab-driven BPE token counts —
+    the number a real token-budget pipeline charges. Arrow-batched
+    pandas UDF; the per-pretoken encode is memoized across the batch
+    (Zipf: a handful of distinct pretokens dominate any corpus), so the
+    merge loop runs once per DISTINCT pretoken per executor, not once
+    per occurrence."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    split = BPE_SPLIT_RE
+
+    @pandas_udf("int")
+    def count_udf(texts: pd.Series) -> pd.Series:
+        ranks = _bpe_ranks()
+        pat = _re.compile(split)
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            total = 0
+            for m in pat.finditer(t or ""):
+                w = m.group(0)
+                n = memo.get(w)
+                if n is None:
+                    n = memo[w] = len(bpe_encode(w, ranks))
+                total += n
+            out.append(total)
+        return pd.Series(out, dtype="int32")
+
+    return documents.select("doc_id",
+                            count_udf(F.col("text")).alias("n_bpe_tokens"))
 
 
 def repetition_flags(documents: DataFrame,

@@ -273,3 +273,72 @@ def test_ivf_pq_scale_recall(spark):
                for i in range(nq))
     recall = hits / (nq * k)
     assert recall >= 0.9, recall
+
+
+def test_bpe_encode_golden():
+    """Hand-computed merge-loop cases + greedy-lowest-rank-first vs
+    sequential-rank-order equivalence on every corpus pretoken (the
+    oracle generator applies merges sequentially; the runtime picks the
+    lowest-rank pair each step — provably equivalent, verified here)."""
+    import re
+
+    import pandas as pd
+
+    from snips_nlu_spark.functions.bpe_vocab import MERGES
+    from snips_nlu_spark.functions.text import BPE_SPLIT_RE, bpe_encode
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("d", "e"): 2}
+    assert bpe_encode("abc", ranks) == ("abc",)
+    assert bpe_encode("abd", ranks) == ("ab", "d")
+    assert bpe_encode("xyz", ranks) == ("x", "y", "z")
+    assert bpe_encode("deab", ranks) == ("de", "ab")
+    assert bpe_encode("", ranks) == ()
+
+    real_ranks = {p: i for i, p in enumerate(MERGES)}
+
+    def sequential(word):
+        sym = list(word)
+        for a, b in MERGES:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i:i + 2] = [a + b]
+                else:
+                    i += 1
+        return tuple(sym)
+
+    pat = re.compile(BPE_SPLIT_RE)
+    words = set()
+    for t in pd.read_parquet(
+            "/root/testdata/sf0.01/documents.parquet")["text"]:
+        words.update(m.group(0) for m in pat.finditer(t or ""))
+    assert words
+    for w in sorted(words):
+        assert bpe_encode(w, real_ranks) == sequential(w), w
+        # pieces always reassemble the pretoken exactly
+        assert "".join(bpe_encode(w, real_ranks)) == w
+
+
+@pytest.mark.spark
+def test_bpe_token_counts_bounds(spark):
+    """Exact BPE counts per doc: at least the pretokenizer piece count
+    (each pretoken >= 1 token) and at most the char count; deterministic
+    across runs."""
+    from pyspark.sql import functions as F
+
+    from snips_nlu_spark.functions.text import (bpe_token_count,
+                                                bpe_token_counts)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet")
+    exact = bpe_token_counts(docs)
+    joined = (exact.join(docs, "doc_id")
+              .select("doc_id", "n_bpe_tokens",
+                      bpe_token_count(F.col("text")).alias("n_pieces"),
+                      F.length("text").alias("n_chars"))
+              .collect())
+    assert len(joined) == 500
+    for r in joined:
+        assert r["n_pieces"] <= r["n_bpe_tokens"] <= r["n_chars"], r
+    again = sorted(map(tuple, bpe_token_counts(docs).collect()))
+    assert again == sorted(map(tuple, exact.collect()))
