@@ -114,6 +114,40 @@ def _digit_candidates(tokens: Sequence[Token]) -> list[dict]:
     return out
 
 
+# Numeral classifiers/counters and grammar units: a kanji numeral
+# fused to one of these is a genuine count (三人, 五個, 二枚, 五万円);
+# fused to any OTHER single han char it is part of a content compound
+# (千葉県 "Chiba", 百貨店 "department store", 一番 "best") and must not
+# become a number mention. Multi-char following tokens are always
+# allowed — they are the grammar-merge products (日間, 番目, 月曜日).
+_JA_COUNTERS = frozenset(
+    "人個回台冊枚本杯匹歳才件名軒階足頭羽点箱皿着曲部組席泊通社話"
+    "円度分秒時日月年週")
+_HAN_CHAR_RE = re.compile(r"[㐀-鿿豈-﫿々]")
+
+# Korean counters for fused native/sino numeral + counter eojeol
+# (세잔 "three cups", 두장 "two tickets", 이십오명 "25 people"):
+# closed curated set so content words never false-positive
+# (구두 "shoes" is not 9 + 두, 오늘 "today" is not 5 + 늘).
+# 번째 is deliberately absent — fused ordinals are _scan_ordinal's.
+_KO_COUNTERS = frozenset((
+    "개", "명", "잔", "장", "병", "번", "권", "대", "마리", "켤레",
+    "살", "시간", "시", "분", "초", "일", "주", "달", "년", "월",
+    "원", "그릇", "조각", "봉지", "상자", "컵", "사람",
+))
+
+
+def _ja_compound_blocked(tokens: Sequence[Token], hi: int) -> bool:
+    """True when the numeral ending at token ``hi`` is glued to a single
+    non-counter han char — a content compound, not a count."""
+    if hi + 1 >= len(tokens):
+        return False
+    nxt = tokens[hi + 1]
+    return (nxt.start == tokens[hi].end and len(nxt.value) == 1
+            and _HAN_CHAR_RE.match(nxt.value) is not None
+            and nxt.value not in _JA_COUNTERS)
+
+
 def _word_candidates(tokens: Sequence[Token],
                      language: str = "en") -> list[dict]:
     """Maximal runs of number words, trimmed until they parse."""
@@ -135,7 +169,10 @@ def _word_candidates(tokens: Sequence[Token],
                                   for t in tokens[lo:hi + 1])
                 num = words_to_number(phrase, language)
                 if num is not None:
-                    out.append({"tok_start": lo, "tok_end": hi, "num": num})
+                    if language != "ja" or not _ja_compound_blocked(
+                            tokens, hi):
+                        out.append({"tok_start": lo, "tok_end": hi,
+                                    "num": num})
                     break
                 if tokens[hi].value.lower() in glue:
                     hi -= 1
@@ -168,11 +205,36 @@ def _mention(text: str, tokens: Sequence[Token], tok_start: int, tok_end: int,
 # ---------------------------------------------------------------------------
 
 def _scan_number(text, tokens, cands, anchor, lang="en"):
-    return [
+    out = [
         _mention(text, tokens, c["tok_start"], c["tok_end"], "snips/number",
                  {"kind": "Number", "value": c["num"]})
         for c in cands
     ]
+    if lang == "ko":
+        # fused numeral+counter eojeol (세잔, 이십오명): the mention
+        # spans the numeral prefix only, mirroring the ja behavior where
+        # the numeral script class already separates 三 from 人. Scoped
+        # to the number scanner — the shared candidate list (and with it
+        # the datetime/duration/money grammars) is unchanged.
+        covered = {i for c in cands
+                   for i in range(c["tok_start"], c["tok_end"] + 1)}
+        for i, t in enumerate(tokens):
+            v = t.value
+            if i in covered or len(v) < 2 or not ("가" <= v[0] <= "힣"):
+                continue
+            for slen in (2, 1):
+                if len(v) > slen and v[-slen:] in _KO_COUNTERS:
+                    num = _ko_token_value(v[:-slen])
+                    if num is not None:
+                        cut = len(v) - slen
+                        out.append({
+                            "value": v[:cut], "start": t.start,
+                            "end": t.start + cut,
+                            "entity_kind": "snips/number",
+                            "resolved_value": {"kind": "Number",
+                                               "value": num}})
+                    break
+    return out
 
 
 _ORDINAL_SUFFIX_RE = {
@@ -261,6 +323,14 @@ def _scan_ordinal(text, tokens, cands, anchor, lang="en"):
                 if v is not None:
                     out.append(_mention(
                         text, tokens, i, i + 1, "snips/ordinal",
+                        {"kind": "Ordinal", "value": v}))
+            elif (lang == "ko" and len(t.value) > len(suffix)
+                    and t.value.endswith(suffix)):
+                # fused eojeol ordinal: 세번째 / 이십오번째
+                v = _tok_int(t.value[:-len(suffix)], lang)
+                if v is not None:
+                    out.append(_mention(
+                        text, tokens, i, i, "snips/ordinal",
                         {"kind": "Ordinal", "value": v}))
         return out
     for i, t in enumerate(tokens):

@@ -1004,6 +1004,33 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
 }
 
 
+def _ko_particle_alternation(value: str, following: str) -> str:
+    """Adjust the particle opening ``following`` to the allomorph the
+    final syllable of ``value`` selects (closed syllable → 은/이/을/과/
+    으로, open → 는/가/를/와/로, ㄹ-final patterns open for 로), so
+    slot-swapped synthetic Korean stays morphologically well-formed.
+    Only a particle followed by a space (or chunk end) is adjusted."""
+    code = ord(value[-1]) - 0xAC00
+    if not (0 <= code < 11172):
+        return following
+    final = code % 28
+    for closed, open_ in (("으로", "로"), ("이", "가"), ("은", "는"),
+                          ("을", "를"), ("과", "와")):
+        matched = next((p for p in (closed, open_)
+                        if following.startswith(p)), None)
+        if matched is None:
+            continue
+        rest = following[len(matched):]
+        if rest and not rest[0].isspace():
+            return following
+        if closed == "으로":
+            want = "로" if final in (0, 8) else "으로"
+        else:
+            want = open_ if final == 0 else closed
+        return want + rest
+    return following
+
+
 def multilang_turns() -> list[dict]:
     """Deterministic multilingual transcript rows
     (lang, conv_id, turn_idx, text, ts) — a pure function of the fixture
@@ -1042,6 +1069,17 @@ def multilang_turns() -> list[dict]:
                     else:
                         swapped.append(c["text"])
                 if changed:
+                    if lang == "ko":
+                        # keep slot-swapped Korean well-formed: the
+                        # particle opening the chunk after a swapped
+                        # value alternates on that value's final
+                        # syllable (서울로 → 부산으로, 인천으로 → 대구로)
+                        for j in range(1, len(swapped)):
+                            prev = utt["data"][j - 1]
+                            if (prev.get("entity")
+                                    and swapped[j - 1] != prev["text"]):
+                                swapped[j] = _ko_particle_alternation(
+                                    swapped[j - 1], swapped[j])
                     texts.append("".join(swapped))
         texts.extend(MULTILANG_DATETIME_BREADTH.get(lang, ()))
         noise = get_resources(lang)["noise"]

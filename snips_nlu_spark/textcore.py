@@ -85,10 +85,33 @@ _KO_PARTICLES = (
 _HANGUL_RE = re.compile(r"[\u1100-\u11ff\u3130-\u318f\uac00-\ud7af]")
 
 
+# Allomorphic particles select on the preceding syllable's final
+# consonant (batchim): 은/이/을/과 and the 이-initial forms attach only
+# after a closed syllable, 는/가/를/와/예요 only after an open one, and
+# (으)로 alternates with ㄹ-finals patterning open. A trailing match
+# that violates the allomorphy is not that particle (사과 "apple" is
+# never 사+과 — the comitative after open 사 would be 와), so that
+# split is skipped and shorter particles are still tried.
+_KO_AFTER_BATCHIM = frozenset(("은", "이", "을", "과", "으로", "이나",
+                               "이에요"))
+_KO_AFTER_VOWEL = frozenset(("는", "가", "를", "와", "예요"))
+
+
 def _split_hangul_particle(value: str, start: int) -> list[Token]:
     for p in _KO_PARTICLES:
         if len(value) > len(p) and value.endswith(p):
             cut = len(value) - len(p)
+            code = ord(value[cut - 1]) - 0xAC00
+            if 0 <= code < 11172:     # composed syllable: check batchim
+                final = code % 28     # 0 = open syllable, 8 = ㄹ
+                if p in _KO_AFTER_BATCHIM:
+                    if final == 0 or (p == "으로" and final == 8):
+                        continue
+                elif p in _KO_AFTER_VOWEL:
+                    if final != 0:
+                        continue
+                elif p == "로" and final not in (0, 8):
+                    continue
             return [Token(value[:cut], start, start + cut),
                     Token(value[cut:], start + cut, start + len(value))]
     return [Token(value, start, start + len(value))]
