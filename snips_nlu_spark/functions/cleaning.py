@@ -115,6 +115,64 @@ def gopher_quality_flags(documents: DataFrame,
         (symbol_frac <= max_symbol_frac).alias("ok_symbol_frac"))
 
 
+def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
+                            n: int = 5,
+                            threshold: float = 0.5) -> DataFrame:
+    """Eval-set decontamination (the GPT-3 appendix-C / Gopher recipe):
+    flag every training document whose word n-gram shingles cover at
+    least ``threshold`` of some benchmark item's shingles.
+
+    ``benchmark`` is (bench_id, text) — the eval prompts/answers.
+    Output: (doc_id, bench_id, overlap_ngrams, bench_ngrams,
+    overlap_frac) for flagged pairs only.
+
+    Scale shape: the benchmark side is a few MB against a 100-TB corpus,
+    so its shingle set is broadcast; the corpus is shingled map-side
+    (one pass, no shuffle of unmatched rows) and only the surviving
+    (doc, bench, shingle) matches — a set proportional to actual
+    contamination, not corpus size — reach the (doc_id, bench_id)
+    count shuffle.
+    """
+    from .dedup import _shingles
+
+    doc_sh = _shingles(documents, n=n)
+    bench_sh = _shingles(
+        benchmark.select(F.col("bench_id").alias("doc_id"), "text"), n=n
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_ngrams"))
+    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("overlap_ngrams")))
+    frac = F.round(
+        F.col("overlap_ngrams").cast("double") / F.col("bench_ngrams"), 6)
+    return (hits.join(F.broadcast(bench_sizes), "bench_id")
+            .withColumn("overlap_frac", frac)
+            .filter(F.col("overlap_frac") >= threshold)
+            .select("doc_id", "bench_id", "overlap_ngrams",
+                    "bench_ngrams", "overlap_frac"))
+
+
+def snippet_benchmark(documents: DataFrame, modulus: int = 29,
+                      residue: int = 5, start_word: int = 6,
+                      n_words: int = 10) -> DataFrame:
+    """Deterministic benchmark table for the contamination gate: a
+    ``n_words``-word window cut from every document with
+    doc_id % modulus == residue — modeling eval items that literally
+    appear inside training documents (the planted-contamination case
+    the detector must catch). Pure function of the corpus, reproducible
+    in SQL."""
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"),
+                             F.lit(0))
+    return (documents
+            .filter(F.col("doc_id") % modulus == residue)
+            .select(F.col("doc_id").alias("bench_id"), w.alias("w"))
+            .filter(F.size("w") >= start_word + n_words - 1)
+            .select("bench_id",
+                    F.array_join(F.slice("w", start_word, n_words), " ")
+                    .alias("text")))
+
+
 def synthesize_line_docs(spark: SparkSession, n: int = 200) -> DataFrame:
     """Deterministic multi-line doc table for the boilerplate gate —
     pure function of the row id, reproducible in SQL. Per doc: a shared

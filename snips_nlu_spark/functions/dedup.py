@@ -279,28 +279,41 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3
 
 
 def duplicate_clusters(pairs: DataFrame, documents: DataFrame | None = None,
-                       max_iter: int = 20) -> DataFrame:
+                       max_iter: int = 20,
+                       strategy: str = "hashmin") -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id,
     cluster_id) with cluster_id = the component's minimum doc_id. The
     step after pair generation in any dedup pipeline: "keep one doc per
     cluster" needs the transitive closure, not the raw pairs (A~B, B~C
     must collapse A,B,C together even when A~C was never emitted).
 
-    Algorithm: iterative hash-min label propagation — each round every
-    node takes the min label among itself and its neighbors; converges
-    in O(component diameter) rounds (near-dup clusters are dense, so
-    2-4 rounds in practice). Each round is one join + one min-agg, both
-    shuffle-partitioned on doc_id; labels are localCheckpoint-ed per
-    round so the plan does not grow with iterations. For adversarial
-    chain-shaped graphs the O(log n)-round alternating large-star /
-    small-star variant (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") is the drop-in upgrade — dup graphs do not
-    need it.
+    Two strategies, identical output:
+
+    - ``"hashmin"`` (default): iterative label propagation — each round
+      every node takes the min label among itself and its neighbors;
+      converges in O(component diameter) rounds (near-dup clusters are
+      dense, so 2-4 rounds in practice). Each round is one join + one
+      min-agg, both shuffle-partitioned on doc_id.
+    - ``"star"``: alternating large-star / small-star rounds (Kiveris
+      et al., "Connected Components in MapReduce and Beyond") —
+      converges in O(log n) rounds regardless of component diameter,
+      the right choice when components may be chain-shaped (e.g.
+      transitive chains of barely-over-threshold near-dups). See
+      :func:`duplicate_clusters_star`.
+
+    Both checkpoint per round so the plan does not grow with
+    iterations, and both raise loudly on non-convergence rather than
+    returning split components.
 
     ``documents`` (optional) adds singleton rows (cluster_id = own id)
     for docs that appear in no pair, so the output is a total
     assignment.
     """
+    if strategy == "star":
+        return duplicate_clusters_star(pairs, documents, max_iter)
+    if strategy != "hashmin":
+        raise ValueError(f"unknown strategy {strategy!r} "
+                         "(expected 'hashmin' or 'star')")
     edges = pairs.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
@@ -341,6 +354,102 @@ def duplicate_clusters(pairs: DataFrame, documents: DataFrame | None = None,
             f"({changed} labels still changing) — a component's "
             f"diameter exceeds max_iter; raise max_iter or switch to "
             f"the large-star/small-star variant")
+    if documents is not None:
+        singletons = (documents.select("doc_id")
+                      .join(labels.select("doc_id"), "doc_id",
+                            "left_anti")
+                      .withColumn("cluster_id", F.col("doc_id")))
+        labels = labels.union(singletons)
+    return labels
+
+
+def duplicate_clusters_star(pairs: DataFrame,
+                            documents: DataFrame | None = None,
+                            max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14). Same output contract as
+    :func:`duplicate_clusters`: (doc_id, cluster_id) with cluster_id =
+    the component's minimum doc_id.
+
+    Why it exists: hash-min label propagation needs O(diameter) rounds,
+    so an adversarial chain of n barely-over-threshold near-dups costs
+    n rounds (n shuffles). The star algorithm contracts the graph
+    toward per-component stars in O(log n) rounds total, independent of
+    diameter — the shape you want when each round is a cluster-wide
+    shuffle over billions of edges.
+
+    One round here = large-star then small-star, each a groupBy-min +
+    join re-emission of the edge set, checkpointed so the plan stays
+    flat. Convergence = the canonical (small, large) edge set is
+    unchanged after a full round, checked exactly with a two-sided
+    anti-join (not a count/checksum heuristic, which could terminate
+    early on a hash collision).
+
+    - large-star(u): every strictly-larger neighbor of u is re-pointed
+      at min(N(u) ∪ {u}). Keeps every component connected, strictly
+      reduces large-neighbor potential.
+    - small-star(u): u and all strictly-smaller neighbors are pointed
+      at their collective minimum — after the final round the edge set
+      IS the star: each node → its component min.
+    """
+    e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    # bidirectional adjacency: both (u,v) and (v,u) present
+    edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+             .distinct().localCheckpoint())
+
+    def _canonical(df: DataFrame) -> DataFrame:
+        return df.select(F.least("u", "v").alias("a"),
+                         F.greatest("u", "v").alias("b")).distinct()
+
+    for _ in range(max_iter):
+        # --- large-star: (u,v) with v > u  ⇒  emit (v, m(u)) where
+        # m(u) = min over the FULL neighborhood of u (and u itself)
+        m_all = (edges.groupBy("u").agg(F.min("v").alias("mn"))
+                 .select("u", F.least("u", "mn").alias("m")))
+        large = (edges.join(m_all, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        large = (large.union(large.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        # --- small-star: each node u with its strictly-smaller
+        # neighbors N⁻(u); all of {u} ∪ N⁻(u) point at min(N⁻(u))
+        down = large.filter(F.col("v") < F.col("u"))
+        m_down = down.groupBy("u").agg(F.min("v").alias("m"))
+        spokes = (down.join(m_down, "u")
+                  .filter(F.col("v") != F.col("m"))
+                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        center = m_down.select(F.col("u"), F.col("m").alias("v"))
+        small = spokes.union(center)
+        new_edges = (small.union(small.select(F.col("v").alias("u"),
+                                              F.col("u").alias("v")))
+                     .filter(F.col("u") != F.col("v"))
+                     .distinct().localCheckpoint())
+        old_c = _canonical(edges)
+        new_c = _canonical(new_edges)
+        changed = (new_c.join(old_c, ["a", "b"], "left_anti").count()
+                   + old_c.join(new_c, ["a", "b"], "left_anti").count())
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iter} "
+            f"rounds ({changed} edges still moving) — max_iter is "
+            f"O(log n) rounds; raise it for extreme graphs")
+    # at fixpoint the edge set is a union of stars: (member, min) both
+    # directions; canonical direction v < u gives the label map
+    labels = (edges.filter(F.col("v") < F.col("u"))
+              .select(F.col("u").alias("doc_id"),
+                      F.col("v").alias("cluster_id"))
+              .distinct())
+    roots = (labels.select(F.col("cluster_id").alias("doc_id"))
+             .distinct()
+             .withColumn("cluster_id", F.col("doc_id")))
+    labels = labels.union(roots)
     if documents is not None:
         singletons = (documents.select("doc_id")
                       .join(labels.select("doc_id"), "doc_id",

@@ -231,6 +231,98 @@ def test_duplicate_clusters_chain_diameter(spark):
 
 
 @pytest.mark.spark
+def test_duplicate_clusters_star_chain(spark):
+    """The large-star/small-star variant resolves a diameter-63 chain —
+    a graph the O(diameter) hash-min strategy cannot finish within the
+    same iteration budget — in O(log n) rounds."""
+    from snips_nlu_spark.functions.dedup import (duplicate_clusters,
+                                                 duplicate_clusters_star)
+
+    chain = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in duplicate_clusters_star(pairs, max_iter=10).collect()}
+    assert got == {(i, 0) for i in range(64)}
+    # same graph through the dispatching front door
+    via_dispatch = {(r["doc_id"], r["cluster_id"])
+                    for r in duplicate_clusters(
+                        pairs, strategy="star").collect()}
+    assert via_dispatch == got
+    # and the hash-min strategy genuinely cannot: diameter 63 > 20 rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=20).collect()
+
+
+@pytest.mark.spark
+def test_duplicate_clusters_star_equals_hashmin(spark):
+    """Seeded random graphs: both strategies produce the identical total
+    assignment (components, labels, singletons)."""
+    import random
+
+    from snips_nlu_spark.functions.dedup import (duplicate_clusters,
+                                                 duplicate_clusters_star)
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 30 + 10 * trial
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(n * 3 // 4)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        hm = {(r["doc_id"], r["cluster_id"])
+              for r in duplicate_clusters(pairs, docs,
+                                          max_iter=60).collect()}
+        st = {(r["doc_id"], r["cluster_id"])
+              for r in duplicate_clusters_star(pairs, docs).collect()}
+        assert hm == st
+        # total assignment: every doc labeled exactly once
+        assert len({d for d, _ in st}) == n
+
+
+@pytest.mark.spark
+def test_benchmark_contamination(spark):
+    """Hand-computed coverage fractions: a verbatim copy is flagged at
+    1.0, a half-overlapping doc sits exactly at the threshold, and a
+    disjoint doc is not emitted."""
+    from snips_nlu_spark.functions.cleaning import benchmark_contamination
+
+    # bench item: 6 words -> 2 distinct 5-gram shingles
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        ["bench_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta tail words here"),
+         (2, "prefix alpha beta gamma delta epsilon other stuff"),
+         (3, "totally unrelated words that never overlap at all")],
+        ["doc_id", "text"])
+    got = {(r["doc_id"], r["overlap_ngrams"], r["bench_ngrams"],
+            r["overlap_frac"])
+           for r in benchmark_contamination(docs, bench, n=5,
+                                            threshold=0.5).collect()}
+    assert got == {(1, 2, 2, 1.0), (2, 1, 2, 0.5)}
+    # raising the threshold drops the borderline doc
+    strict = {r["doc_id"]
+              for r in benchmark_contamination(docs, bench, n=5,
+                                               threshold=0.75).collect()}
+    assert strict == {1}
+
+
+@pytest.mark.spark
+def test_snippet_benchmark_windows(spark):
+    """The synthesized benchmark is the exact 10-word window starting
+    at word 6, only for residue-class docs that are long enough."""
+    from snips_nlu_spark.functions.cleaning import snippet_benchmark
+
+    words = " ".join(f"w{i}" for i in range(1, 21))  # w1..w20
+    docs = spark.createDataFrame(
+        [(5, words), (34, "too short"), (6, words)], ["doc_id", "text"])
+    got = {(r["bench_id"], r["text"])
+           for r in snippet_benchmark(docs).collect()}
+    assert got == {(5, " ".join(f"w{i}" for i in range(6, 16)))}
+
+
+@pytest.mark.spark
 def test_remove_boilerplate_lines(spark):
     from snips_nlu_spark.functions.cleaning import remove_boilerplate_lines
 
