@@ -406,6 +406,70 @@ def make_ivf_pq_scale_oracle(n: int = 100_000) -> Path:
                           rerank=256)
 
 
+def make_semantic_dedup_oracle(n: int = 2000, threshold: float = 0.92,
+                               n_clusters: int = 32, seed: int = 42,
+                               sample_cap: int = 20000,
+                               n_iter: int = 10) -> Path:
+    """Independent replay of functions/similarity.semantic_dedup_pairs
+    on the deterministic clustered synthesizer: same quantizer spec
+    (first-sample_cap normalized rows, seeded Lloyd's), independent
+    assignment and per-cell pairwise scoring code — the differential
+    for the Spark applyInPandas cell-gram plumbing."""
+    import numpy as np
+
+    from snips_nlu_spark.functions.similarity import synth_matrix
+
+    ids = np.arange(n, dtype=np.int64)
+    mat = synth_matrix(ids).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+
+    train = matn[:sample_cap]
+    rng = np.random.RandomState(seed)
+    cent = train[rng.choice(len(train),
+                            size=min(n_clusters, len(train)),
+                            replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    cells = np.argmax(matn @ cent.T, axis=1)
+
+    rows = []
+    for c in np.unique(cells):
+        members = np.nonzero(cells == c)[0]  # vec_id order already
+        if len(members) < 2:
+            continue
+        sub = mat[members]
+        sub_norms = np.linalg.norm(sub, axis=1, keepdims=True)
+        sub_norms[sub_norms == 0] = 1.0
+        subn = sub / sub_norms
+        sims = subn @ subn.T
+        ia, ib = np.triu_indices(len(members), k=1)
+        s = sims[ia, ib]
+        s = np.copysign(np.floor(np.abs(s) * 1e6 + 0.5) / 1e6, s)
+        keep = s >= threshold
+        for a, b, sim in zip(members[ia[keep]], members[ib[keep]],
+                             s[keep]):
+            rows.append((int(ids[a]), int(ids[b]), int(c), float(sim)))
+    table = pa.table({
+        "vec_a": pa.array([r[0] for r in rows], type=pa.int64()),
+        "vec_b": pa.array([r[1] for r in rows], type=pa.int64()),
+        "cell": pa.array([r[2] for r in rows], type=pa.int32()),
+        "sim": pa.array([r[3] for r in rows], type=pa.float64())})
+    out = ORACLE_DIR / "semantic_dups.parquet"
+    pq.write_table(table, out)
+    print(f"semantic dedup oracle ({n} vectors) -> {len(rows)} rows "
+          f"-> {out}")
+    return out
+
+
 def _ivf_pq_replay(vec_ids, mat, out: Path, k: int = 5,
                    n_queries: int = 20, n_centroids: int = 32,
                    n_probe: int = 12, m: int = 8, ksub: int = 16,
@@ -519,4 +583,5 @@ if __name__ == "__main__":
             make_ivf_topk_oracle(sf)
             make_ivf_pq_oracle(sf)
             make_ivf_pq_scale_oracle()
+            make_semantic_dedup_oracle()
             make_bpe_oracle(sf)

@@ -268,7 +268,7 @@ _JA_GRAMMAR_WORDS = (
     "月曜", "火曜", "水曜", "木曜", "金曜", "土曜", "日曜",
     "来週", "来月", "来年", "午前", "午後", "番目",
     "秒間", "分間", "時間", "日間", "週間", "年間",
-    "毎週", "毎月", "毎年", "毎日", "今後", "ヶ月", "か月",
+    "毎週", "毎月", "毎年", "毎日", "毎朝", "毎晩", "今後", "ヶ月", "か月",
     "月末", "月初", "年末", "年始", "今晩", "今朝",
 )
 _JA_GRAMMAR_SET = frozenset(_JA_GRAMMAR_WORDS)
@@ -616,6 +616,7 @@ _DT = {
         "range_post": ("から", "まで"),
         "every_prefix": {"毎週": "week", "毎月": "month",
                          "毎年": "year", "毎日": "day"},
+        "every_dayparts": {"毎朝": 8, "毎晩": 21},
         "rel_units_post": {"日": "day", "週間": "week", "ヶ月": "month",
                            "か月": "month", "年": "year"},
         "later_words": ("後",),
@@ -1039,6 +1040,7 @@ _DT_TRIGGERS: dict[str, frozenset] = {}
 # required for correctness of the trigger gate; the per-language golden
 # tests sweep every tabled shape and would catch a missed family.
 _TRIGGER_DICT_FIELDS = ("weekdays", "months", "dayparts", "rel_days",
+                        "every_dayparts",
                         "every_prefix", "period_words", "holidays",
                         "daypart_single", "boundary_single",
                         "boundary_words")
@@ -1351,6 +1353,11 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             # absorb a trailing "prochain"/"prochaine" (fr)
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
+        elif w in tables.get("every_dayparts", {}):
+            # fused CJK recurrence+daypart (ja 毎朝/毎晩) → the anchor
+            # day's part-of-day (day-level anchoring)
+            day = base_date.replace(hour=tables["every_dayparts"][w])
+            grain = "Hour"
         elif w in tables.get("every_prefix", {}):
             # CJK recurrences: 毎週[月曜日] / 매주 [월요일] / 毎日 / 매년 —
             # resolved to the next occurrence like the European
@@ -1362,6 +1369,14 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                 ahead = (tables["weekdays"][lower(i + 1)]
                          - base_date.weekday()) % 7
                 day = base_date + _dt.timedelta(days=ahead or 7)
+                tok_end = i + 1
+            elif unit == "day" and i + 1 < n \
+                    and lower(i + 1) in tables["dayparts"]:
+                # 매일 아침 / 毎日 朝 — every-day + part-of-day → the
+                # anchor day's part-of-day (day-level anchoring)
+                day = base_date.replace(
+                    hour=tables["dayparts"][lower(i + 1)])
+                grain = "Hour"
                 tok_end = i + 1
             elif unit == "day":
                 day = base_date + _dt.timedelta(days=1)
@@ -1423,6 +1438,13 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                     day = base_date + _dt.timedelta(days=1)
                 else:
                     day, grain = _next_period(base_date, unit)
+                tok_end = i + 1
+            elif nxt in tables.get("dayparts", {}):
+                # "every morning" / "chaque soir" / "cada mañana" →
+                # the anchor day's part-of-day (day-level anchoring,
+                # same convention as "this evening")
+                day = base_date.replace(hour=tables["dayparts"][nxt])
+                grain = "Hour"
                 tok_end = i + 1
         elif w in tables.get("this_words", ()) and i + 1 < n \
                 and lower(i + 1) in tables["dayparts"]:

@@ -959,7 +959,9 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            # round 5: movable feast (Easter computus) + boundary+clock
            "buche mir einen flug nach berlin an karfreitag",
            "buche mir einen flug nach berlin ende nächsten monats "
-           "um 17 uhr"),
+           "um 17 uhr",
+           # round 5b: recurrence + part-of-day
+           "buche mir einen flug nach berlin jeden abend"),
     "es": ("resérvame un vuelo a madrid cada lunes",
            "resérvame un vuelo a madrid en las próximas 3 semanas",
            "resérvame un vuelo a madrid en navidad",
@@ -967,40 +969,46 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "resérvame un vuelo a madrid esta noche",
            "resérvame un vuelo a madrid en viernes santo",
            "resérvame un vuelo a madrid a finales del próximo mes "
-           "a las 8:30"),
+           "a las 8:30",
+           "resérvame un vuelo a madrid cada tarde"),
     "fr": ("réserve moi un vol pour paris chaque lundi",
            "réserve moi un vol pour paris dans les 3 prochaines semaines",
            "réserve moi un vol pour paris à noël",
            "réserve moi un vol pour paris fin du mois",
            "réserve moi un vol pour paris ce soir",
            "réserve moi un vol pour paris le lundi de pâques",
-           "réserve moi un vol pour paris fin du mois à 8h30"),
+           "réserve moi un vol pour paris fin du mois à 8h30",
+           "réserve moi un vol pour paris chaque matin"),
     "it": ("prenotami un volo per roma ogni lunedì",
            "prenotami un volo per roma nelle prossime 3 settimane",
            "prenotami un volo per roma a natale",
            "prenotami un volo per roma a fine del mese",
            "prenotami un volo per roma stasera",
            "prenotami un volo per roma a pasquetta",
-           "prenotami un volo per roma a fine del mese alle 8:30"),
+           "prenotami un volo per roma a fine del mese alle 8:30",
+           "prenotami un volo per roma ogni sera"),
     "ja": ("東京行きの飛行機を毎週月曜日予約して",
            "東京行きの飛行機を3週間後予約して",
            "東京行きの飛行機をクリスマス予約して",
            "東京行きの飛行機を月末予約して",
            "東京行きの飛行機を復活祭予約して",
-           "東京行きの飛行機を月末8時30分予約して"),
+           "東京行きの飛行機を月末8時30分予約して",
+           "東京行きの飛行機を毎朝予約して"),
     "ko": ("서울로 가는 비행기를 매주 월요일 예약해줘",
            "서울로 가는 비행기를 3주 후 예약해줘",
            "서울로 가는 비행기를 크리스마스 예약해줘",
            "서울로 가는 비행기를 월말 예약해줘",
            "서울로 가는 비행기를 부활절 예약해줘",
-           "서울로 가는 비행기를 월말 8시 30분 예약해줘"),
+           "서울로 가는 비행기를 월말 8시 30분 예약해줘",
+           "서울로 가는 비행기를 매일 아침 예약해줘"),
     "pt": ("reserva um voo para lisboa cada segunda",
            "reserva um voo para lisboa nas próximas 3 semanas",
            "reserva um voo para lisboa no natal",
            "reserva um voo para lisboa no fim do mês",
            "reserva um voo para lisboa esta noite",
            "reserva um voo para lisboa na sexta feira santa",
-           "reserva um voo para lisboa no fim do mês às 8:30"),
+           "reserva um voo para lisboa no fim do mês às 8:30",
+           "reserva um voo para lisboa cada manhã"),
 }
 
 

@@ -109,6 +109,65 @@ def cosine_duplicate_pairs_lsh(embeddings: DataFrame,
             .filter(F.col("sim") >= threshold))
 
 
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                         n_clusters: int = 32, seed: int = 42,
+                         sample_cap: int = 20000,
+                         n_iter: int = 10) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means the corpus
+    into cells, then emit all within-cell pairs with cosine ≥
+    ``threshold`` (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023).
+
+    Output: (vec_a, vec_b, cell, sim) with vec_a < vec_b, sim rounded
+    to 6 dp (HALF_UP, matching F.round / the numpy oracle).
+
+    Scale shape — the canonical web-scale semantic dedup layout:
+    the quantizer is trained driver-side on a bounded deterministic
+    sample and broadcast (the corpus never moves for training); cell
+    assignment is one Arrow matmul per batch; the only shuffle is the
+    groupBy(cell), after which each cell's pairwise scores are ONE
+    numpy gram matrix. Cost is Σ_cells m_c² instead of N² — with
+    k ∝ N (SemDeDup runs ~100k clusters at 10⁹ docs) expected cell
+    size is constant, so total work is linear in N. A pathologically
+    hot cell is the skew caveat: cap it upstream by raising
+    ``n_clusters`` (the knob the paper itself uses).
+
+    Feed the output to ``duplicate_clusters`` (hash-min or star) for
+    the keep-one-per-cluster step.
+    """
+    cent = _ivf_centroids(embeddings, n_clusters, seed, sample_cap,
+                          n_iter)
+    cell = _cell_udf(cent)
+    with_cell = embeddings.select(
+        "vec_id", "embedding", cell(F.col("embedding")).alias("cell"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cell": [], "sim": []})
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        # HALF_UP to 6 dp — same convention as F.round and the
+        # committed numpy oracle
+        s = np.copysign(np.floor(np.abs(s) * 1e6 + 0.5) / 1e6, s)
+        keep = s >= threshold
+        return pd.DataFrame({
+            "vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+            "cell": np.full(int(keep.sum()),
+                            int(pdf["cell"].iloc[0]), dtype="int32"),
+            "sim": s[keep]})
+
+    return with_cell.groupBy("cell").applyInPandas(
+        kernel, "vec_a long, vec_b long, cell int, sim double")
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42):
     """Deterministic random hyperplanes (driver-side numpy, captured by
     the Arrow signature kernel — tables × bits × dim doubles, a few KB)."""

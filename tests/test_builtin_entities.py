@@ -362,3 +362,37 @@ def test_datetime_boundary_clock_combo_all_languages():
               if m["entity_kind"] == "snips/datetime"]
         assert ms, (lang, text)
         assert ms[0]["resolved_value"]["value"] == want, (lang, text, ms)
+
+
+def test_datetime_every_daypart_all_languages():
+    """Round-5: recurrence + part-of-day ("every morning", ja fused
+    毎朝/毎晩, ko 매일 아침) resolves to the anchor day's part-of-day
+    (day-level anchoring, same convention as "this evening"); span
+    covers the recurrence word."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 5, 2, 10, 30)
+    cases = [
+        ("en", "every morning", "2024-05-02 08:00:00"),
+        ("en", "each evening", "2024-05-02 19:00:00"),
+        ("fr", "chaque matin", "2024-05-02 08:00:00"),
+        ("es", "cada tarde", "2024-05-02 15:00:00"),
+        ("de", "jeden abend", "2024-05-02 19:00:00"),
+        ("it", "ogni sera", "2024-05-02 19:00:00"),
+        ("pt", "cada manhã", "2024-05-02 08:00:00"),
+        ("ja", "毎朝", "2024-05-02 08:00:00"),
+        ("ja", "毎晩", "2024-05-02 21:00:00"),
+        ("ko", "매일 아침", "2024-05-02 08:00:00"),
+    ]
+    for lang, text, want in cases:
+        p = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert ms, (lang, text)
+        assert ms[0]["resolved_value"]["value"] == want, (lang, text, ms)
+        assert ms[0]["resolved_value"]["grain"] == "Hour", (lang, text)
+        assert ms[0]["start"] == 0 and ms[0]["value"] == text, (lang, text)
+    # "every monday at 9am" still composes recurrence + clock
+    en = BuiltinEntityParser(language="en")
+    ms = en.parse("every monday at 9am", anchor=anchor)
+    assert ms[0]["resolved_value"]["value"] == "2024-05-06 09:00:00"

@@ -201,6 +201,52 @@ def test_ivf_topk_matches_committed_oracle(spark):
 
 
 @pytest.mark.spark
+def test_semantic_dedup_pairs_equals_brute(spark):
+    """On the clustered synthesizer the k-means cells capture every
+    brute-force pair at threshold 0.92 (verified recall 1.0 for this
+    seeded config), so the SemDeDup pair SET equals the quadratic
+    baseline — while only ever scoring within cells."""
+    from snips_nlu_spark.functions.similarity import (
+        cosine_duplicate_pairs, semantic_dedup_pairs,
+        synthesize_embeddings)
+
+    embs = synthesize_embeddings(spark, 800)
+    sem = {(r["vec_a"], r["vec_b"])
+           for r in semantic_dedup_pairs(embs, threshold=0.92).collect()}
+    brute = {(r["vec_a"], r["vec_b"])
+             for r in cosine_duplicate_pairs(embs,
+                                             threshold=0.92).collect()}
+    assert sem == brute
+    assert len(sem) > 10  # non-trivial fixture
+
+
+@pytest.mark.spark
+def test_semantic_dedup_pairs_partition_invariance(spark):
+    """Quantizer training samples in vec_id order and per-cell scoring
+    sorts by vec_id, so output is independent of input partitioning."""
+    from snips_nlu_spark.functions.similarity import (
+        semantic_dedup_pairs, synthesize_embeddings)
+
+    embs = synthesize_embeddings(spark, 600)
+    a = sorted(map(tuple, semantic_dedup_pairs(
+        embs.repartition(7), threshold=0.92).collect()))
+    b = sorted(map(tuple, semantic_dedup_pairs(
+        embs.repartition(2), threshold=0.92).collect()))
+    assert a == b
+    assert all(x[0] < x[1] for x in a)
+
+
+@pytest.mark.spark
+def test_semantic_dedup_no_dups_input(spark):
+    """The parquet embeddings carry no near-dups (max pairwise cosine
+    0.513) — the detector must emit nothing at 0.9."""
+    from snips_nlu_spark.functions.similarity import semantic_dedup_pairs
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assert semantic_dedup_pairs(embs, threshold=0.9).count() == 0
+
+
+@pytest.mark.spark
 def test_duplicate_clusters_transitive_closure(spark):
     """A~B and B~C collapse into one cluster even though A~C was never
     emitted; disjoint components keep distinct labels; singletons get
