@@ -53,9 +53,10 @@ def main() -> None:
                  "kg_intent_distribution", "kg_nodes",
                  "kg_entity_cooccurrence",
                  "doc_text_profile", "doc_minhash_pairs",
-                 "doc_dup_clusters",
+                 "doc_dup_clusters", "doc_contamination",
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
                  "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
+                 "emb_semantic_dups",
                  "event_sessions"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
