@@ -470,6 +470,94 @@ def make_semantic_dedup_oracle(n: int = 2000, threshold: float = 0.92,
     return out
 
 
+def make_semantic_keep_oracle(n: int = 2000, threshold: float = 0.92,
+                              n_clusters: int = 32, seed: int = 42,
+                              sample_cap: int = 20000,
+                              n_iter: int = 10) -> Path:
+    """Independent replay of similarity.semantic_dedup_keep: the pair
+    stage replayed as in make_semantic_dedup_oracle, transitive closure
+    via union-find (a different algorithm than the Spark star rounds),
+    then the SemDeDup keep policy — per dup cluster keep the member
+    with the LOWEST centroid cosine, ties to min vec_id."""
+    import numpy as np
+
+    from snips_nlu_spark.functions.similarity import synth_matrix
+
+    ids = np.arange(n, dtype=np.int64)
+    mat = synth_matrix(ids).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+
+    train = matn[:sample_cap]
+    rng = np.random.RandomState(seed)
+    cent = train[rng.choice(len(train),
+                            size=min(n_clusters, len(train)),
+                            replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    all_sims = matn @ cent.T
+    cells = np.argmax(all_sims, axis=1)
+    csim = all_sims[np.arange(n), cells]
+    csim = np.copysign(np.floor(np.abs(csim) * 1e6 + 0.5) / 1e6, csim)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for c in np.unique(cells):
+        members = np.nonzero(cells == c)[0]
+        if len(members) < 2:
+            continue
+        sub = mat[members]
+        sub_norms = np.linalg.norm(sub, axis=1, keepdims=True)
+        sub_norms[sub_norms == 0] = 1.0
+        subn = sub / sub_norms
+        sims = subn @ subn.T
+        ia, ib = np.triu_indices(len(members), k=1)
+        s = sims[ia, ib]
+        s = np.copysign(np.floor(np.abs(s) * 1e6 + 0.5) / 1e6, s)
+        for a, b in zip(members[ia[s >= threshold]],
+                        members[ib[s >= threshold]]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    cluster = [find(i) for i in range(n)]
+    keepers = {}
+    for i in range(n):
+        c = cluster[i]
+        cur = keepers.get(c)
+        cand = (csim[i], i)
+        if cur is None or cand < cur:
+            keepers[c] = cand
+    rows = [(int(ids[i]), int(ids[cluster[i]]), float(csim[i]),
+             keepers[cluster[i]][1] == i) for i in range(n)]
+    table = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "cluster_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "centroid_sim": pa.array([r[2] for r in rows],
+                                 type=pa.float64()),
+        "kept": pa.array([r[3] for r in rows], type=pa.bool_())})
+    out = ORACLE_DIR / "semantic_keep.parquet"
+    pq.write_table(table, out)
+    n_dropped = sum(1 for r in rows if not r[3])
+    print(f"semantic keep oracle ({n} vectors, {n_dropped} dropped) "
+          f"-> {out}")
+    return out
+
+
 def _ivf_pq_replay(vec_ids, mat, out: Path, k: int = 5,
                    n_queries: int = 20, n_centroids: int = 32,
                    n_probe: int = 12, m: int = 8, ksub: int = 16,
@@ -584,4 +672,5 @@ if __name__ == "__main__":
             make_ivf_pq_oracle(sf)
             make_ivf_pq_scale_oracle()
             make_semantic_dedup_oracle()
+            make_semantic_keep_oracle()
             make_bpe_oracle(sf)

@@ -457,3 +457,24 @@ def duplicate_clusters_star(pairs: DataFrame,
                       .withColumn("cluster_id", F.col("doc_id")))
         labels = labels.union(singletons)
     return labels
+
+
+def dedup_corpus(documents: DataFrame, threshold: float = 0.5,
+                 n: int = 3, strategy: str = "star") -> DataFrame:
+    """The composed keep-one-per-cluster dedup a training pipeline
+    actually runs: MinHash-LSH candidate pairs (exact-Jaccard verified)
+    → connected components (``strategy``, default the O(log n) star
+    variant) → the minimum doc_id of each cluster survives.
+
+    Output: one row per INPUT document — (doc_id, cluster_id, kept).
+    Downstream keeps ``kept`` rows (or joins the label map back to the
+    corpus); emitting the full assignment rather than the filtered
+    corpus keeps the operator audit-friendly (what was dropped and
+    why) and the join back is a cheap semi-join at any scale.
+    """
+    pairs = minhash_duplicate_pairs(documents, n=n, threshold=threshold)
+    labels = duplicate_clusters(pairs.select("doc_a", "doc_b"),
+                                documents, strategy=strategy)
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"))

@@ -45,9 +45,6 @@ from .text import bpe_token_count
 # crossing point), and a 256-row driver aggregate in pass 1.
 N_ORDER_BUCKETS = 256
 
-_CUM_WINDOW = (Window.orderBy(F.col("_ord"), F.col("doc_id"))
-               .rowsBetween(Window.unboundedPreceding, 0))
-
 
 def sample_by_token_budget(documents: DataFrame, budget_tokens: int,
                            strata_col: str | None = None,
@@ -105,3 +102,68 @@ def sample_by_token_budget(documents: DataFrame, budget_tokens: int,
             .withColumn("cum_tokens", F.col("_cum") + F.col("_off"))
             .filter(F.col("cum_tokens") <= budget_tokens)
             .select("doc_id", "n_tokens", "cum_tokens"))
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = 2048,
+                   seed: int = 42) -> DataFrame:
+    """GPT-style concat-and-chunk packing PLAN: documents are laid out
+    on one deterministic global token stream (md5 permutation order —
+    the same order key as the budget draw) and cut into fixed
+    ``seq_len``-token training sequences. Emits each document's
+    placement: which sequence its first token lands in, which its last,
+    and at what offset — the metadata a sequence-builder needs to
+    materialize packed training rows (and exactly what a loss-masking
+    reader needs to find document boundaries).
+
+    Output: (doc_id, n_tokens, start_tok, seq_first, seq_last,
+    seq_offset); zero-token docs are excluded (they occupy no stream
+    position).
+
+    Execution shape: the same two-pass bucketed global cumsum as the
+    budget draw — 256 md5-prefix buckets whose numeric order equals the
+    full-key lexicographic order, a 256-row driver aggregate for prefix
+    offsets, then a parallel per-bucket window. No single-partition
+    window anywhere, so the layout scales to any corpus size.
+    """
+    order = F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":{seed}")))
+    bucket = F.conv(F.substring(order, 1, 2), 16, 10).cast("int")
+    base = (documents
+            .select("doc_id",
+                    bpe_token_count(F.col("text")).alias("n_tokens"),
+                    order.alias("_ord"), bucket.alias("_bucket"))
+            .filter(F.col("n_tokens") > 0))
+
+    sums = {r["_bucket"]: r["s"]
+            for r in base.groupBy("_bucket")
+            .agg(F.sum("n_tokens").alias("s")).collect()}
+    offsets, acc = [], 0
+    for b in range(N_ORDER_BUCKETS):
+        if b in sums:
+            offsets.append((b, acc))
+            acc += sums[b]
+    spark = documents.sparkSession
+    if not offsets:
+        return (base.select(
+            "doc_id", "n_tokens",
+            F.lit(0).cast("long").alias("start_tok"),
+            F.lit(0).cast("long").alias("seq_first"),
+            F.lit(0).cast("long").alias("seq_last"),
+            F.lit(0).cast("long").alias("seq_offset")))
+    off_df = spark.createDataFrame(offsets, "_bucket int, _off long")
+
+    w = (Window.partitionBy("_bucket")
+         .orderBy(F.col("_ord"), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.col("_cum") + F.col("_off")
+    start = cum - F.col("n_tokens")
+    return (base
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .join(F.broadcast(off_df), "_bucket")
+            .select("doc_id", "n_tokens",
+                    start.cast("long").alias("start_tok"),
+                    F.floor(start / seq_len).cast("long")
+                    .alias("seq_first"),
+                    F.floor((cum - 1) / seq_len).cast("long")
+                    .alias("seq_last"),
+                    (start % seq_len).cast("long").alias("seq_offset")))

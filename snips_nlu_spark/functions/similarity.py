@@ -557,3 +557,72 @@ def synthesize_embeddings(spark, n: int, dim: int = 64,
                                 "embedding": list(map(list, vecs))})
     return spark.range(n).mapInPandas(
         gen, "vec_id long, embedding array<float>")
+
+
+def _cell_sim_udf(centroids: np.ndarray):
+    """Arrow-batched (cell, centroid_sim) assignment: argmax cell plus
+    the cosine to that centroid (HALF_UP 6 dp for determinism)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_t = centroids.T
+
+    @pandas_udf("struct<cell:int, centroid_sim:double>")
+    def cell_sim(col: pd.Series) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cent_t
+        cells = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(mat)), cells]
+        best = np.copysign(np.floor(np.abs(best) * 1e6 + 0.5) / 1e6,
+                           best)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "centroid_sim": best})
+
+    return cell_sim
+
+
+def semantic_dedup_keep(embeddings: DataFrame, threshold: float = 0.9,
+                        n_clusters: int = 32, seed: int = 42,
+                        sample_cap: int = 20000,
+                        n_iter: int = 10) -> DataFrame:
+    """The full SemDeDup keep policy: near-dup pairs from
+    :func:`semantic_dedup_pairs`, transitive closure via
+    :func:`duplicate_clusters` (star variant), then within each dup
+    cluster KEEP the member with the LOWEST cosine to its k-means
+    centroid (ties → min vec_id) — the paper's diversity-preserving
+    choice (the most typical members are the most redundant with the
+    rest of the cell; the outlier carries the information).
+
+    Output: one audit row per input vector — (vec_id, cluster_id,
+    centroid_sim, kept); singletons keep themselves.
+
+    Scale: adds one Arrow matmul (cell+sim in one kernel) and one
+    min-by agg per dup cluster on top of the pair/closure stages.
+    """
+    from .dedup import duplicate_clusters
+
+    cent = _ivf_centroids(embeddings, n_clusters, seed, sample_cap,
+                          n_iter)
+    cs = _cell_sim_udf(cent)
+    sims = embeddings.select(
+        "vec_id", cs(F.col("embedding")).alias("s")
+    ).select("vec_id", F.col("s.centroid_sim").alias("centroid_sim"))
+
+    pairs = semantic_dedup_pairs(embeddings, threshold, n_clusters,
+                                 seed, sample_cap, n_iter)
+    labels = duplicate_clusters(
+        pairs.select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")),
+        embeddings.select(F.col("vec_id").alias("doc_id")),
+        strategy="star")
+    labeled = (labels.select(F.col("doc_id").alias("vec_id"),
+                             "cluster_id")
+               .join(sims, "vec_id"))
+    keeper = (labeled.groupBy("cluster_id")
+              .agg(F.min(F.struct("centroid_sim", "vec_id"))
+                   .alias("k"))
+              .select("cluster_id", F.col("k.vec_id").alias("keep_id")))
+    return (labeled.join(keeper, "cluster_id")
+            .select("vec_id", "cluster_id", "centroid_sim",
+                    (F.col("vec_id") == F.col("keep_id")).alias("kept")))

@@ -240,3 +240,61 @@ def repetition_flags(documents: DataFrame,
         top_bigram_frac.alias("top_bigram_frac"),
         (dup_line_frac <= max_dup_line_frac).alias("ok_dup_lines"),
         (top_bigram_frac <= max_top_bigram_frac).alias("ok_top_bigram"))
+
+
+def bigram_lm_scores(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-k-smoothed bigram
+    language model on the corpus itself, then score every document by
+    the average negative log-probability of its word bigrams (low =
+    typical of the corpus, high = outlier — the perplexity-filtering
+    step of CCNet/RefinedWeb pipelines, with the corpus standing in for
+    the external reference LM).
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), where c(w1 ·) is the
+    bigram-prefix count and V the corpus vocabulary size.
+
+    Output: (doc_id, n_bigrams, avg_nll) with avg_nll rounded to 6 dp;
+    docs with < 2 words get n_bigrams = 0 and NULL avg_nll.
+
+    Scale shape: everything is JVM-side (explode + two count aggs + two
+    equi-joins, all map-side combinable). The count tables are corpus
+    aggregates an order smaller than the corpus; the w1-keyed joins are
+    the one skew risk (stop words) — AQE skew-join splitting handles
+    it, and at 100 TB the count tables are computed once and reused
+    across scoring runs.
+    """
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"),
+                             F.lit(0))
+    toks = documents.select("doc_id", w.alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("w") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(F.col("w")[i].alias("w1"),
+                                   F.col("w")[i + 1].alias("w2")))
+        ).otherwise(F.array())).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb"))
+    prefix_counts = bigrams.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cp"))
+    vocab_size = (toks.select(F.explode("w").alias("word"))
+                  .agg(F.countDistinct("word")).collect()[0][0])
+
+    logp = F.log((F.col("cb") + F.lit(float(k)))
+                 / (F.col("cp") + F.lit(float(k) * float(vocab_size))))
+    scored = (bigrams
+              .join(bigram_counts, ["w1", "w2"])
+              .join(prefix_counts, ["w1"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(-F.avg(logp), 6).alias("avg_nll")))
+    return (documents.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "avg_nll"))

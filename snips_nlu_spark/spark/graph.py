@@ -84,3 +84,37 @@ def entity_cooccurrence_edges(triples: DataFrame) -> DataFrame:
                      F.col("b.entity").alias("entity_b"),
                      F.col("b.obj").alias("obj_b"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def contextual_intents(triples: DataFrame, turns: DataFrame) -> DataFrame:
+    """Slot-only follow-up contextualization: every turn's effective
+    intent is its own parsed intent when the cascade matched one, else
+    the most recent preceding matched intent in the same conversation
+    (dialogue-state carry-over — "book a flight to paris" … "tomorrow
+    morning" inherits bookFlight). Turns before any matched intent stay
+    NULL.
+
+    ``turns`` supplies the turn universe (conv_id, turn_idx) — required
+    because intent-less turns produce no triples at all.
+
+    Output: (conv_id, turn_idx, intent, effective_intent, carried).
+
+    Scale shape: the intent side is one narrow filter of the triple
+    store; the left join shuffles on (conv_id, turn_idx) and the
+    carry-over window on conv_id — both partition-pruned, no global
+    ordering anywhere. Conversations are bounded (≤ thousands of
+    turns), so the per-conversation window never concentrates load.
+    """
+    from pyspark.sql import Window
+
+    ti = (triples.filter(F.col("pred") == "intent")
+          .select("conv_id", "turn_idx", F.col("obj").alias("intent")))
+    base = (turns.select("conv_id", "turn_idx").distinct()
+            .join(ti, ["conv_id", "turn_idx"], "left"))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    eff = F.last("intent", ignorenulls=True).over(w)
+    return base.select(
+        "conv_id", "turn_idx", "intent",
+        eff.alias("effective_intent"),
+        (F.col("intent").isNull() & eff.isNotNull()).alias("carried"))

@@ -125,3 +125,79 @@ def run_stream_to_parquet(spark: SparkSession, source_dir: str,
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+CTX_STATE_SCHEMA = "last_intent string, last_turn_idx int"
+CTX_OUT_SCHEMA = ("conv_id string, turn_idx int, intent string, "
+                  "effective_intent string, carried boolean")
+
+
+def streaming_contextual_intents(stream_df: DataFrame, model_json: str,
+                                 idle_timeout_ms: int = 7_200_000
+                                 ) -> DataFrame:
+    """Stateful dialogue-state carry-over: the streaming twin of
+    ``graph.contextual_intents``. Keyed on conv_id via
+    ``applyInPandasWithState``; state = (last matched intent, its
+    turn_idx). Each trigger parses that conversation's new turns (same
+    engine/anchor semantics as the batch kernel — stages.parse_cached),
+    emits one row per turn with its effective intent, and advances the
+    state; idle conversations time out so state stays bounded on an
+    unbounded conversation keyspace.
+
+    Consumes the RAW turn stream, not the triple stream: intent-less
+    turns (the ones that need carrying) emit no triples at all.
+
+    Ordering: turns within a trigger are processed in turn_idx order; a
+    late turn older than the state's last_turn_idx is emitted
+    best-effort against the current state and does not move the state
+    backwards (same monotonicity convention as the rollup operator).
+    With in-order delivery per conversation the emitted rows equal the
+    batch operator's output exactly (asserted in tests across
+    micro-batch splits).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    from .stages import _engine_from_json, parse_cached
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        last_intent, last_idx = state.get if state.exists else (None, -1)
+        batches = [p for p in pdfs if len(p)]
+        rows = []
+        if batches:
+            engine = _engine_from_json(model_json)
+            pdf = (pd.concat(batches) if len(batches) > 1 else batches[0]
+                   ).sort_values("turn_idx")
+            ts_series = pd.to_datetime(pdf["ts"]) \
+                if "ts" in pdf.columns else pd.Series([None] * len(pdf))
+            for tidx, text, ts in zip(pdf["turn_idx"], pdf["text"],
+                                      ts_series):
+                if text is None:
+                    continue
+                result = parse_cached(engine, str(text),
+                                      None if pd.isna(ts) else ts)
+                intent = result["intent"]["intentName"]
+                if intent is not None and int(tidx) >= last_idx:
+                    last_intent, last_idx = intent, int(tidx)
+                eff = intent if intent is not None else last_intent
+                rows.append((conv_id, int(tidx), intent, eff,
+                             intent is None and eff is not None))
+        state.update((last_intent, last_idx))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                          "intent", "effective_intent",
+                                          "carried"])
+
+    return (stream_df
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=CTX_OUT_SCHEMA,
+                stateStructType=CTX_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

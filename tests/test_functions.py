@@ -237,6 +237,34 @@ def test_semantic_dedup_pairs_partition_invariance(spark):
 
 
 @pytest.mark.spark
+def test_semantic_dedup_keep_policy(spark):
+    """SemDeDup keep rule: exactly one kept member per dup cluster, and
+    it is the member with the LOWEST (centroid_sim, vec_id); singletons
+    keep themselves; the assignment is total."""
+    from snips_nlu_spark.functions.similarity import (
+        semantic_dedup_keep, synthesize_embeddings)
+
+    n = 600
+    rows = semantic_dedup_keep(synthesize_embeddings(spark, n),
+                               threshold=0.92).collect()
+    assert len(rows) == n
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == n
+    n_multi = 0
+    for members in by_cluster.values():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1
+        want = min(members,
+                   key=lambda m: (m["centroid_sim"], m["vec_id"]))
+        assert kept[0]["vec_id"] == want["vec_id"]
+        if len(members) > 1:
+            n_multi += 1
+    assert n_multi > 0  # fixture exercises real dup clusters
+
+
+@pytest.mark.spark
 def test_semantic_dedup_no_dups_input(spark):
     """The parquet embeddings carry no near-dups (max pairwise cosine
     0.513) — the detector must emit nothing at 0.9."""
@@ -244,6 +272,34 @@ def test_semantic_dedup_no_dups_input(spark):
 
     embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     assert semantic_dedup_pairs(embs, threshold=0.9).count() == 0
+
+
+@pytest.mark.spark
+def test_contextual_intents_carry_over(spark):
+    """Hand fixture: slot-only follow-ups inherit the last matched
+    intent; turns before any match stay NULL; conversations without any
+    intent stay NULL throughout."""
+    from snips_nlu_spark.spark.graph import contextual_intents
+
+    triples = spark.createDataFrame(
+        [("c", 0, "c:0", "intent", "bookFlight", 0.9),
+         ("c", 2, "c:2", "intent", "setLight", 0.8),
+         ("c", 2, "c:2", "room", "kitchen", 0.8)],
+        ["conv_id", "turn_idx", "subj", "pred", "obj", "proba"])
+    turns = spark.createDataFrame(
+        [("c", i) for i in range(4)] + [("d", 0), ("d", 1)],
+        ["conv_id", "turn_idx"])
+    got = {(r["conv_id"], r["turn_idx"]):
+           (r["intent"], r["effective_intent"], r["carried"])
+           for r in contextual_intents(triples, turns).collect()}
+    assert got == {
+        ("c", 0): ("bookFlight", "bookFlight", False),
+        ("c", 1): (None, "bookFlight", True),
+        ("c", 2): ("setLight", "setLight", False),
+        ("c", 3): (None, "setLight", True),
+        ("d", 0): (None, None, False),
+        ("d", 1): (None, None, False),
+    }
 
 
 @pytest.mark.spark
@@ -324,6 +380,81 @@ def test_duplicate_clusters_star_equals_hashmin(spark):
         assert hm == st
         # total assignment: every doc labeled exactly once
         assert len({d for d, _ in st}) == n
+
+
+@pytest.mark.spark
+def test_pack_sequences_stream_invariants(spark):
+    """The packing plan lays a gapless token stream: sorted by
+    start_tok, every doc starts where the previous ended; sequence ids
+    and offsets are consistent with seq_len; zero-token docs excluded;
+    output is partitioning-invariant."""
+    from snips_nlu_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (5 + (i * 7) % 40)) for i in range(60)]
+        + [(99, "")],
+        ["doc_id", "text"])
+    L = 32
+    rows = sorted(map(tuple, pack_sequences(docs, seq_len=L).collect()),
+                  key=lambda r: r[2])
+    assert len(rows) == 60  # empty doc excluded
+    pos = 0
+    for doc_id, n, start, sf, sl, off in rows:
+        assert start == pos
+        assert sf == start // L and off == start % L
+        assert sl == (start + n - 1) // L
+        pos += n
+    # partitioning must not change the layout
+    again = sorted(map(tuple, pack_sequences(
+        docs.repartition(7), seq_len=L).collect()), key=lambda r: r[2])
+    assert again == rows
+
+
+@pytest.mark.spark
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-0.5 bigram LM on a 4-doc corpus, scores checked against the
+    closed-form values; sub-2-word docs get NULL."""
+    import math
+
+    from snips_nlu_spark.functions.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "z z"), (3, "a")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+           for r in bigram_lm_scores(docs).collect()}
+    # V=3; cb: (a,b)=3, (b,a)=1, (z,z)=1; cp: a=3, b=1, z=1; k*V=1.5
+    lp_ab = math.log(3.5 / 4.5)
+    lp_ba = math.log(1.5 / 2.5)
+    lp_zz = math.log(1.5 / 2.5)
+    want = {
+        0: (3, round(-(2 * lp_ab + lp_ba) / 3, 6)),
+        1: (1, round(-lp_ab, 6)),
+        2: (1, round(-lp_zz, 6)),
+        3: (0, None),
+    }
+    assert got == want
+    # the corpus-typical bigram scores lower NLL than the rare one
+    assert got[1][1] < got[2][1]
+
+
+@pytest.mark.spark
+def test_dedup_corpus_keep_one(spark):
+    """Composed pipeline: near-identical docs collapse to one kept
+    survivor (the min doc_id); unique docs all survive; output is a
+    total audit assignment."""
+    from snips_nlu_spark.functions.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " today"), (5, base + " tomorrow"),
+         (7, "completely different text about spark shuffles and joins "
+             "at scale")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["cluster_id"], r["kept"])
+           for r in dedup_corpus(docs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 5: (1, False),
+                   7: (7, True)}
 
 
 @pytest.mark.spark

@@ -107,6 +107,46 @@ def test_streaming_stateful_conversation_rollup(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_contextual_intents_match_batch(spark, tmp_path):
+    """Stateful carry-over stream ≡ batch window operator when turns
+    arrive in order per conversation, however they are split across
+    micro-batches (three sequential waves by turn_idx, one file per
+    trigger)."""
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.graph import contextual_intents
+    from snips_nlu_spark.spark.stages import parse_transcripts
+    from snips_nlu_spark.spark.streaming import (
+        streaming_contextual_intents, streaming_transcripts)
+    import __spark_entry__ as em
+
+    src = tmp_path / "src_ctx"
+    pdf = datagen.generate_pandas(0, 240)
+    df = spark.createDataFrame(pdf)
+    # sequential waves by turn_idx: per-conversation order is preserved
+    # across triggers (file source processes by mtime; writes are
+    # sequential so mtimes ascend)
+    for lo, hi in ((0, 3), (3, 6), (6, 10_000)):
+        wave = df.filter((df.turn_idx >= lo) & (df.turn_idx < hi))
+        wave.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = streaming_contextual_intents(
+        streaming_transcripts(spark, str(src), max_files_per_trigger=1),
+        em._model_json())
+    q = (out.writeStream.format("memory").queryName("ctx_intents")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ctx"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM ctx_intents").collect()}
+    want = {tuple(r) for r in
+            contextual_intents(parse_transcripts(df, em._model_json()),
+                               df).collect()}
+    assert got == want
+    assert any(r[4] for r in want)  # fixture exercises carrying
+
+
 def test_spark_submit_job(tmp_path):
     """Drive jobs/build_kg.py through spark-submit with --py-files (the
     north-rule execution mode)."""
