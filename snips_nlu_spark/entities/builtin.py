@@ -587,6 +587,7 @@ _DT = {
         "boundary_words": {"beginning": "begin", "start": "begin",
                            "end": "end", "middle": "mid"},
         "of_words": ("of",),
+        "last_words": ("last",),
     },
     # ja: no-whitespace script — the CJK script-run tokenizer (textcore)
     # isolates the day words, particles (の/から/まで), digit runs, and
@@ -706,6 +707,7 @@ _DT = {
                            "fim": "end", "final": "end",
                            "meados": "mid"},
         "of_words": ("do", "da", "de"),
+        "last_words": ("último", "ultimo", "última", "ultima"),
     },
     "it": {
         "weekdays": {"lunedì": 0, "lunedi": 0, "martedì": 1, "martedi": 1,
@@ -749,6 +751,8 @@ _DT = {
         "boundary_words": {"inizio": "begin", "fine": "end",
                            "metà": "mid", "meta": "mid"},
         "of_words": ("del", "della", "dell", "di"),
+        "last_words": ("ultimo", "ultima"),
+        "range_articles": ("il", "lo", "la", "le", "l", "i", "gli"),
     },
     "de": {
         "weekdays": {"montag": 0, "dienstag": 1, "mittwoch": 2,
@@ -795,7 +799,8 @@ _DT = {
         "this_words": ("diesen", "diese", "dieses"),
         "boundary_words": {"anfang": "begin", "ende": "end",
                            "mitte": "mid"},
-        "of_words": ("des", "der", "vom"),
+        "of_words": ("des", "der", "vom", "im"),
+        "last_words": ("letzte", "letzter", "letzten"),
         "period_gen": {"monats": "month", "jahres": "year"},
     },
     "es": {
@@ -845,6 +850,7 @@ _DT = {
                            "fin": "end", "finales": "end",
                            "mediados": "mid"},
         "of_words": ("del", "de"),
+        "last_words": ("último", "ultimo", "última", "ultima"),
     },
     "fr": {
         "weekdays": {"lundi": 0, "mardi": 1, "mercredi": 2, "jeudi": 3,
@@ -889,6 +895,7 @@ _DT = {
         "boundary_words": {"début": "begin", "debut": "begin",
                            "fin": "end", "milieu": "mid"},
         "of_words": ("du", "de", "d"),
+        "last_words": ("dernier", "dernière", "derniere"),
     },
 }
 
@@ -1353,6 +1360,85 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             # absorb a trailing "prochain"/"prochaine" (fr)
             if i + 1 < n and lower(i + 1) in tables["weekday_suffix"]:
                 tok_end = i + 1
+        elif ((ordinal_word_to_number(w, lang) is not None
+               or w in tables.get("last_words", ()))
+              and i + 1 < n and lower(i + 1) in tables["weekdays"]):
+            # nested grain: "first monday of june" / "last friday of
+            # next month" / "le premier lundi de juin" / "der erste
+            # montag im juni" — the nth (or last) weekday inside a
+            # named or relative month. Only fires with a month tail, so
+            # bare "last monday" (the past weekday) is untouched.
+            nth = ordinal_word_to_number(w, lang)
+            wd = tables["weekdays"][lower(i + 1)]
+            j = i + 2
+            if j < n and lower(j) in tables["weekday_suffix"]:
+                j += 1
+            if j < n and lower(j) in tables.get("of_words", ()):
+                j += 1
+            arts = tables.get("range_articles", tables["the_words"])
+            if j < n and lower(j) in arts:
+                j += 1
+            nxt = False
+            if j < n and (lower(j) == tables["next_word"]
+                          or lower(j) in tables.get("next_adjs", ())):
+                nxt = True
+                j += 1
+            start = None
+            tok_j = None
+            if j < n and lower(j) in tables["months"]:
+                # named month: next occurrence (fully-passed month
+                # rolls to next year; "next june" inside june rolls)
+                m = tables["months"][lower(j)]
+                try:
+                    s = base_date.replace(month=m, day=1)
+                    m_end = (s + _dt.timedelta(days=32)).replace(day=1) \
+                        - _dt.timedelta(days=1)
+                    if m_end < base_date or (nxt and s <= base_date):
+                        s = s.replace(year=s.year + 1)
+                    start, tok_j = s, j
+                except (OverflowError, ValueError):
+                    start = None
+            else:
+                lw = lower(j) if j < n else None
+                unit = (tables.get("rel_units", {}).get(lw)
+                        or tables["period_map"].get(lw)
+                        or tables.get("period_gen", {}).get(lw)) \
+                    if lw is not None else None
+                if unit == "month":
+                    k = j
+                    if k + 1 < n and (lower(k + 1)
+                                      == tables["next_word"]
+                                      or lower(k + 1)
+                                      in tables.get("next_adjs", ())):
+                        nxt = True
+                        k += 1
+                    try:
+                        s = base_date.replace(day=1)
+                        if nxt:
+                            s = (s + _dt.timedelta(days=32)) \
+                                .replace(day=1)
+                        start, tok_j = s, k
+                    except (OverflowError, ValueError):
+                        start = None
+            if start is not None:
+                if nth is None:  # "last <weekday> of ..."
+                    m_end = (start + _dt.timedelta(days=32)) \
+                        .replace(day=1) - _dt.timedelta(days=1)
+                    day = m_end - _dt.timedelta(
+                        days=(m_end.weekday() - wd) % 7)
+                    tok_end = tok_j
+                else:
+                    d2 = start + _dt.timedelta(
+                        days=(wd - start.weekday()) % 7
+                        + 7 * (nth - 1))
+                    if d2.month == start.month \
+                            and d2.year == start.year:
+                        day = d2
+                        tok_end = tok_j
+                # absorb a leading article ("the first monday …")
+                if day is not None and i > 0 and i - 1 not in used \
+                        and lower(i - 1) in arts:
+                    tok_start = i - 1
         elif w in tables.get("every_dayparts", {}):
             # fused CJK recurrence+daypart (ja 毎朝/毎晩) → the anchor
             # day's part-of-day (day-level anchoring)

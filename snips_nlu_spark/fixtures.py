@@ -961,7 +961,9 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "buche mir einen flug nach berlin ende nächsten monats "
            "um 17 uhr",
            # round 5b: recurrence + part-of-day
-           "buche mir einen flug nach berlin jeden abend"),
+           "buche mir einen flug nach berlin jeden abend",
+           # round 5b: nested grain (nth weekday of month)
+           "buche mir einen flug nach berlin am ersten montag im juni"),
     "es": ("resérvame un vuelo a madrid cada lunes",
            "resérvame un vuelo a madrid en las próximas 3 semanas",
            "resérvame un vuelo a madrid en navidad",
@@ -970,7 +972,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "resérvame un vuelo a madrid en viernes santo",
            "resérvame un vuelo a madrid a finales del próximo mes "
            "a las 8:30",
-           "resérvame un vuelo a madrid cada tarde"),
+           "resérvame un vuelo a madrid cada tarde",
+           "resérvame un vuelo a madrid el primer lunes de junio"),
     "fr": ("réserve moi un vol pour paris chaque lundi",
            "réserve moi un vol pour paris dans les 3 prochaines semaines",
            "réserve moi un vol pour paris à noël",
@@ -978,7 +981,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "réserve moi un vol pour paris ce soir",
            "réserve moi un vol pour paris le lundi de pâques",
            "réserve moi un vol pour paris fin du mois à 8h30",
-           "réserve moi un vol pour paris chaque matin"),
+           "réserve moi un vol pour paris chaque matin",
+           "réserve moi un vol pour paris le premier lundi de juin"),
     "it": ("prenotami un volo per roma ogni lunedì",
            "prenotami un volo per roma nelle prossime 3 settimane",
            "prenotami un volo per roma a natale",
@@ -986,7 +990,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "prenotami un volo per roma stasera",
            "prenotami un volo per roma a pasquetta",
            "prenotami un volo per roma a fine del mese alle 8:30",
-           "prenotami un volo per roma ogni sera"),
+           "prenotami un volo per roma ogni sera",
+           "prenotami un volo per roma il primo lunedì di giugno"),
     "ja": ("東京行きの飛行機を毎週月曜日予約して",
            "東京行きの飛行機を3週間後予約して",
            "東京行きの飛行機をクリスマス予約して",
@@ -1008,7 +1013,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "reserva um voo para lisboa esta noite",
            "reserva um voo para lisboa na sexta feira santa",
            "reserva um voo para lisboa no fim do mês às 8:30",
-           "reserva um voo para lisboa cada manhã"),
+           "reserva um voo para lisboa cada manhã",
+           "reserva um voo para lisboa na primeira segunda de junho"),
 }
 
 

@@ -396,3 +396,51 @@ def test_datetime_every_daypart_all_languages():
     en = BuiltinEntityParser(language="en")
     ms = en.parse("every monday at 9am", anchor=anchor)
     assert ms[0]["resolved_value"]["value"] == "2024-05-06 09:00:00"
+
+
+def test_datetime_nth_weekday_of_month_all_languages():
+    """Round-5: nested grain — the nth (or last) weekday of a named or
+    relative month in the 6 Latin packs (anchor 2024-05-02, a Thursday:
+    first monday of june = 2024-06-03; last friday of next month =
+    2024-06-28; second tuesday of the current month = 2024-05-14;
+    passed months roll to next year)."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 5, 2)
+    cases = [
+        ("en", "the first monday of june", "2024-06-03 00:00:00"),
+        ("en", "last friday of next month", "2024-06-28 00:00:00"),
+        ("en", "second tuesday of the month", "2024-05-14 00:00:00"),
+        ("en", "first monday of january", "2025-01-06 00:00:00"),
+        ("fr", "le premier lundi de juin", "2024-06-03 00:00:00"),
+        ("fr", "dernier vendredi du mois prochain",
+         "2024-06-28 00:00:00"),
+        ("es", "el primer lunes de junio", "2024-06-03 00:00:00"),
+        ("es", "último viernes del próximo mes", "2024-06-28 00:00:00"),
+        ("de", "der erste montag im juni", "2024-06-03 00:00:00"),
+        ("de", "letzter freitag des nächsten monats",
+         "2024-06-28 00:00:00"),
+        ("it", "il primo lunedì di giugno", "2024-06-03 00:00:00"),
+        ("it", "ultimo venerdì del prossimo mese",
+         "2024-06-28 00:00:00"),
+        ("pt", "primeira segunda de junho", "2024-06-03 00:00:00"),
+        ("pt", "último sexta do próximo mês", "2024-06-28 00:00:00"),
+    ]
+    for lang, text, want in cases:
+        p = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert ms, (lang, text)
+        assert ms[0]["resolved_value"]["value"] == want, (lang, text, ms)
+        assert ms[0]["resolved_value"]["grain"] == "Day", (lang, text)
+    # a month with no 5th monday yields NO nested match — the bare
+    # weekday fallback still parses
+    en = BuiltinEntityParser(language="en")
+    ms = en.parse("fifth monday of june", anchor=anchor)
+    vals = [m["value"] for m in ms
+            if m["entity_kind"] == "snips/datetime"]
+    assert vals == ["monday"]
+    # bare "last monday" (no month tail) is untouched by the new branch
+    ms2 = en.parse("last monday", anchor=anchor)
+    assert [m["value"] for m in ms2
+            if m["entity_kind"] == "snips/datetime"] == ["monday"]
