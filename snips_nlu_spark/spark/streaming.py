@@ -201,3 +201,91 @@ def streaming_contextual_intents(stream_df: DataFrame, model_json: str,
                 stateStructType=CTX_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+CTX_ORD_STATE_SCHEMA = ("last_intent string, next_idx int, "
+                        "buf_idx array<int>, buf_text array<string>, "
+                        "buf_ts array<long>")
+
+
+def streaming_contextual_intents_ordered(stream_df: DataFrame,
+                                         model_json: str,
+                                         idle_timeout_ms: int
+                                         = 7_200_000) -> DataFrame:
+    """Out-of-order-safe variant of
+    :func:`streaming_contextual_intents`: turns are reassembled into
+    per-conversation ``turn_idx`` sequence order before the carry-over
+    runs (TCP-style gap buffering — a turn is processed only once every
+    earlier turn of its conversation has arrived; later arrivals wait
+    in state). Emission is therefore EXACTLY the batch operator's
+    output however turns are shuffled across micro-batches, at the cost
+    of buffering out-of-order tails in state (bounded by the
+    conversation length and dropped with the idle timeout).
+
+    Assumes per-conversation turn_idx is contiguous from 0 (the
+    transcript contract). State holds (last carried intent, next
+    expected turn_idx, the gap buffer as parallel arrays).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    from .stages import _engine_from_json, parse_cached
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            last_intent, next_idx, bidx, btext, bts = state.get
+            buf = {int(i): (t, ts)
+                   for i, t, ts in zip(bidx, btext, bts)}
+        else:
+            last_intent, next_idx, buf = None, 0, {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_series = pd.to_datetime(pdf["ts"]) \
+                if "ts" in pdf.columns else pd.Series([None] * len(pdf))
+            for tidx, text, ts in zip(pdf["turn_idx"], pdf["text"],
+                                      ts_series):
+                ts_ms = None if pd.isna(ts) else int(ts.value // 10**6)
+                buf[int(tidx)] = (None if text is None else str(text),
+                                  ts_ms)
+        rows = []
+        engine = None
+        while next_idx in buf:
+            text, ts_ms = buf.pop(next_idx)
+            intent = None
+            if text is not None:
+                if engine is None:
+                    engine = _engine_from_json(model_json)
+                ts = None if ts_ms is None \
+                    else pd.Timestamp(ts_ms, unit="ms")
+                result = parse_cached(engine, text, ts)
+                intent = result["intent"]["intentName"]
+            if intent is not None:
+                last_intent = intent
+            eff = intent if intent is not None else last_intent
+            rows.append((conv_id, next_idx, intent, eff,
+                         intent is None and eff is not None))
+            next_idx += 1
+        items = sorted(buf.items())
+        state.update((last_intent, next_idx,
+                      [i for i, _ in items],
+                      [v[0] for _, v in items],
+                      [v[1] for _, v in items]))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                          "intent", "effective_intent",
+                                          "carried"])
+
+    return (stream_df
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=CTX_OUT_SCHEMA,
+                stateStructType=CTX_ORD_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -458,6 +458,42 @@ def test_dedup_corpus_keep_one(spark):
 
 
 @pytest.mark.spark
+def test_duplicate_clusters_star_stress(spark):
+    """Planted-structure stress: a 2048-node chain (the adversarial
+    diameter case), 100 disjoint 6-cliques, and cross-linked stars must
+    all resolve to exact components within an O(log n) iteration budget
+    (14 rounds for n=2048 — the explicit bound the star algorithm
+    promises; hash-min would need 2047)."""
+    from snips_nlu_spark.functions.dedup import duplicate_clusters_star
+
+    edges = [(i, i + 1) for i in range(2047)]  # chain 0..2047
+    base = 10_000
+    for c in range(100):  # 6-cliques
+        ids = [base + c * 6 + k for k in range(6)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    base2 = 50_000
+    for s in range(20):  # stars cross-linked pairwise into 10 comps
+        hub = base2 + s * 100
+        edges += [(hub, hub + k) for k in range(1, 30)]
+        if s % 2 == 1:
+            edges.append((hub, hub - 100 + 1))
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in duplicate_clusters_star(pairs, max_iter=14).collect()}
+    # exact expectations
+    want = {(i, 0) for i in range(2048)}
+    for c in range(100):
+        ids = [base + c * 6 + k for k in range(6)]
+        want |= {(i, ids[0]) for i in ids}
+    for s in range(20):
+        hub = base2 + s * 100
+        root = hub - 100 if s % 2 == 1 else hub
+        want |= {(hub + k, root) for k in range(1, 30)}
+        want.add((hub, root))
+    assert got == want
+
+
+@pytest.mark.spark
 def test_benchmark_contamination(spark):
     """Hand-computed coverage fractions: a verbatim copy is flagged at
     1.0, a half-overlapping doc sits exactly at the threshold, and a

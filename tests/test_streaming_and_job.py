@@ -147,6 +147,42 @@ def test_streaming_contextual_intents_match_batch(spark, tmp_path):
     assert any(r[4] for r in want)  # fixture exercises carrying
 
 
+def test_streaming_contextual_intents_out_of_order(spark, tmp_path):
+    """Gap-buffered variant: waves arrive REVERSED (later turns first),
+    so every conversation's early turns land in a later trigger — the
+    reassembly buffer must still reproduce the batch output exactly."""
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.graph import contextual_intents
+    from snips_nlu_spark.spark.stages import parse_transcripts
+    from snips_nlu_spark.spark.streaming import (
+        streaming_contextual_intents_ordered, streaming_transcripts)
+    import __spark_entry__ as em
+
+    src = tmp_path / "src_ctx_ooo"
+    pdf = datagen.generate_pandas(0, 200)
+    df = spark.createDataFrame(pdf)
+    # reversed waves: high turn indexes first — maximal disorder
+    for lo, hi in ((6, 10_000), (3, 6), (0, 3)):
+        wave = df.filter((df.turn_idx >= lo) & (df.turn_idx < hi))
+        wave.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = streaming_contextual_intents_ordered(
+        streaming_transcripts(spark, str(src), max_files_per_trigger=1),
+        em._model_json())
+    q = (out.writeStream.format("memory").queryName("ctx_intents_ooo")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM ctx_intents_ooo").collect()}
+    want = {tuple(r) for r in
+            contextual_intents(parse_transcripts(df, em._model_json()),
+                               df).collect()}
+    assert got == want
+
+
 def test_spark_submit_job(tmp_path):
     """Drive jobs/build_kg.py through spark-submit with --py-files (the
     north-rule execution mode)."""
