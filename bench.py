@@ -278,6 +278,18 @@ def main() -> None:
     queries["emb_ivf_pq_topk"] = round(_best_of(
         lambda _: ivf_pq_topk(embs, k=5, n_queries=20).count()), 3)
 
+    # q2c': round-5b pipeline compositions — keep-one dedup (pairs →
+    # star closure → survivor), corpus-LM scoring, and the packing plan
+    from snips_nlu_spark.functions.dedup import dedup_corpus
+    from snips_nlu_spark.functions.sampling import pack_sequences
+    from snips_nlu_spark.functions.text import bigram_lm_scores
+    queries["doc_dedup_corpus"] = round(_best_of(
+        lambda _: dedup_corpus(docs).count()), 3)
+    queries["doc_lm_scores"] = round(_best_of(
+        lambda _: bigram_lm_scores(docs).count()), 3)
+    queries["doc_pack_plan"] = round(_best_of(
+        lambda _: pack_sequences(docs, seq_len=2048).count()), 3)
+
     # q2d: cold path — fully-unique texts defeat every executor memo, so
     # this measures the raw per-string engine (BASELINE.md cold-path
     # section tracks the optimization work on it). Each repeat uses a
