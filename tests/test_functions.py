@@ -275,6 +275,41 @@ def test_semantic_dedup_no_dups_input(spark):
 
 
 @pytest.mark.spark
+def test_entity_pagerank_numpy_replay(spark):
+    """Fixed-iteration PageRank over a hand graph equals an
+    independent numpy power iteration; mass is conserved (no dangling
+    nodes by construction, so ranks sum to 1)."""
+    import numpy as np
+
+    from snips_nlu_spark.spark.graph import entity_pagerank
+
+    # turns asserting co-occurring values: t1 (A,B), t2 (A,B), t3 (B,C)
+    triples = spark.createDataFrame(
+        [("c", 1, "c:1", "slot", "A", "e", 0.9),
+         ("c", 1, "c:1", "slot", "B", "e", 0.9),
+         ("c", 2, "c:2", "slot", "A", "e", 0.9),
+         ("c", 2, "c:2", "slot", "B", "e", 0.9),
+         ("c", 3, "c:3", "slot", "B", "e", 0.9),
+         ("c", 3, "c:3", "slot", "C", "e", 0.9)],
+        ["conv_id", "turn_idx", "subj", "pred", "obj", "entity",
+         "proba"])
+    got = {r["node"]: r["rank"]
+           for r in entity_pagerank(triples).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # numpy replay: nodes A,B,C; weights A-B:2, B-C:1
+    nodes = ["e|A", "e|B", "e|C"]
+    w = np.array([[0, 2, 0], [2, 0, 1], [0, 1, 0]], dtype=float)
+    outw = w.sum(axis=1)
+    r = np.full(3, 1 / 3)
+    for _ in range(10):
+        r = 0.15 / 3 + 0.85 * (w / outw[:, None]).T @ r
+    want = {n: round(v, 6) for n, v in zip(nodes, r)}
+    assert got == want
+    # the hub (B) outranks the leaves
+    assert got["e|B"] > got["e|A"] > got["e|C"]
+
+
+@pytest.mark.spark
 def test_contextual_intents_carry_over(spark):
     """Hand fixture: slot-only follow-ups inherit the last matched
     intent; turns before any match stay NULL; conversations without any
