@@ -289,3 +289,27 @@ def streaming_contextual_intents_ordered(stream_df: DataFrame,
                 stateStructType=CTX_ORD_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def streaming_exact_dedup(stream_df: DataFrame,
+                          text_col: str = "text",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup for an unbounded document/turn stream: a
+    128-bit content fingerprint per row, then
+    ``dropDuplicatesWithinWatermark`` keyed on the fingerprint — the
+    first arrival within a watermark window survives, replays and
+    verbatim re-crawls inside the window are dropped, and the
+    fingerprint state is EVICTED once the watermark passes (bounded
+    state on an unbounded stream — the property a plain
+    ``dropDuplicates`` cannot give without keying state to event
+    time). Mirrors the batch ``exact_duplicates`` fingerprint exactly,
+    so a batch backfill and the stream agree on what is a duplicate.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..functions.text import doc_fingerprint
+
+    return (stream_df
+            .withWatermark("ts", watermark)
+            .withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+            .dropDuplicatesWithinWatermark(["fingerprint"]))

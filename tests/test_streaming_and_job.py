@@ -183,6 +183,45 @@ def test_streaming_contextual_intents_out_of_order(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Watermark-bounded streaming dedup: planted verbatim duplicates
+    across micro-batches collapse to one survivor per fingerprint, and
+    the surviving fingerprint set equals the batch-distinct set."""
+    import pandas as pd
+    from snips_nlu_spark.spark.streaming import (streaming_exact_dedup,
+                                                 streaming_transcripts)
+
+    src = tmp_path / "src_dedup"
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    rows = []
+    for i in range(120):
+        text = f"unique document number {i % 40}"  # each text x3
+        rows.append(("c%03d" % i, 0, "user", text, None,
+                     base + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    df = spark.createDataFrame(pdf)
+    df = (df.withColumn("turn_idx", df["turn_idx"].cast("int"))
+          .withColumn("tool", df["tool"].cast("string")))
+    for part in range(3):  # dups split across micro-batches
+        df.filter((df.conv_id.substr(2, 3).cast("int") % 3) == part) \
+          .coalesce(1).write.mode("append").parquet(str(src))
+
+    out = streaming_exact_dedup(
+        streaming_transcripts(spark, str(src), max_files_per_trigger=1))
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    fps = [r["fingerprint"] for r in got]
+    assert len(fps) == len(set(fps)) == 40  # one survivor per text
+    texts = {r["text"] for r in got}
+    assert texts == {f"unique document number {i}" for i in range(40)}
+
+
 def test_spark_submit_job(tmp_path):
     """Drive jobs/build_kg.py through spark-submit with --py-files (the
     north-rule execution mode)."""
