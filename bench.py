@@ -351,9 +351,22 @@ def main() -> None:
 
     # q3: checkpointed end-to-end build (parse + partitioned write +
     # lineage + rollup sinks); fresh output dir per repeat so each run
-    # is a full build, not a resume no-op
+    # is a full build, not a resume no-op.
+    # MEMO STATE MATTERS here and the cold legs above just filled the
+    # worker memos with ~1M throwaway unique texts (the corpus memo is
+    # gone), so time BOTH states explicitly: build_kg_cold = the first
+    # build on the defeated memo (≈ the true cold end-to-end a fresh
+    # cluster pays: one full parse + write + ledger + rollups);
+    # build_kg_checkpointed = subsequent builds with the corpus memo
+    # warm (the steady-state number, protocol-comparable with r4's
+    # capture which ran before the 200k legs existed).
     from snips_nlu_spark.spark.lineage import build_kg
-    out_dirs = [tempfile.mkdtemp(prefix="bench_kg_") for _ in range(REPEATS)]
+    out_dirs = [tempfile.mkdtemp(prefix="bench_kg_")
+                for _ in range(REPEATS + 1)]
+    t0 = time.time()
+    build_kg(spark, transcripts, model_json, out_dirs[-1],
+             n_buckets=max(CPUS, 8))
+    queries["build_kg_cold"] = round(time.time() - t0, 3)
     queries["build_kg_checkpointed"] = round(_best_of(
         lambda i: build_kg(spark, transcripts, model_json, out_dirs[i],
                            n_buckets=max(CPUS, 8))), 3)
