@@ -1187,13 +1187,30 @@ def _parse_point(tokens, i, n, base_date, lang="en"):
         return None
     tables = _DT[lang]
     w = tokens[i].value.lower()
+
+    def _with_clock(day, last, kind):
+        # a day endpoint may carry its own clock part — "明日の8時半
+        # から", "내일 8시부터", "from tomorrow at 8am": absorb an
+        # optional linking particle/preposition, then a clock
+        j = last + 1
+        if j < n and tokens[j].value.lower() in tables.get("at_words",
+                                                           ()):
+            j += 1
+        c = _clock_fn(lang)(tokens, j, n)
+        if c is not None:
+            hh, mm, clast, _marked = c
+            return (day.replace(hour=hh, minute=mm),
+                    "Minute" if mm else "Hour", clast, kind)
+        return (day, "Day", last, kind)
+
     if w in tables["rel_days"]:
-        return (base_date + _dt.timedelta(days=tables["rel_days"][w]),
-                "Day", i, "relday")
+        return _with_clock(
+            base_date + _dt.timedelta(days=tables["rel_days"][w]),
+            i, "relday")
     if w in tables["weekdays"]:
         ahead = (tables["weekdays"][w] - base_date.weekday()) % 7
-        return (base_date + _dt.timedelta(days=ahead or 7), "Day", i,
-                "weekday")
+        return _with_clock(base_date + _dt.timedelta(days=ahead or 7),
+                           i, "weekday")
     iso = _parse_iso_date(tokens, i, n)
     if iso is not None:
         return iso[0], "Day", iso[1], "iso"
@@ -1246,7 +1263,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             if p1 is None:
                 i += 1
                 continue
-            dt1, _g1, last1, _kind1 = p1
+            dt1, _g1, last1, kind1 = p1
             if last1 + 1 >= n or lower(last1 + 1) != from_marker:
                 i += 1
                 continue
@@ -1258,6 +1275,10 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             end_tok = last2
             if last2 + 1 < n and lower(last2 + 1) == to_marker:
                 end_tok = last2 + 1
+            if kind2 == "clock" and kind1 != "clock":
+                # a bare-clock to-side inherits the from-side's day:
+                # 明日8時から10時まで ends tomorrow, not today
+                dt2 = dt1.replace(hour=dt2.hour, minute=dt2.minute)
             if dt2 <= dt1:
                 dt2 += _dt.timedelta(days=7 if kind2 == "weekday" else 1)
             used.update(range(i, end_tok + 1))
@@ -1286,6 +1307,10 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             i += 1
             continue
         dt2, _g2, last2, kind2 = p2
+        if kind2 == "clock" and kind1 != "clock":
+            # a bare-clock to-side inherits the from-side's day:
+            # "from tomorrow at 8am to 10am" ends tomorrow, not today
+            dt2 = dt1.replace(hour=dt2.hour, minute=dt2.minute)
         if dt2 <= dt1:
             # "monday to friday" = the friday AFTER that monday;
             # "10pm and 2am" crosses midnight

@@ -982,7 +982,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "réserve moi un vol pour paris le lundi de pâques",
            "réserve moi un vol pour paris fin du mois à 8h30",
            "réserve moi un vol pour paris chaque matin",
-           "réserve moi un vol pour paris le premier lundi de juin"),
+           "réserve moi un vol pour paris le premier lundi de juin",
+           "réserve moi un vol pour paris de demain à 8h à 10h"),
     "it": ("prenotami un volo per roma ogni lunedì",
            "prenotami un volo per roma nelle prossime 3 settimane",
            "prenotami un volo per roma a natale",
@@ -998,14 +999,17 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "東京行きの飛行機を月末予約して",
            "東京行きの飛行機を復活祭予約して",
            "東京行きの飛行機を月末8時30分予約して",
-           "東京行きの飛行機を毎朝予約して"),
+           "東京行きの飛行機を毎朝予約して",
+           # round 5c: day-anchored clock range
+           "東京行きの飛行機を明日8時から10時まで予約して"),
     "ko": ("서울로 가는 비행기를 매주 월요일 예약해줘",
            "서울로 가는 비행기를 3주 후 예약해줘",
            "서울로 가는 비행기를 크리스마스 예약해줘",
            "서울로 가는 비행기를 월말 예약해줘",
            "서울로 가는 비행기를 부활절 예약해줘",
            "서울로 가는 비행기를 월말 8시 30분 예약해줘",
-           "서울로 가는 비행기를 매일 아침 예약해줘"),
+           "서울로 가는 비행기를 매일 아침 예약해줘",
+           "서울로 가는 비행기를 내일 8시부터 10시까지 예약해줘"),
     "pt": ("reserva um voo para lisboa cada segunda",
            "reserva um voo para lisboa nas próximas 3 semanas",
            "reserva um voo para lisboa no natal",

@@ -444,3 +444,37 @@ def test_datetime_nth_weekday_of_month_all_languages():
     ms2 = en.parse("last monday", anchor=anchor)
     assert [m["value"] for m in ms2
             if m["entity_kind"] == "snips/datetime"] == ["monday"]
+
+
+def test_datetime_range_endpoint_with_clock():
+    """Round-5: range endpoints carry their own day+clock ("明日8時から
+    10時まで", "내일 8시부터 10시까지", "from tomorrow at 8am to
+    10am") as ONE interval mention — the bare-clock to-side inherits
+    the from-side's day; weekday/clock-only ranges keep their old
+    semantics (incl. the cross-midnight roll)."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 5, 2, 10, 0)
+    cases = [
+        ("ja", "明日8時から10時まで",
+         "2024-05-03 08:00:00", "2024-05-03 10:00:00"),
+        ("ja", "明日の8時半から10時まで",
+         "2024-05-03 08:30:00", "2024-05-03 10:00:00"),
+        ("ko", "내일 8시부터 10시까지",
+         "2024-05-03 08:00:00", "2024-05-03 10:00:00"),
+        ("en", "from tomorrow at 8am to 10am",
+         "2024-05-03 08:00:00", "2024-05-03 10:00:00"),
+        # unchanged pre-existing semantics
+        ("ja", "月曜日から金曜日まで",
+         "2024-05-06 00:00:00", "2024-05-10 00:00:00"),
+        ("en", "from 10pm to 2am",
+         "2024-05-02 22:00:00", "2024-05-03 02:00:00"),
+    ]
+    for lang, text, f, t in cases:
+        p = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert len(ms) == 1, (lang, text, ms)  # ONE mention, no overlap
+        rv = ms[0]["resolved_value"]
+        assert rv["kind"] == "TimeInterval", (lang, text, rv)
+        assert (rv["from"], rv["to"]) == (f, t), (lang, text, rv)
