@@ -65,6 +65,18 @@ def remove_boilerplate_lines(documents: DataFrame,
             .na.fill({"text": ""}))
 
 
+def mask_pii_col(text) -> "F.Column":
+    """The PII-masked version of a text Column — exposed so pipelines
+    can mask IN PLACE (``withColumn``) instead of joining a masked
+    frame back to its own parent, which re-shuffles the corpus by
+    doc_id for no reason."""
+    masked = text
+    for pat, token in ((EMAIL_RE, "<EMAIL>"), (IBAN_RE, "<IBAN>"),
+                       (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")):
+        masked = F.regexp_replace(masked, pat, token)
+    return masked
+
+
 def mask_pii(documents: DataFrame) -> DataFrame:
     """(doc_id, text) with emails → <EMAIL>, IBANs → <IBAN>, IPv4
     addresses → <IP> and phone-like digit runs → <PHONE>. Order
@@ -73,20 +85,18 @@ def mask_pii(documents: DataFrame) -> DataFrame:
     (dotted quads would otherwise match the dotted-phone form), phones
     last. All four patterns are valid in BOTH Java regex and RE2, so
     the DuckDB oracle runs the identical expressions."""
-    masked = F.col("text")
-    for pat, token in ((EMAIL_RE, "<EMAIL>"), (IBAN_RE, "<IBAN>"),
-                       (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")):
-        masked = F.regexp_replace(masked, pat, token)
-    return documents.select("doc_id", masked.alias("text"))
+    return documents.select(
+        "doc_id", mask_pii_col(F.col("text")).alias("text"))
 
 
-def gopher_quality_flags(documents: DataFrame,
-                         min_words: int = 50, max_words: int = 100_000,
-                         min_mean_word_len: float = 3.0,
-                         max_mean_word_len: float = 10.0,
-                         max_symbol_frac: float = 0.1) -> DataFrame:
-    """Per-doc word statistics + keep/drop booleans (Gopher-style
-    rules). All columns rounded/typed for exact SQL parity."""
+def gopher_cols(min_words: int = 50, max_words: int = 100_000,
+                min_mean_word_len: float = 3.0,
+                max_mean_word_len: float = 10.0,
+                max_symbol_frac: float = 0.1) -> dict:
+    """name → Column map of the Gopher statistics/flags over a ``text``
+    column, exposed so callers can compose them with other flags in ONE
+    projection (see ``quality_filter`` for why a flag-frame join is a
+    driver-side trap)."""
     words = F.regexp_extract_all(F.col("text"), F.lit("\\S+"), F.lit(0))
     n_words = F.size(words)
     total_word_chars = F.aggregate(
@@ -103,16 +113,63 @@ def gopher_quality_flags(documents: DataFrame,
         n_chars > 0,
         F.round(n_symbols.cast("double") / n_chars, 6)
     ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_frac": symbol_frac,
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": mean_word_len.between(
+            min_mean_word_len, max_mean_word_len),
+        "ok_symbol_frac": symbol_frac <= max_symbol_frac,
+    }
+
+
+def gopher_quality_flags(documents: DataFrame,
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_frac: float = 0.1) -> DataFrame:
+    """Per-doc word statistics + keep/drop booleans (Gopher-style
+    rules). All columns rounded/typed for exact SQL parity."""
+    cols = gopher_cols(min_words, max_words, min_mean_word_len,
+                       max_mean_word_len, max_symbol_frac)
     return documents.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_frac.alias("symbol_frac"),
-        ((n_words >= min_words) & (n_words <= max_words))
-        .alias("ok_word_count"),
-        (mean_word_len.between(min_mean_word_len, max_mean_word_len))
-        .alias("ok_mean_word_len"),
-        (symbol_frac <= max_symbol_frac).alias("ok_symbol_frac"))
+        "doc_id", *(c.alias(name) for name, c in cols.items()))
+
+
+def quality_filter(documents: DataFrame, **kwargs) -> DataFrame:
+    """Rows of ``documents`` passing BOTH the Gopher quality flags and
+    the within-doc repetition flags, evaluated in ONE projection over
+    the input scan.
+
+    Why not ``gopher_quality_flags(df).join(repetition_flags(df),
+    "doc_id").filter(...)``? Both flag frames derive from the same
+    scan and their flag columns alias very large expression trees (the
+    repetition longest-run aggregate in particular). Filtering across
+    such a self-join makes Catalyst's constraint propagation substitute
+    and recombine those trees combinatorially — observed 200+ s of
+    driver-side planning at 500 rows. Composing the flags as one
+    filter over one projection keeps planning O(expression size) and
+    the whole stage codegen'd.
+
+    kwargs are split by name between ``gopher_cols`` and
+    ``repetition_cols``.
+    """
+    from .text import repetition_cols
+
+    gk = {k: v for k, v in kwargs.items()
+          if k in ("min_words", "max_words", "min_mean_word_len",
+                   "max_mean_word_len", "max_symbol_frac")}
+    rk = {k: v for k, v in kwargs.items()
+          if k in ("max_dup_line_frac", "max_top_bigram_frac")}
+    unknown = set(kwargs) - set(gk) - set(rk)
+    if unknown:
+        raise TypeError(f"unknown quality_filter kwargs: {sorted(unknown)}")
+    g = gopher_cols(**gk)
+    r = repetition_cols(**rk)
+    keep = (g["ok_word_count"] & g["ok_mean_word_len"]
+            & g["ok_symbol_frac"] & r["ok_dup_lines"] & r["ok_top_bigram"])
+    return documents.filter(keep)
 
 
 def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,

@@ -180,17 +180,15 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
                             count_udf(F.col("text")).alias("n_bpe_tokens"))
 
 
-def repetition_flags(documents: DataFrame,
-                     max_dup_line_frac: float = 0.3,
-                     max_top_bigram_frac: float = 0.2) -> DataFrame:
-    """Gopher/MassiveText within-document repetition filters:
-    - dup_line_frac: fraction of lines that are duplicates of an
-      earlier line in the SAME document;
-    - top_bigram_frac: fraction of words covered by the single most
-      frequent word bigram.
-    Pure JVM expressions via higher-order array functions (aggregate /
-    transform / filter) — no explode, no shuffle: each document's
-    statistics are computed inside one projection."""
+def repetition_cols(max_dup_line_frac: float = 0.3,
+                    max_top_bigram_frac: float = 0.2) -> dict:
+    """name → Column map of the repetition statistics/flags over a
+    ``text`` column. Exposed so callers can compose these flags with
+    other per-doc flags inside ONE projection — joining two flag
+    frames derived from the same scan and filtering across the join
+    makes Catalyst's constraint propagation duplicate these (very
+    large) expression trees combinatorially and hangs the driver for
+    minutes even at 500 rows."""
     lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
     n_distinct_lines = F.size(F.array_distinct(lines))
@@ -202,30 +200,39 @@ def repetition_flags(documents: DataFrame,
     words = F.regexp_extract_all(F.lower(F.col("text")),
                                  F.lit(_WORD_RE), F.lit(0))
     n_words = F.size(words)
+    # bigrams WITHOUT indexing `words` inside a sequence() lambda: a
+    # higher-order lambda re-evaluates every OUTER expression it
+    # references once per element, so `words[i]` re-runs the full
+    # regexp scan n times — O(n²) per document (observed: 500 docs =
+    # 180+ s). zip_with the array against its own tail instead, so the
+    # lambda only touches element VALUES; `words` is evaluated a
+    # constant number of times per row.
     bigrams = F.when(
         n_words >= 2,
-        F.transform(F.sequence(F.lit(0), n_words - 2),
-                    lambda i: F.concat_ws(" ", words[i], words[i + 1]))
-    ).otherwise(F.array())
+        F.zip_with(F.slice(words, 1, n_words - 1),
+                   F.slice(words, 2, n_words - 1),
+                   lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
     # most-frequent-bigram count WITHOUT a quadratic distinct×filter
     # scan: sort the doc's bigrams and take the longest run of equal
-    # adjacent elements — O(n log n) per document, scale-safe for long
-    # documents
+    # adjacent elements — O(n log n) per document. The fold carries
+    # (prev, cur, best) so it never indexes back into the sorted array
+    # (same per-element re-evaluation trap as above: `sorted_bg[i]`
+    # would re-sort per element).
     sorted_bg = F.array_sort(bigrams)
-    longest_run = F.aggregate(
-        F.sequence(F.lit(1), F.size(sorted_bg) - 1),
-        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
-        lambda a, i: F.struct(
-            F.when(sorted_bg[i] == sorted_bg[i - 1], a["cur"] + 1)
+    top_bigram_count = F.aggregate(
+        sorted_bg,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["cur"] + 1)
             .otherwise(F.lit(1)).alias("cur"),
             F.greatest(
                 a["best"],
-                F.when(sorted_bg[i] == sorted_bg[i - 1], a["cur"] + 1)
+                F.when(x == a["prev"], a["cur"] + 1)
                 .otherwise(F.lit(1))).alias("best")),
         lambda a: a["best"])
-    top_bigram_count = F.when(F.size(sorted_bg) >= 2, longest_run) \
-        .when(F.size(sorted_bg) == 1, F.lit(1)) \
-        .otherwise(F.lit(0))
     # a bigram covers 2 words; cap at 1.0 for degenerate repeats
     top_bigram_frac = F.when(
         n_words > 0,
@@ -234,12 +241,28 @@ def repetition_flags(documents: DataFrame,
                 6)
     ).otherwise(F.lit(0.0))
 
+    return {
+        "dup_line_frac": dup_line_frac,
+        "top_bigram_frac": top_bigram_frac,
+        "ok_dup_lines": dup_line_frac <= max_dup_line_frac,
+        "ok_top_bigram": top_bigram_frac <= max_top_bigram_frac,
+    }
+
+
+def repetition_flags(documents: DataFrame,
+                     max_dup_line_frac: float = 0.3,
+                     max_top_bigram_frac: float = 0.2) -> DataFrame:
+    """Gopher/MassiveText within-document repetition filters:
+    - dup_line_frac: fraction of lines that are duplicates of an
+      earlier line in the SAME document;
+    - top_bigram_frac: fraction of words covered by the single most
+      frequent word bigram.
+    Pure JVM expressions via higher-order array functions (aggregate /
+    transform / filter) — no explode, no shuffle: each document's
+    statistics are computed inside one projection."""
+    cols = repetition_cols(max_dup_line_frac, max_top_bigram_frac)
     return documents.select(
-        "doc_id",
-        dup_line_frac.alias("dup_line_frac"),
-        top_bigram_frac.alias("top_bigram_frac"),
-        (dup_line_frac <= max_dup_line_frac).alias("ok_dup_lines"),
-        (top_bigram_frac <= max_top_bigram_frac).alias("ok_top_bigram"))
+        "doc_id", *(c.alias(name) for name, c in cols.items()))
 
 
 def bigram_lm_scores(documents: DataFrame, k: float = 0.5) -> DataFrame:

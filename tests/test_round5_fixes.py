@@ -342,3 +342,83 @@ def test_bpe_token_counts_bounds(spark):
         assert r["n_pieces"] <= r["n_bpe_tokens"] <= r["n_chars"], r
     again = sorted(map(tuple, bpe_token_counts(docs).collect()))
     assert again == sorted(map(tuple, exact.collect()))
+
+
+@pytest.mark.spark
+def test_repetition_flags_linear_time(spark):
+    """Perf canary for the HOF re-evaluation trap: indexing a computed
+    outer expression (``words[i]``, ``sorted_bg[i]``) inside a
+    higher-order lambda re-evaluates it PER ELEMENT — the original
+    formulation cost O(n_words²) regex scans per document (500 small
+    docs took 180+ s). The zip_with/value-fold rewrite is O(n log n):
+    300 docs × 3,000 words must clear in well under a minute (the
+    quadratic version needs several hundred seconds)."""
+    import time
+
+    from snips_nlu_spark.functions.cleaning import quality_filter
+
+    rows = [(i, " ".join(f"w{(i * 31 + j * 7) % 997}"
+                         for j in range(3000)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t0 = time.time()
+    n = quality_filter(df).count()
+    elapsed = time.time() - t0
+    assert n > 0
+    assert elapsed < 90, f"repetition flags quadratic again? {elapsed:.0f}s"
+
+
+@pytest.mark.spark
+def test_quality_filter_matches_flag_join(spark):
+    """The one-projection composition keeps the exact semantics of the
+    (driver-hostile) flag-frame join it replaced."""
+    from pyspark.sql import functions as F
+
+    from snips_nlu_spark.functions.cleaning import (gopher_quality_flags,
+                                                    quality_filter)
+    from snips_nlu_spark.functions.text import repetition_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    composed = {r["doc_id"]
+                for r in quality_filter(docs).select("doc_id").collect()}
+    g = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    rep = {r["doc_id"]: r for r in repetition_flags(docs).collect()}
+    joined = {d for d in g
+              if g[d]["ok_word_count"] and g[d]["ok_mean_word_len"]
+              and g[d]["ok_symbol_frac"] and rep[d]["ok_dup_lines"]
+              and rep[d]["ok_top_bigram"]}
+    assert composed == joined and composed
+
+
+def test_curate_corpus_job(tmp_path):
+    """Drive jobs/curate_corpus.py end-to-end through spark-submit:
+    dedup → quality → PII → budget draw → packing plan, with the audit
+    layout partitioning the input exactly (every doc is curated or
+    dropped-with-reason)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyspark
+
+    repo = Path(__file__).resolve().parent.parent
+    subprocess.run([sys.executable, str(repo / "scripts" / "package.py")],
+                   check=True, capture_output=True)
+    spark_submit = (Path(pyspark.__file__).parent / "bin" / "spark-submit")
+    out = tmp_path / "curated_out"
+    proc = subprocess.run(
+        [str(spark_submit), "--master", "local[4]",
+         "--py-files", str(repo / "snips_nlu_spark.zip"),
+         str(repo / "jobs" / "curate_corpus.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out),
+         "--budget-tokens", "20000", "--pack-seq-len", "512"],
+        capture_output=True, text=True, timeout=420, cwd=str(repo))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_curated"] + summary["n_dropped"] == summary["n_input"]
+    assert 0 < summary["n_sampled"] <= summary["n_curated"]
+    assert 0 < summary["n_tokens"]
+    for sub in ("curated", "audit/dropped", "audit/tokens", "sample",
+                "pack_plan"):
+        assert (out / sub).exists(), sub
