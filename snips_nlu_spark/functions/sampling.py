@@ -167,3 +167,52 @@ def pack_sequences(documents: DataFrame, seq_len: int = 2048,
                     F.floor((cum - 1) / seq_len).cast("long")
                     .alias("seq_last"),
                     (start % seq_len).cast("long").alias("seq_offset")))
+
+
+def sample_token_mix(documents: DataFrame, total_budget: int,
+                     weights: dict[str, float],
+                     strata_col: str = "source",
+                     seed: int = 42) -> DataFrame:
+    """Weighted multi-source data-mixing draw — the recipe that turns
+    per-source corpora into a training mix with fixed token
+    proportions (the Pile/Dolma mixing step): source s receives
+    floor(total_budget · w_s / Σw) tokens, drawn first-fit along the
+    deterministic md5 permutation WITHIN the source. Sources absent
+    from ``weights`` contribute nothing.
+
+    Output: (doc_id, <strata_col>, n_tokens, cum_tokens, budget) for
+    the sampled docs; ``budget`` is the per-source allotment so the
+    draw is auditable per row.
+
+    Scale shape: the per-source budget is a broadcast-free CASE column;
+    one window cumsum partitioned by source (sources number in the
+    tens-to-hundreds while docs per source are huge, so every window
+    partition is parallel and none is global). Same two-pass bucketed
+    upgrade as the global draw applies if a single source ever
+    dominates the corpus.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    budgets = {s: int(total_budget * w / total_w)
+               for s, w in weights.items()}
+    order = F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":{seed}")))
+    budget_col = None
+    for s, b in sorted(budgets.items()):
+        cond = F.col(strata_col) == s
+        budget_col = (F.when(cond, F.lit(b)) if budget_col is None
+                      else budget_col.when(cond, F.lit(b)))
+    budget_col = (F.lit(0).cast("long") if budget_col is None
+                  else budget_col.otherwise(F.lit(0)).cast("long"))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col("_ord"), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (documents
+            .select("doc_id", strata_col,
+                    bpe_token_count(F.col("text")).alias("n_tokens"),
+                    order.alias("_ord"), budget_col.alias("budget"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= F.col("budget"))
+            .select("doc_id", strata_col, "n_tokens", "cum_tokens",
+                    "budget"))

@@ -168,3 +168,75 @@ def entity_pagerank(triples: DataFrame, damping: float = 0.85,
                          .alias("rank"))
                  .localCheckpoint())
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def entity_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components of the entity co-occurrence graph — the
+    KG's "topic islands" rollup: which entity values are transitively
+    connected through shared turns. (node, component_id) with
+    component_id = the lexicographic minimum node key in the component;
+    entity values that co-occur with nothing are singleton components.
+
+    Nodes are entity|value composite keys (same keying as
+    :func:`entity_pagerank`). Reuses the large-star/small-star CC
+    machinery from the dedup module — O(log n) rounds regardless of
+    component diameter, one join + one agg per round, per-round
+    localCheckpoint, no driver-side graph state.
+    """
+    from ..functions.dedup import duplicate_clusters
+
+    co = entity_cooccurrence_edges(triples)
+    pairs = co.select(
+        F.concat_ws("|", "entity_a", "obj_a").alias("doc_a"),
+        F.concat_ws("|", "entity_b", "obj_b").alias("doc_b"))
+    universe = (triples.filter(F.col("pred") != "intent")
+                .select(F.concat_ws("|", "entity", "obj")
+                        .alias("doc_id"))
+                .distinct())
+    labels = duplicate_clusters(pairs, universe, max_iter=max_iter,
+                                strategy="star")
+    return labels.select(F.col("doc_id").alias("node"),
+                         F.col("cluster_id").alias("component_id"))
+
+
+def entity_similarity(triples: DataFrame,
+                      min_shared: int = 2) -> DataFrame:
+    """Neighborhood Jaccard between entity values: two nodes are
+    similar when they co-occur with the same OTHER values (structural
+    role similarity — "paris" ~ "berlin" because both pair with dates
+    and party sizes even if the two cities never share a turn).
+
+    shared = |N(a) ∩ N(b)| via a self-join keyed on the common
+    neighbor; |N(a) ∪ N(b)| = deg_a + deg_b − shared. Unordered pairs
+    (node_a < node_b) with at least ``min_shared`` common neighbors;
+    jaccard rounded to 6 dp.
+
+    Scale shape: the symmetrized edge list shuffles once on node; the
+    intersection join is keyed on the shared NEIGHBOR, so a hub value
+    is the skew risk — AQE skew-join splits it, and at web scale hub
+    neighbors get capped exactly like hot shingles in the jaccard
+    dedup path (they carry no discriminative signal).
+    """
+    co = entity_cooccurrence_edges(triples)
+    a_node = F.concat_ws("|", "entity_a", "obj_a")
+    b_node = F.concat_ws("|", "entity_b", "obj_b")
+    edges = (co.select(a_node.alias("node"), b_node.alias("nbr"))
+             .union(co.select(b_node.alias("node"),
+                              a_node.alias("nbr"))))
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    x, y = edges.alias("x"), edges.alias("y")
+    shared = (x.join(y, (F.col("x.nbr") == F.col("y.nbr"))
+                     & (F.col("x.node") < F.col("y.node")))
+              .groupBy(F.col("x.node").alias("node_a"),
+                       F.col("y.node").alias("node_b"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    da = deg.select(F.col("node").alias("node_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"),
+                    F.col("deg").alias("deg_b"))
+    union_size = (F.col("deg_a") + F.col("deg_b") - F.col("shared"))
+    return (shared.filter(F.col("shared") >= min_shared)
+            .join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "shared",
+                    F.round(F.col("shared").cast("double") / union_size,
+                            6).alias("jaccard")))

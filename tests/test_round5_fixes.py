@@ -422,3 +422,96 @@ def test_curate_corpus_job(tmp_path):
     for sub in ("curated", "audit/dropped", "audit/tokens", "sample",
                 "pack_plan"):
         assert (out / sub).exists(), sub
+
+
+def _slot_triple(conv, turn, entity, obj):
+    return (conv, turn, f"{conv}#t{turn}", "slot", obj, entity,
+            0, 1, obj, 1.0)
+
+
+_TRIPLE_COLS = ["conv_id", "turn_idx", "subj", "pred", "obj", "entity",
+                "span_start", "span_end", "raw_value", "proba"]
+
+
+@pytest.mark.spark
+def test_entity_components(spark):
+    """Two co-occurrence islands + one singleton: components are the
+    transitive closure with lexicographic-min labels."""
+    from snips_nlu_spark.spark.graph import entity_components
+
+    rows = [
+        # island 1: a-b share turn 0, b-c share turn 1 (a~c transitive)
+        _slot_triple("c1", 0, "city", "a"),
+        _slot_triple("c1", 0, "city", "b"),
+        _slot_triple("c1", 1, "city", "b"),
+        _slot_triple("c1", 1, "city", "c"),
+        # island 2: d-e share a turn
+        _slot_triple("c2", 0, "date", "d"),
+        _slot_triple("c2", 0, "date", "e"),
+        # singleton: f never co-occurs
+        _slot_triple("c3", 0, "city", "f"),
+    ]
+    df = spark.createDataFrame(rows, _TRIPLE_COLS)
+    got = {r["node"]: r["component_id"]
+           for r in entity_components(df).collect()}
+    assert got == {
+        "city|a": "city|a", "city|b": "city|a", "city|c": "city|a",
+        "date|d": "date|d", "date|e": "date|d",
+        "city|f": "city|f",
+    }
+
+
+@pytest.mark.spark
+def test_entity_similarity(spark):
+    """x and y never share a turn but co-occur with the same two
+    neighbors n1, n2 -> jaccard = 2 / (2 + 2 - 2) = 1.0; pairs below
+    min_shared=2 are dropped."""
+    from snips_nlu_spark.spark.graph import entity_similarity
+
+    rows = [
+        _slot_triple("c1", 0, "city", "x"),
+        _slot_triple("c1", 0, "date", "n1"),
+        _slot_triple("c1", 1, "city", "x"),
+        _slot_triple("c1", 1, "date", "n2"),
+        _slot_triple("c2", 0, "city", "y"),
+        _slot_triple("c2", 0, "date", "n1"),
+        _slot_triple("c2", 1, "city", "y"),
+        _slot_triple("c2", 1, "date", "n2"),
+    ]
+    df = spark.createDataFrame(rows, _TRIPLE_COLS)
+    got = {(r["node_a"], r["node_b"]): (r["shared"], r["jaccard"])
+           for r in entity_similarity(df).collect()}
+    # x's neighbors {n1,n2}; y's neighbors {n1,n2} -> jaccard 1.0.
+    # n1~n2 also share {x,y} -> jaccard 1.0. No other pair shares >= 2.
+    assert got == {("city|x", "city|y"): (2, 1.0),
+                   ("date|n1", "date|n2"): (2, 1.0)}
+
+
+@pytest.mark.spark
+def test_sample_token_mix(spark):
+    """Per-source budgets follow the weights; unweighted sources draw
+    nothing; per-source token sums stay within budget; deterministic."""
+    from pyspark.sql import functions as F
+
+    from snips_nlu_spark.functions.sampling import sample_token_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    mix = sample_token_mix(docs, total_budget=3000,
+                           weights={"src0": 4.0, "src1": 2.0,
+                                    "src2": 1.0, "src5": 1.0})
+    rows = mix.collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= {"src0", "src1", "src2", "src5"}
+    budgets = {"src0": 1500, "src1": 750, "src2": 375, "src5": 375}
+    for s, rs in by_src.items():
+        assert all(r["budget"] == budgets[s] for r in rs)
+        assert sum(r["n_tokens"] for r in rs) <= budgets[s]
+        assert max(r["cum_tokens"] for r in rs) <= budgets[s]
+    again = sorted(map(tuple, sample_token_mix(
+        docs, total_budget=3000,
+        weights={"src0": 4.0, "src1": 2.0, "src2": 1.0,
+                 "src5": 1.0}).collect()))
+    assert again == sorted(map(tuple, rows))
