@@ -1322,6 +1322,7 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
 
     # pass 1: day-level anchors, optionally followed by a time part
     num_at = {c["tok_start"]: c for c in cands}
+    holiday_heads = tables.get("holidays") or ()
     i = 0
     while i < n:
         if i in used:
@@ -1351,7 +1352,10 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                          "year": "Year"}[post_unit],
                         jj + 1)
         tok_start, tok_end = i, i
-        hol = _match_holiday(tables, lows, i, n)
+        # inline first-level probe: the full matcher allocates and sorts
+        # per call, and 99% of tokens are not a holiday head word
+        hol = (_match_holiday(tables, lows, i, n)
+               if w in holiday_heads else None)
         if hol is not None:
             # holiday probe FIRST: multi-token feasts ("good friday",
             # "vendredi saint", "lundi de pâques") embed weekday words

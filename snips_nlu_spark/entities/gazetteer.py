@@ -147,8 +147,13 @@ class GazetteerParser:
         and the scope-filtered view (per text+scope — the cascade probes
         each text with several scopes) are memoized; treat the returned
         dicts as immutable."""
+        scan = self._scan_memo(text)
+        if not scan:
+            # common case on open-domain text: nothing matched, so every
+            # scoped view is empty — skip the per-scope memo machinery
+            return []
         if scope is None:
-            return list(self._scan_memo(text))
+            return list(scan)
         return list(self._filter_memo(text, tuple(scope)))
 
     def _filter_by_scope(self, text: str, scope_key: tuple) -> tuple:

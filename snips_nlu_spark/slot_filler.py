@@ -365,8 +365,7 @@ class FeatureSet:
                 if vmemo is None:
                     vmemo = id_memo[name] = {}
                 get_pairs = vmemo.get
-                for i in range(n):
-                    value = series[i]
+                for i, value in enumerate(series):
                     if value is None:
                         continue
                     pairs = get_pairs(value)
