@@ -321,3 +321,122 @@ def bigram_lm_scores(documents: DataFrame, k: float = 0.5) -> DataFrame:
             .select("doc_id",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     "avg_nll"))
+
+
+# Gopher/MassiveText canonical repetition thresholds (Rae et al. 2021,
+# table A1): fraction of characters in the most-repeated n-gram for
+# small n, fraction of characters covered by any duplicated n-gram for
+# large n.
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                        9: 0.11, 10: 0.10}
+
+
+def gopher_ngram_repetition(documents: DataFrame,
+                            top_ns: tuple = (2, 3, 4),
+                            dup_ns: tuple = (5, 6, 7, 8, 9, 10)
+                            ) -> DataFrame:
+    """The full Gopher n-gram repetition table: per document,
+
+    - ``top_{n}_char_frac`` (n in ``top_ns``): the largest character
+      mass any single word n-gram accounts for — occurrences × the
+      gram's word characters, over the document's total word
+      characters. (Deviation from the paper, documented: Gopher picks
+      "the most FREQUENT n-gram"; max over count×chars is tie-free and
+      deterministic, and equals it whenever the most frequent gram is
+      also the heaviest.)
+    - ``dup_{n}_char_frac`` (n in ``dup_ns``): the fraction of word
+      characters covered by at least one occurrence of an n-gram that
+      appears 2+ times in the document (character-coverage union, each
+      character counted once).
+
+    plus ``ok_top_{n}`` / ``ok_dup_{n}`` flags at the paper's
+    thresholds. Characters = word characters (separators excluded) in
+    both numerators and the shared denominator.
+
+    Execution shape: one words projection, then per n one
+    explode → per-(doc, gram) count → per-doc agg (top) or
+    covered-position distinct + join to word lengths (dup). Every
+    stage is keyed on doc_id (or doc_id+gram) — map-side combinable
+    aggs, no cross-doc state, linear at any corpus size. The per-n
+    frames are narrow per-doc aggregates, so the final doc_id joins
+    are cheap (and broadcast-eligible when the doc count is small).
+    """
+    words = F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(_WORD_RE), F.lit(0))
+    toks = documents.select(
+        "doc_id", words.alias("w"),
+        F.aggregate(F.transform(words, lambda x: F.length(x)),
+                    F.lit(0), lambda a, x: a + x).alias("total_chars"))
+    toks = toks.persist()
+
+    def grams_of(n: int) -> DataFrame:
+        gram = F.concat_ws(
+            " ", *[F.col("w")[F.col("i") + j] for j in range(n)])
+        return (toks
+                .filter(F.size("w") >= n)
+                .select("doc_id", "total_chars",
+                        F.explode(F.sequence(
+                            F.lit(0), F.size("w") - n)).alias("i"),
+                        "w")
+                .select("doc_id", "total_chars", "i",
+                        gram.alias("gram")))
+
+    out = documents.select("doc_id")
+    for n in top_ns:
+        counts = (grams_of(n)
+                  .groupBy("doc_id", "total_chars", "gram")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        # word chars of the gram = len(gram) - (n-1) single-space joins
+        mass = F.col("cnt") * (F.length("gram") - (n - 1))
+        col = f"top_{n}_char_frac"
+        top = (counts.groupBy("doc_id")
+               .agg(F.max(mass).alias("m"),
+                    F.first("total_chars").alias("tc"))
+               .select("doc_id",
+                       F.when(F.col("tc") > 0,
+                              F.round(F.col("m").cast("double")
+                                      / F.col("tc"), 6))
+                       .otherwise(F.lit(0.0)).alias(col)))
+        out = out.join(top, "doc_id", "left")
+        out = out.na.fill({col: 0.0})
+    for n in dup_ns:
+        g = grams_of(n)
+        dup_pos = (g.groupBy("doc_id", "total_chars", "gram")
+                   .agg(F.collect_list("i").alias("pos"))
+                   .filter(F.size("pos") >= 2)
+                   .select("doc_id", "total_chars",
+                           F.explode("pos").alias("i")))
+        covered = (dup_pos
+                   .select("doc_id", "total_chars",
+                           F.explode(F.sequence(
+                               F.col("i"),
+                               F.col("i") + (n - 1))).alias("j"))
+                   .distinct())
+        wl = toks.select(
+            "doc_id",
+            F.posexplode(F.transform("w", lambda x: F.length(x)))
+            .alias("j", "wlen"))
+        col = f"dup_{n}_char_frac"
+        dup = (covered.join(wl, ["doc_id", "j"])
+               .groupBy("doc_id")
+               .agg(F.sum("wlen").alias("cov"),
+                    F.first("total_chars").alias("tc"))
+               .select("doc_id",
+                       F.when(F.col("tc") > 0,
+                              F.round(F.col("cov").cast("double")
+                                      / F.col("tc"), 6))
+                       .otherwise(F.lit(0.0)).alias(col)))
+        out = out.join(dup, "doc_id", "left")
+        out = out.na.fill({col: 0.0})
+    flags = [
+        (F.col(f"top_{n}_char_frac") <= TOP_NGRAM_THRESHOLDS[n])
+        .alias(f"ok_top_{n}") for n in top_ns
+    ] + [
+        (F.col(f"dup_{n}_char_frac") <= DUP_NGRAM_THRESHOLDS[n])
+        .alias(f"ok_dup_{n}") for n in dup_ns
+    ]
+    return out.select("doc_id",
+                      *[f"top_{n}_char_frac" for n in top_ns],
+                      *[f"dup_{n}_char_frac" for n in dup_ns],
+                      *flags)

@@ -515,3 +515,26 @@ def test_sample_token_mix(spark):
         weights={"src0": 4.0, "src1": 2.0, "src2": 1.0,
                  "src5": 1.0}).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+@pytest.mark.spark
+def test_gopher_ngram_repetition(spark):
+    """Hand-computed fixture: 'x1..x5 x1..x5 y' (11 words, 21 word
+    chars). Top 2-gram mass = 2 occurrences x 4 chars = 8/21; the
+    duplicated 5-gram covers word positions 0..9 = 20/21 chars. A
+    wordless doc gets all-zero fracs and passing flags."""
+    from snips_nlu_spark.functions.text import gopher_ngram_repetition
+
+    text = "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5 y"
+    df = spark.createDataFrame([(0, text), (1, "!!!")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_ngram_repetition(df).collect()}
+    assert got[0]["top_2_char_frac"] == round(8 / 21, 6)
+    assert got[0]["dup_5_char_frac"] == round(20 / 21, 6)
+    assert not got[0]["ok_top_2"] and not got[0]["ok_dup_5"]
+    # no n-gram repeats for n >= 6 (the repeat block is exactly 5 long)
+    assert got[0]["dup_6_char_frac"] == 0.0
+    assert got[0]["dup_10_char_frac"] == 0.0 and got[0]["ok_dup_10"]
+    r1 = got[1]
+    assert all(r1[c] == 0.0 for c in r1.asDict() if c.endswith("_frac"))
+    assert all(r1[c] for c in r1.asDict() if c.startswith("ok_"))
