@@ -55,7 +55,8 @@ def main() -> None:
                  "doc_text_profile", "doc_minhash_pairs",
                  "doc_dup_clusters", "doc_contamination",
                  "doc_lm_scores", "kg_contextual_intents",
-                 "doc_pack_plan",
+                 "doc_pack_plan", "doc_token_mix",
+                 "doc_ngram_repetition", "kg_entity_similarity",
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
                  "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
                  "emb_semantic_dups",

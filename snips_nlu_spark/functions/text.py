@@ -364,11 +364,14 @@ def gopher_ngram_repetition(documents: DataFrame,
     """
     words = F.regexp_extract_all(F.lower(F.col("text")),
                                  F.lit(_WORD_RE), F.lit(0))
+    # deliberately NOT persisted: each per-n branch re-runs the pruned
+    # (doc_id, text) scan + tokenize — 9 linear scans beat pinning the
+    # corpus's words column in executor memory at real scale (callers
+    # with small inputs can .persist() the documents frame themselves)
     toks = documents.select(
         "doc_id", words.alias("w"),
         F.aggregate(F.transform(words, lambda x: F.length(x)),
                     F.lit(0), lambda a, x: a + x).alias("total_chars"))
-    toks = toks.persist()
 
     def grams_of(n: int) -> DataFrame:
         gram = F.concat_ws(

@@ -60,3 +60,50 @@ def test_noop_resume_skips_recompute(spark, tmp_path):
     assert s2["pending_turns"] == 0
     assert s2["resumed_buckets"] == 4
     assert s2["n_triples"] == s1["n_triples"]
+
+
+def test_star_cc_gate_scale_planted_components(spark):
+    """ROADMAP #4: a 10^5-edge planted graph pins the star-CC round
+    budget and exactness at gate scale — a 30k-node chain (the
+    adversarial diameter no label-propagation budget survives), 2,000
+    10-cliques, and 500 hundred-spoke stars, all resolved exactly
+    within a fixed O(log n) iteration cap."""
+    from snips_nlu_spark.functions.dedup import duplicate_clusters
+
+    chain_n, chain_base = 30_000, 1_000_000
+    chain = spark.range(chain_n - 1).select(
+        (F.col("id") + chain_base).alias("doc_a"),
+        (F.col("id") + chain_base + 1).alias("doc_b"))
+    clique_base = 2_000_000
+    pairs10 = spark.createDataFrame(
+        [(j, k) for j in range(10) for k in range(j + 1, 10)],
+        ["j", "k"])
+    cliques = (spark.range(2_000).crossJoin(F.broadcast(pairs10))
+               .select((clique_base + F.col("id") * 10 + F.col("j"))
+                       .alias("doc_a"),
+                       (clique_base + F.col("id") * 10 + F.col("k"))
+                       .alias("doc_b")))
+    star_base = 3_000_000
+    stars = (spark.range(500).crossJoin(
+        F.broadcast(spark.range(99).select(
+            (F.col("id") + 1).alias("spoke"))))
+        .select((star_base + F.col("id") * 1000).alias("doc_a"),
+                (star_base + F.col("id") * 1000 + F.col("spoke"))
+                .alias("doc_b")))
+    pairs = chain.union(cliques).union(stars)
+    assert pairs.count() == (chain_n - 1) + 2_000 * 45 + 500 * 99
+
+    labels = duplicate_clusters(pairs, max_iter=22, strategy="star")
+    expected = F.when(
+        F.col("doc_id") < clique_base, F.lit(chain_base)
+    ).when(
+        F.col("doc_id") < star_base,
+        (F.floor((F.col("doc_id") - clique_base) / 10) * 10
+         + clique_base)
+    ).otherwise(
+        F.floor((F.col("doc_id") - star_base) / 1000) * 1000 + star_base)
+    mismatches = labels.filter(F.col("cluster_id")
+                               != expected.cast("long")).count()
+    assert mismatches == 0
+    n_clusters = labels.select("cluster_id").distinct().count()
+    assert n_clusters == 1 + 2_000 + 500
