@@ -57,6 +57,8 @@ def main() -> None:
                  "doc_lm_scores", "kg_contextual_intents",
                  "doc_pack_plan", "doc_token_mix",
                  "doc_ngram_repetition", "kg_entity_similarity",
+                 "kg_entity_triangles", "doc_substring_dups",
+                 "doc_dsir_selection",
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
                  "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
                  "emb_semantic_dups",

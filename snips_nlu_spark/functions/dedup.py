@@ -483,3 +483,86 @@ def dedup_corpus(documents: DataFrame, threshold: float = 0.5,
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("kept"))
+
+SUBSTRING_WINDOW_TOKENS = 20
+
+
+def substring_dup_spans(documents: DataFrame,
+                        window: int = SUBSTRING_WINDOW_TOKENS
+                        ) -> DataFrame:
+    """Exact-substring duplicate spans, the window-fingerprint form of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2021): every ``window``-token sliding window is fingerprinted
+    (md5 of the space-joined lowercase word run) and any window text
+    occurring 2+ times ACROSS THE CORPUS — other documents or a repeat
+    inside the same one — marks its token span as duplicated. Where
+    MinHash answers "is this whole document a near-copy", this answers
+    "which exact passages are copies" (license blocks, quoted chain
+    mail, syndicated paragraphs inside otherwise-unique pages).
+
+    Output per input document:
+
+    - ``n_dup_windows``: occurrences of corpus-duplicated windows.
+    - ``dup_substring_char_frac``: word characters covered by at least
+      one duplicated window / total word characters (coverage union,
+      6 dp) — the paper's "fraction of tokens removable".
+    - ``has_corpus_dup``: any duplicated window present.
+
+    Scale shape: tokenize → window posexplode (map-side, no shuffle) →
+    ONE count agg on the 128-bit window hash (map-side combinable;
+    within-partition repeats pre-combine) → the duplicated-hash side is
+    the filtered minority, semi-joined back on the hash → per-doc
+    coverage union keyed on doc_id. Linear in corpus tokens, no
+    cross-doc state beyond the hash agg; the suffix-array construction
+    the paper uses is a single-machine algorithm — window fingerprints
+    are its shuffle-friendly equivalent (window granularity is the
+    documented precision tradeoff: runs shorter than ``window`` tokens
+    are not flagged).
+    """
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE),
+                                 F.lit(0))
+    toks = documents.select(
+        "doc_id", words.alias("w"),
+        F.aggregate(F.transform(words, lambda x: F.length(x)),
+                    F.lit(0), lambda a, x: a + x).alias("total_chars"))
+    gram = F.concat_ws(
+        " ", *[F.col("w")[F.col("i") + j] for j in range(window)])
+    occ = (toks.filter(F.size("w") >= window)
+           .select("doc_id", "total_chars",
+                   F.explode(F.sequence(
+                       F.lit(0), F.size("w") - window)).alias("i"),
+                   "w")
+           .select("doc_id", "total_chars", "i", F.md5(gram).alias("h")))
+    dup_h = (occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= 2).select("h"))
+    dup_occ = occ.join(dup_h, "h", "left_semi")
+    covered = (dup_occ.select(
+        "doc_id", "total_chars",
+        F.explode(F.sequence(F.col("i"),
+                             F.col("i") + window - 1)).alias("j"))
+        .distinct())
+    wl = toks.select(
+        "doc_id",
+        F.posexplode(F.transform("w", lambda x: F.length(x)))
+        .alias("j", "wlen"))
+    frac = (covered.join(wl, ["doc_id", "j"])
+            .groupBy("doc_id")
+            .agg(F.sum("wlen").alias("cov"),
+                 F.first("total_chars").alias("tc"))
+            .select("doc_id",
+                    F.when(F.col("tc") > 0,
+                           F.round(F.col("cov").cast("double")
+                                   / F.col("tc"), 6))
+                    .otherwise(F.lit(0.0)).alias("dup_frac")))
+    n_dup = (dup_occ.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_dup")))
+    return (documents.select("doc_id")
+            .join(n_dup, "doc_id", "left")
+            .join(frac, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup_windows"),
+                F.coalesce("dup_frac", F.lit(0.0))
+                .alias("dup_substring_char_frac"),
+                (F.coalesce("n_dup", F.lit(0)) > 0)
+                .alias("has_corpus_dup")))

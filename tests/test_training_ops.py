@@ -1,0 +1,125 @@
+"""Hand-computed fixtures for the round-5 training-pipeline additions:
+exact-substring duplicate spans (Lee et al. 2021 window form), DSIR
+importance resampling (Xie et al. 2023), and entity triangle counting /
+local clustering over the co-occurrence graph."""
+
+import pyspark.sql.functions as F
+
+from snips_nlu_spark.functions.dedup import substring_dup_spans
+from snips_nlu_spark.functions.sampling import dsir_importance_weights
+from snips_nlu_spark.spark.graph import entity_triangles
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+
+
+def test_substring_dup_spans_hand_fixture(spark):
+    # window=3: "a b c" is shared between docs 1 and 2; "p q r" repeats
+    # WITHIN doc 4 (both occurrences count); doc 3 is clean.
+    docs = _docs(spark, [
+        (1, "a b c d e", "s"),
+        (2, "x y a b c q", "s"),
+        (3, "unique tokens only here", "s"),
+        (4, "p q r p q r", "s"),
+    ])
+    got = {r["doc_id"]: r for r in
+           substring_dup_spans(docs, window=3).collect()}
+    # doc 1: window "a b c" dup'd -> positions 0..2 covered, 3/5 chars
+    assert got[1]["n_dup_windows"] == 1
+    assert got[1]["dup_substring_char_frac"] == 0.6
+    assert got[1]["has_corpus_dup"]
+    # doc 2: same window at positions 2..4 -> 3/6 chars
+    assert got[2]["n_dup_windows"] == 1
+    assert got[2]["dup_substring_char_frac"] == 0.5
+    # doc 3: clean
+    assert got[3]["n_dup_windows"] == 0
+    assert got[3]["dup_substring_char_frac"] == 0.0
+    assert not got[3]["has_corpus_dup"]
+    # doc 4: "p q r" occurs twice inside the doc -> both occurrences
+    # are dup windows, coverage union spans every token
+    assert got[4]["n_dup_windows"] == 2
+    assert got[4]["dup_substring_char_frac"] == 1.0
+
+
+def test_substring_dup_spans_short_docs_unflagged(spark):
+    # docs shorter than the window produce no windows at all
+    docs = _docs(spark, [(1, "too short", "s"), (2, "too short", "s")])
+    rows = substring_dup_spans(docs, window=5).collect()
+    assert all(r["n_dup_windows"] == 0 for r in rows)
+    assert all(r["dup_substring_char_frac"] == 0.0 for r in rows)
+
+
+def test_dsir_separates_planted_vocabulary_shift(spark):
+    # target sources speak {alpha, beta}, the rest {gamma, delta}: every
+    # target doc must out-score every non-target doc on the per-gram
+    # average, and n_grams = unigrams + bigrams = n + (n-1)
+    rows = ([(i, "alpha beta alpha beta", "tgt") for i in range(8)]
+            + [(100 + i, "gamma delta gamma delta", "raw")
+               for i in range(8)])
+    docs = _docs(spark, rows)
+    out = dsir_importance_weights(docs, ["tgt"], threshold=0.0)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert all(got[i]["n_grams"] == 4 + 3 for i in got)
+    worst_target = min(got[i]["dsir_avg_logweight"] for i in range(8))
+    best_raw = max(got[100 + i]["dsir_avg_logweight"] for i in range(8))
+    assert worst_target > best_raw
+    assert all(got[i]["selected"] for i in range(8))
+    assert not any(got[100 + i]["selected"] for i in range(8))
+
+
+def test_dsir_deterministic_and_empty_doc_unselected(spark):
+    docs = _docs(spark, [(1, "alpha beta", "tgt"), (2, "", "raw"),
+                         (3, "gamma delta", "raw")])
+    a = sorted(dsir_importance_weights(docs, ["tgt"]).collect())
+    b = sorted(dsir_importance_weights(docs, ["tgt"]).collect())
+    assert a == b
+    got = {r["doc_id"]: r for r in a}
+    assert got[2]["n_grams"] == 0
+    assert got[2]["dsir_logweight"] == 0.0
+    assert not got[2]["selected"]
+
+
+def _triples_frame(spark, turn_values):
+    # turn_values: {turn: [value, ...]} -> slot triples (entity "e")
+    rows = [(t, "slot", "e", v) for t, vs in turn_values.items()
+            for v in vs]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, entity string, obj string")
+
+
+def test_entity_triangles_hand_graph(spark):
+    # turn t1 co-occurs {A,B,C} (a triangle), t2 {A,D} (a pendant edge)
+    tri = entity_triangles(_triples_frame(
+        spark, {"t1": ["A", "B", "C"], "t2": ["A", "D"]}))
+    got = {r["node"]: r for r in tri.collect()}
+    assert got["e|A"]["degree"] == 3 and got["e|A"]["triangles"] == 1
+    assert got["e|A"]["clustering"] == 0.333333
+    for n in ("e|B", "e|C"):
+        assert got[n]["degree"] == 2 and got[n]["triangles"] == 1
+        assert got[n]["clustering"] == 1.0
+    assert got["e|D"]["degree"] == 1 and got["e|D"]["triangles"] == 0
+    assert got["e|D"]["clustering"] == 0.0
+
+
+def test_entity_triangles_counts_each_triangle_once(spark):
+    # K4 in one turn: C(4,3)=4 triangles; every node sits in 3 of them,
+    # degree 3, clustering 2*3/(3*2) = 1.0
+    tri = entity_triangles(_triples_frame(
+        spark, {"t1": ["A", "B", "C", "D"]}))
+    rows = tri.collect()
+    assert len(rows) == 4
+    assert all(r["degree"] == 3 and r["triangles"] == 3
+               and r["clustering"] == 1.0 for r in rows)
+    total = tri.agg(F.sum("triangles")).collect()[0][0]
+    assert total == 3 * 4  # 4 triangles x 3 corners
+
+
+def test_intent_triples_do_not_enter_cooccurrence_graph(spark):
+    rows = [("t1", "intent", "", "bookFlight"),
+            ("t1", "slot", "e", "A"), ("t1", "slot", "e", "B")]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, entity string, obj string")
+    got = {r["node"] for r in entity_triangles(df).collect()}
+    assert got == {"e|A", "e|B"}
