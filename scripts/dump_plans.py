@@ -62,7 +62,8 @@ def main() -> None:
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
                  "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
                  "emb_semantic_dups",
-                 "event_sessions"):
+                 "event_sessions",
+                 "event_asof_attribution", "event_error_window_join"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         sections.append(f"## {name}\n\n```\n{simplify(plan)}\n```\n")

@@ -123,3 +123,82 @@ def test_intent_triples_do_not_enter_cooccurrence_graph(spark):
         rows, "subj string, pred string, entity string, obj string")
     got = {r["node"] for r in entity_triangles(df).collect()}
     assert got == {"e|A", "e|B"}
+
+
+from datetime import datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive_with_ties_and_tolerance(spark):
+    from snips_nlu_spark.functions.temporal import asof_join
+    left = _events(spark, [
+        (1, 100, _t("2024-01-01 10:00:00"), 5.0),   # ties with r 12 @10:00
+        (1, 101, _t("2024-01-01 12:00:00"), 6.0),   # matches r 12
+        (2, 200, _t("2024-01-01 09:00:00"), 7.0),   # no preceding right
+        (3, 300, _t("2024-01-01 10:00:00"), 8.0),   # two rights same ts
+    ])
+    right = _events(spark, [
+        (1, 11, _t("2024-01-01 09:30:00"), 1.0),
+        (1, 12, _t("2024-01-01 10:00:00"), 2.0),
+        (3, 31, _t("2024-01-01 09:00:00"), 3.0),
+        (3, 32, _t("2024-01-01 09:00:00"), 4.0),    # same ts, higher key
+    ])
+    got = {r["event_id"]: r for r in asof_join(
+        left, right, by=["user_id"], payload=["value"]).collect()}
+    assert len(got) == 4
+    # inclusive: equal timestamps match (and beat the older row)
+    assert got[100]["right_event_id"] == 12 and got[100]["lag_s"] == 0.0
+    assert got[101]["right_event_id"] == 12
+    assert got[101]["lag_s"] == 7200.0
+    assert got[101]["right_value"] == 2.0
+    # no preceding right -> NULL match
+    assert got[200]["right_event_id"] is None and got[200]["lag_s"] is None
+    # deterministic tie-break: highest key at equal ts wins
+    assert got[300]["right_event_id"] == 32
+    # tolerance: the 2h-old match for 101 is dropped, 100 stays
+    tol = {r["event_id"]: r for r in asof_join(
+        left, right, by=["user_id"], payload=["value"],
+        tolerance_s=1800).collect()}
+    assert tol[101]["right_event_id"] is None
+    assert tol[100]["right_event_id"] == 12
+
+
+def test_asof_join_left_columns_survive(spark):
+    from snips_nlu_spark.functions.temporal import asof_join
+    left = _events(spark, [(1, 100, _t("2024-01-01 10:00:00"), 5.0)])
+    right = _events(spark, [(1, 11, _t("2024-01-01 09:00:00"), 1.0)])
+    row = asof_join(left, right, by=["user_id"]).collect()[0]
+    assert row["value"] == 5.0 and row["user_id"] == 1
+    assert row["right_event_id"] == 11
+
+
+def test_range_join_containment_and_multibucket_intervals(spark):
+    from pyspark.sql import functions as F
+    from snips_nlu_spark.functions.temporal import range_join
+    left = _events(spark, [
+        (1, 100, _t("2024-01-01 10:00:00"), 0.0),  # inside
+        (1, 101, _t("2024-01-01 11:00:00"), 0.0),  # boundary end: inside
+        (1, 102, _t("2024-01-01 11:00:01"), 0.0),  # just outside
+        (2, 200, _t("2024-01-01 10:30:00"), 0.0),  # wrong user
+    ])
+    right = spark.createDataFrame(
+        [(1, 9, _t("2024-01-01 09:00:00"), _t("2024-01-01 11:00:00"))],
+        "user_id long, interval_id long, start_ts timestamp, "
+        "end_ts timestamp")
+    # bucket 900s: the 2h interval spans 9 buckets (explode fan-out)
+    got = range_join(left, right, by=["user_id"], bucket_s=900)
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [100, 101]
+    assert "_bucket" not in got.columns
+    # every bucket width must give identical matches
+    for b in (60, 3600, 86400):
+        alt = range_join(left, right, by=["user_id"], bucket_s=b)
+        assert sorted(r["event_id"] for r in alt.collect()) == ids
