@@ -58,7 +58,7 @@ def main() -> None:
                  "doc_pack_plan", "doc_token_mix",
                  "doc_ngram_repetition", "kg_entity_similarity",
                  "kg_entity_triangles", "doc_substring_dups",
-                 "doc_dsir_selection",
+                 "doc_dsir_selection", "doc_tfidf_keywords",
                  "doc_jaccard_pairs_capped", "emb_topk_cosine",
                  "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
                  "emb_semantic_dups",

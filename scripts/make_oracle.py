@@ -657,6 +657,80 @@ def _ivf_pq_replay(vec_ids, mat, out: Path, k: int = 5,
     return out
 
 
+def make_quality_oracle(n: int = 1000, sample_n: int = 600,
+                        n_buckets: int = 4096, n_iter: int = 200) -> Path:
+    """Independent numpy replay of functions/quality.
+    quality_classifier_scores over the deterministic synthesized
+    labeled corpus (synth_quality_text is the shared pure-function
+    spec, like synth_matrix for the ANN gates): inline featurization,
+    an inline GD loop with the same update formulas, and per-doc
+    dot-product scoring — a different code path from the Spark
+    explode/join/agg pipeline."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from snips_nlu_spark.functions.quality import synth_quality_text
+
+    word_re = re.compile("[a-z0-9]+")
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode("utf8")).hexdigest()[:8],
+                   16) % n_buckets
+
+    texts, labels = [], []
+    for doc_id in range(n):
+        t, src = synth_quality_text(doc_id)
+        texts.append(t)
+        labels.append(1.0 if src == "curated" else 0.0)
+
+    x = np.zeros((sample_n, n_buckets), dtype=np.float64)
+    for i in range(sample_n):
+        ws = word_re.findall(texts[i].lower())
+        for w in ws:
+            x[i, bucket(w)] += 1.0
+        if ws:
+            x[i] /= float(len(ws))
+    y = np.array(labels[:sample_n])
+    w = np.zeros(n_buckets, dtype=np.float64)
+    b = 0.0
+    lr, l2 = 1.0, 1e-4
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        g = p - y
+        w -= lr * ((x.T @ g) / sample_n + l2 * w)
+        b -= lr * float(g.mean())
+
+    rows = []
+    for doc_id in range(n):
+        ws = word_re.findall(texts[doc_id].lower())
+        if ws:
+            dot = 0.0
+            counts: dict[int, int] = {}
+            for t in ws:
+                counts[bucket(t)] = counts.get(bucket(t), 0) + 1
+            for bk in sorted(counts):
+                dot += counts[bk] * w[bk]
+            logit = dot / len(ws) + b
+        else:
+            logit = b
+        prob = 1.0 / (1.0 + np.exp(-logit))
+        rows.append((doc_id, round(logit, 6), round(prob, 6),
+                     round(prob, 6) > 0.5))
+    out = ORACLE_DIR / "quality_scores.parquet"
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "quality_logit": pa.array([r[1] for r in rows],
+                                  type=pa.float64()),
+        "quality_prob": pa.array([r[2] for r in rows],
+                                 type=pa.float64()),
+        "keep": pa.array([r[3] for r in rows], type=pa.bool_())})
+    pq.write_table(table, out)
+    print(f"quality classifier oracle -> {len(rows)} rows -> {out}")
+    return out
+
+
 if __name__ == "__main__":
     sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01]
     engine = build_engine()
@@ -674,3 +748,4 @@ if __name__ == "__main__":
             make_semantic_dedup_oracle()
             make_semantic_keep_oracle()
             make_bpe_oracle(sf)
+            make_quality_oracle()

@@ -443,3 +443,44 @@ def gopher_ngram_repetition(documents: DataFrame,
                       *[f"top_{n}_char_frac" for n in top_ns],
                       *[f"dup_{n}_char_frac" for n in dup_ns],
                       *flags)
+
+
+def tfidf_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the tagging/topic
+    primitive of a curation pipeline (and the same weighting the
+    intent-classifier featurizer uses, re-expressed as a corpus-level
+    DataFrame op). tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1
+    (smoothed, never zero); score = tf·idf rounded to 6 dp BEFORE
+    ranking so the rank order is reproducible across engines; ties
+    break lexicographically.
+
+    Output: (doc_id, rank, word, tf, score), rank 1..k.
+
+    Scale shape: one explode → (doc, word) count (map-side
+    combinable) → word-keyed df agg joined back (the df side is
+    vocabulary-sized, broadcast-eligible) → per-doc top-k window
+    (partitioned by doc_id — no global ordering). The corpus-size
+    scalar joins in as a broadcast 1-row frame, not a collect.
+    """
+    from pyspark.sql import Window
+
+    words = F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(_WORD_RE), F.lit(0))
+    occ = (documents.select("doc_id", F.explode(words).alias("word")))
+    tf = (occ.groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = (occ.select("doc_id", "word").distinct()
+          .groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(F.broadcast(df), "word")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "word", "tf",
+                      F.round(F.col("tf")
+                              * (F.log((F.col("n_docs") + 1.0)
+                                       / (F.col("df") + 1.0)) + 1.0),
+                              6).alias("score")))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("score"), F.asc("word")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "word", "tf", "score"))

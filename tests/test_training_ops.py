@@ -202,3 +202,56 @@ def test_range_join_containment_and_multibucket_intervals(spark):
     for b in (60, 3600, 86400):
         alt = range_join(left, right, by=["user_id"], bucket_s=b)
         assert sorted(r["event_id"] for r in alt.collect()) == ids
+
+
+def test_tfidf_keywords_hand_fixture(spark):
+    from snips_nlu_spark.functions.text import tfidf_keywords
+    docs = _docs(spark, [(1, "a a b", "s"), (2, "b c", "s")])
+    rows = tfidf_keywords(docs, k=5).collect()
+    got = {(r["doc_id"], r["rank"]): r for r in rows}
+    # N=2; df: a=1, b=2, c=1; idf = ln((N+1)/(df+1)) + 1
+    # doc 1: a -> 2*(ln(1.5)+1)=2.81093, b -> 1*1.0
+    assert got[(1, 1)]["word"] == "a" and got[(1, 1)]["tf"] == 2
+    assert got[(1, 1)]["score"] == 2.81093
+    assert got[(1, 2)]["word"] == "b" and got[(1, 2)]["score"] == 1.0
+    # doc 2: c (1.405465) above b (1.0)
+    assert got[(2, 1)]["word"] == "c"
+    assert got[(2, 1)]["score"] == 1.405465
+    assert got[(2, 2)]["word"] == "b"
+    assert len(rows) == 4
+
+
+def test_tfidf_keywords_ties_break_lexicographically(spark):
+    from snips_nlu_spark.functions.text import tfidf_keywords
+    docs = _docs(spark, [(1, "zeta alpha", "s")])
+    rows = sorted(tfidf_keywords(docs, k=2).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["word"] for r in rows] == ["alpha", "zeta"]
+
+
+def test_quality_classifier_generalizes_to_holdout(spark):
+    from snips_nlu_spark.functions.quality import (
+        quality_classifier_scores, synthesize_quality_corpus)
+    corpus = synthesize_quality_corpus(spark, 1000)
+    scored = quality_classifier_scores(corpus, ["curated"],
+                                       sample_n=600)
+    j = scored.join(corpus.select("doc_id", "source"), "doc_id")
+    # keep must equal the true label EVERYWHERE, including the 400
+    # docs the bounded training sample never saw
+    wrong = j.filter((F.col("keep") & (F.col("source") != "curated"))
+                     | (~F.col("keep")
+                        & (F.col("source") == "curated"))).count()
+    assert wrong == 0
+    holdout = j.filter(F.col("doc_id") >= 600)
+    assert holdout.count() == 400
+
+
+def test_quality_classifier_deterministic(spark):
+    from snips_nlu_spark.functions.quality import (
+        quality_classifier_scores, synthesize_quality_corpus)
+    corpus = synthesize_quality_corpus(spark, 200)
+    a = sorted(quality_classifier_scores(
+        corpus, ["curated"], sample_n=120).collect())
+    b = sorted(quality_classifier_scores(
+        corpus, ["curated"], sample_n=120).collect())
+    assert a == b
