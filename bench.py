@@ -290,6 +290,21 @@ def main() -> None:
     queries["doc_pack_plan"] = round(_best_of(
         lambda _: pack_sequences(docs, seq_len=2048).count()), 3)
 
+    # q2c'': round-5c additions — window-fingerprint substring dedup
+    # (the heaviest new shuffle shape: per-token windows → one hash
+    # agg → coverage union) and the as-of carry-forward merge
+    from pyspark.sql import functions as _F
+    from snips_nlu_spark.functions.dedup import substring_dup_spans
+    from snips_nlu_spark.functions.temporal import asof_join
+    queries["doc_substring_dups"] = round(_best_of(
+        lambda _: substring_dup_spans(docs).count()), 3)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    queries["event_asof_attribution"] = round(_best_of(
+        lambda _: asof_join(
+            events.filter(_F.col("event_type") == "purchase"),
+            events.filter(_F.col("event_type") == "click"),
+            by=["user_id"], payload=["value"]).count()), 3)
+
     # q2d: cold path — fully-unique texts defeat every executor memo, so
     # this measures the raw per-string engine (BASELINE.md cold-path
     # section tracks the optimization work on it). Each repeat uses a
