@@ -15,13 +15,19 @@ survivors):
      connected components → min-id survivor (functions/dedup.py);
   2. eval-set decontamination (optional) — n-gram coverage vs the
      benchmark table, benchmark shingles broadcast;
-  3. quality filters — Gopher word/char heuristics + within-doc
+  3. exact-substring duplicate drop (optional,
+     --max-substring-dup-frac) — docs whose corpus-duplicated
+     20-token-window char mass exceeds the cap (Lee et al. 2021);
+  4. quality filters — Gopher word/char heuristics + within-doc
      repetition flags, all pure JVM expressions;
-  4. PII masking over the survivors (emails/phones/IBANs/IPs);
-  5. token accounting + optional token-budget sampling (deterministic
+  5. DSIR importance selection (optional, --dsir-target-sources) —
+     hashed-ngram importance weights vs the target domain, docs below
+     the per-gram threshold dropped (Xie et al. 2023);
+  6. PII masking over the survivors (emails/phones/IBANs/IPs);
+  7. token accounting + optional token-budget sampling (deterministic
      md5-permutation draw, two-pass bucketed cumsum — no global
      window);
-  6. optional sequence-packing plan (concat-and-chunk placement).
+  8. optional sequence-packing plan (concat-and-chunk placement).
 
 Layout under --output:
   curated/          — surviving documents, PII-masked
@@ -55,6 +61,15 @@ def main() -> None:
     ap.add_argument("--contamination-threshold", type=float, default=0.5)
     ap.add_argument("--budget-tokens", type=int, default=None)
     ap.add_argument("--pack-seq-len", type=int, default=None)
+    ap.add_argument("--max-substring-dup-frac", type=float, default=None,
+                    help="drop docs whose corpus-duplicated 20-token-"
+                         "window char fraction exceeds this cap")
+    ap.add_argument("--dsir-target-sources", default=None,
+                    help="comma-separated source values; enables DSIR "
+                         "importance selection against that target")
+    ap.add_argument("--dsir-threshold", type=float, default=None,
+                    help="per-gram avg logweight cut (default: the "
+                         "operator's DSIR_THRESHOLD)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -105,7 +120,20 @@ def main() -> None:
             "doc_id", F.lit("benchmark_contamination").alias("reason"))
         survivors = survivors.join(flagged, "doc_id", "left_anti")
 
-    # 3. quality filters (Gopher heuristics + repetition), composed as
+    # 3. exact-substring duplicate drop (optional): the fraction comes
+    # from the window-fingerprint op; survivors re-filter by doc_id
+    dropped_substring = None
+    if args.max_substring_dup_frac is not None:
+        from snips_nlu_spark.functions.dedup import substring_dup_spans
+        frac = substring_dup_spans(survivors)
+        flagged = (frac.filter(F.col("dup_substring_char_frac")
+                               > args.max_substring_dup_frac)
+                   .select("doc_id"))
+        dropped_substring = flagged.select(
+            "doc_id", F.lit("substring_duplicate").alias("reason"))
+        survivors = survivors.join(flagged, "doc_id", "left_anti")
+
+    # 4. quality filters (Gopher heuristics + repetition), composed as
     # ONE filter over one projection — joining two flag frames derived
     # from the same scan blows up Catalyst constraint propagation
     # (200+ s of driver planning at 500 rows; see quality_filter's
@@ -119,12 +147,28 @@ def main() -> None:
                                F.lit("quality_filter").alias("reason")))
     survivors = quality_kept
 
-    # 4. PII masking IN PLACE (one withColumn over the surviving rows —
+    # 5. DSIR importance selection (optional): needs a source column
+    # on the input; docs below the per-gram threshold are dropped
+    dropped_dsir = None
+    if args.dsir_target_sources:
+        from snips_nlu_spark.functions.sampling import (
+            DSIR_THRESHOLD, dsir_importance_weights)
+        thr = (args.dsir_threshold if args.dsir_threshold is not None
+               else DSIR_THRESHOLD)
+        weights = dsir_importance_weights(
+            survivors, args.dsir_target_sources.split(","),
+            threshold=thr)
+        low = (weights.filter(~F.col("selected")).select("doc_id"))
+        dropped_dsir = low.select(
+            "doc_id", F.lit("dsir_low_importance").alias("reason"))
+        survivors = survivors.join(low, "doc_id", "left_anti")
+
+    # 6. PII masking IN PLACE (one withColumn over the surviving rows —
     # no join of a masked frame back to its own parent)
     from snips_nlu_spark.functions.cleaning import mask_pii_col
     curated = survivors.withColumn("text", mask_pii_col(F.col("text")))
 
-    # 5. materialize the curated set ONCE; every later pass (token
+    # 7. materialize the curated set ONCE; every later pass (token
     # audit, budget draw, packing plan) re-reads the written parquet —
     # a disk-backed lineage cut. Persisting the full text corpus in
     # executor memory would not survive 100 TB; the parquet re-read
@@ -139,13 +183,17 @@ def main() -> None:
     dropped = dropped_dups.union(dropped_quality)
     if dropped_contaminated is not None:
         dropped = dropped.union(dropped_contaminated)
+    if dropped_substring is not None:
+        dropped = dropped.union(dropped_substring)
+    if dropped_dsir is not None:
+        dropped = dropped.union(dropped_dsir)
     dropped.write.mode("overwrite").parquet(f"{out}/audit/dropped")
     mark("dropped_write")
     (token_counts(curated_back)
      .write.mode("overwrite").parquet(f"{out}/audit/tokens"))
     mark("tokens_write")
 
-    # 6. optional budget draw — written as a SELECTION TABLE (doc_id,
+    # 7b. optional budget draw — written as a SELECTION TABLE (doc_id,
     # n_tokens, cum_tokens), not a rewritten corpus: at 100 TB you join
     # readers against the sample, you don't copy the text a second time.
     train_set = curated_back
@@ -160,7 +208,7 @@ def main() -> None:
         train_set = curated_back.join(
             sample_back.select("doc_id"), "doc_id")
 
-    # 7. optional packing plan over the training set
+    # 8. optional packing plan over the training set
     if args.pack_seq_len:
         from snips_nlu_spark.functions.sampling import pack_sequences
         (pack_sequences(train_set, seq_len=args.pack_seq_len)

@@ -412,7 +412,10 @@ def test_curate_corpus_job(tmp_path):
          str(repo / "jobs" / "curate_corpus.py"),
          "--input", "/root/testdata/sf0.001/documents.parquet",
          "--output", str(out),
-         "--budget-tokens", "20000", "--pack-seq-len", "512"],
+         "--budget-tokens", "20000", "--pack-seq-len", "512",
+         "--max-substring-dup-frac", "0.8",
+         "--dsir-target-sources", "src0,src1,src2,src3,src4",
+         "--dsir-threshold", "-1.0"],
         capture_output=True, text=True, timeout=420, cwd=str(repo))
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
