@@ -63,7 +63,10 @@ def main() -> None:
                  "emb_lsh_topk", "emb_ivf_topk", "emb_cosine_dups",
                  "emb_semantic_dups",
                  "event_sessions",
-                 "event_asof_attribution", "event_error_window_join"):
+                 "event_asof_attribution", "event_error_window_join",
+                 "kg_ntriples", "kg_predicate_schema",
+                 "kg_triple_confidence", "kg_entity_resolution",
+                 "kg_negative_samples", "doc_train_split"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         sections.append(f"## {name}\n\n```\n{simplify(plan)}\n```\n")

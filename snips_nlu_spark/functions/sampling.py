@@ -218,6 +218,43 @@ def sample_token_mix(documents: DataFrame, total_budget: int,
                     "budget"))
 
 
+def stratified_split(documents: DataFrame,
+                     fracs: tuple[float, float, float] = (0.8, 0.1, 0.1),
+                     strata_col: str = "source",
+                     seed: int = 42) -> DataFrame:
+    """Deterministic stratified train/val/test assignment with EXACT
+    per-stratum fractions: within each stratum the docs are laid on
+    the md5 permutation (same key family as the budget draw) and the
+    first ⌊f_train·n⌋ become train, the next ⌊(f_train+f_val)·n⌋−⌊f_train·n⌋
+    val, the rest test. Exact-count splits need a rank, which a pure
+    hash-threshold split (rank-free but only approximate fractions)
+    cannot give — that is the point of the op.
+
+    Output: (doc_id, <strata_col>, split).
+
+    Scale shape: the rank comes from
+    :func:`snips_nlu_spark.spark.kg.bucketed_dense_index` — two-pass
+    bucketed, no monolithic per-stratum window even when one stratum
+    is the whole corpus; the per-stratum totals are a tiny broadcast
+    agg.
+    """
+    from ..spark.kg import bucketed_dense_index
+
+    f_train, f_val, _ = fracs
+    order = F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":split:{seed}")))
+    base = documents.select("doc_id", strata_col, order.alias("_ord"))
+    ranked = bucketed_dense_index(base, [strata_col], "_ord", "_rank")
+    totals = base.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    train_cut = F.floor(F.lit(f_train) * F.col("_n"))
+    val_cut = F.floor(F.lit(f_train + f_val) * F.col("_n"))
+    return (ranked.join(F.broadcast(totals), strata_col)
+            .select("doc_id", strata_col,
+                    F.when(F.col("_rank") < train_cut, F.lit("train"))
+                    .when(F.col("_rank") < val_cut, F.lit("val"))
+                    .otherwise(F.lit("test")).alias("split")))
+
+
 DSIR_BUCKETS = 4096
 # per-gram average logweight cut: sits between the target sources'
 # median (≈ -0.12 on the synthetic corpus) and the raw tail (≈ -0.18)

@@ -1,0 +1,198 @@
+"""Hand-computed fixtures for the KG-construction layer
+(snips_nlu_spark/spark/kg.py): N-Triples export, predicate schema
+induction, noisy-OR confidence fusion, entity-mention resolution and
+TransE-style negative sampling, plus the two-pass bucketed dense index
+they share with the stratified split."""
+
+import pyspark.sql.functions as F
+
+from snips_nlu_spark.functions.sampling import stratified_split
+from snips_nlu_spark.spark.kg import (bucketed_dense_index,
+                                      negative_samples, ntriples_export,
+                                      predicate_schema,
+                                      resolve_entity_mentions,
+                                      triple_confidence)
+
+SCHEMA = ("conv_id string, turn_idx int, subj string, pred string, "
+          "obj string, entity string, span_start int, span_end int, "
+          "raw_value string, proba double")
+
+
+def _triples(spark, rows):
+    full = [("c0", 0, s, p, o, e, 0, 1, rv, pr)
+            for (s, p, o, e, rv, pr) in rows]
+    return spark.createDataFrame(full, SCHEMA)
+
+
+def test_ntriples_escaping_and_terms(spark):
+    out = {r["obj"]: r["ntriple"] for r in ntriples_export(_triples(
+        spark, [
+            ("t1", "intent", "bookFlight", None, None, 1.0),
+            ("t1", "note", 'say "hi"\tnow\nplease\\ok', "note",
+             "x", 0.5),
+        ])).collect()}
+    assert out["bookFlight"] == (
+        "<urn:kg:turn:t1> <urn:kg:pred:intent> "
+        "<urn:kg:intent:bookFlight> .")
+    assert out['say "hi"\tnow\nplease\\ok'] == (
+        '<urn:kg:turn:t1> <urn:kg:pred:note> '
+        '"say \\"hi\\"\\tnow\\nplease\\\\ok" .')
+
+
+def test_ntriples_distinct_facts(spark):
+    # the same fact asserted twice (two spans) serializes once
+    rows = [("t1", "room", "attic", "room", "attic", 1.0)] * 2
+    assert ntriples_export(_triples(spark, rows)).count() == 1
+
+
+def test_predicate_schema_functionality(spark):
+    # pred "f": each subject once (functional); pred "m": t1 has two
+    # objects -> 3 pairs, 2 subjects -> functionality 2/3
+    rows = [
+        ("t1", "f", "a", "e", "a", 1.0),
+        ("t2", "f", "a", "e", "a", 1.0),
+        ("t1", "m", "x", "e", "x", 1.0),
+        ("t1", "m", "y", "e", "y", 1.0),
+        ("t2", "m", "x", "e", "x", 1.0),
+    ]
+    got = {r["pred"]: r for r in
+           predicate_schema(_triples(spark, rows)).collect()}
+    f, m = got["f"], got["m"]
+    assert (f["n_assertions"], f["n_subjects"], f["n_objects"],
+            f["n_pairs"]) == (2, 2, 1, 2)
+    assert f["functionality"] == 1.0
+    assert f["inverse_functionality"] == 0.5
+    assert (m["n_assertions"], m["n_pairs"]) == (3, 3)
+    assert m["functionality"] == round(2 / 3, 6)
+
+
+def test_triple_confidence_noisy_or(spark):
+    rows = [
+        ("t1", "room", "attic", "room", "attic", 0.5),
+        ("t1", "room", "attic", "room", "attic", 0.5),
+        ("t2", "room", "attic", "room", "attic", 1.0),
+        ("t3", "room", "attic", "room", "attic", 0.2),
+    ]
+    got = {r["subj"]: r for r in
+           triple_confidence(_triples(spark, rows)).collect()}
+    # two independent 0.5s corroborate to 0.75
+    assert got["t1"]["n_assertions"] == 2
+    assert got["t1"]["confidence"] == 0.75
+    # p = 1.0 stays 1.0 through the 1e-12 clamp
+    assert got["t2"]["confidence"] == 1.0
+    assert got["t3"]["confidence"] == 0.2
+
+
+def _mention_rows(values, entity="beverage"):
+    return [(f"t{i}", "slot", v, entity, v, 1.0)
+            for i, v in enumerate(values)]
+
+
+def test_resolution_merges_and_normalizes(spark):
+    # "expresso" (distance 1) and "Green-Tea" (normalizes to
+    # "green tea") merge; "coffee" stays its own cluster
+    rows = _mention_rows(["espresso", "expresso", "green tea",
+                          "Green-Tea", "coffee"])
+    got = {r["raw_value"]: r["canonical_value"] for r in
+           resolve_entity_mentions(_triples(spark, rows)).collect()}
+    assert got["expresso"] == "espresso"
+    assert got["espresso"] == "espresso"
+    # canonical is the lexicographic min RAW form in the cluster
+    assert got["green tea"] == "Green-Tea"
+    assert got["Green-Tea"] == "Green-Tea"
+    assert got["coffee"] == "coffee"
+
+
+def test_resolution_transitive_chain(spark):
+    # aaaa ~ aaab ~ aabb chain: a~c is distance 2 (no direct edge) but
+    # the component closure still merges all three
+    rows = _mention_rows(["aaaa", "aaab", "aabb"])
+    got = {r["raw_value"]: r["canonical_value"] for r in
+           resolve_entity_mentions(_triples(spark, rows)).collect()}
+    assert set(got.values()) == {"aaaa"}
+
+
+def test_resolution_respects_entity_type_and_builtin(spark):
+    rows = (_mention_rows(["lounge"], entity="room")
+            + _mention_rows(["lounge"], entity="venue")
+            + _mention_rows(["1832", "1032"], entity="snips/number"))
+    out = resolve_entity_mentions(_triples(spark, rows))
+    got = {(r["entity"], r["raw_value"]): r["canonical_value"]
+           for r in out.collect()}
+    # same surface form in two entity types never merges across types
+    assert got[("room", "lounge")] == "lounge"
+    assert got[("venue", "lounge")] == "lounge"
+    # builtin values are excluded entirely (grammar-resolved facts)
+    assert not [k for k in got if k[0] == "snips/number"]
+
+
+def test_negative_samples_contract(spark):
+    rows = [("t%d" % i, "room", v, "room", v, 1.0)
+            for i, v in enumerate(["attic", "lounge", "kitchen"])]
+    rows += [("t9", "single", "only", "e", "only", 1.0)]
+    out = negative_samples(_triples(spark, rows), n_neg=2).collect()
+    # the single-object predicate has nothing to corrupt
+    assert not [r for r in out if r["pred"] == "single"]
+    assert len(out) == 3 * 2
+    for r in out:
+        assert r["neg_obj"] != r["obj"]
+        assert r["neg_obj"] in {"attic", "lounge", "kitchen"}
+    # deterministic across runs
+    again = negative_samples(_triples(spark, rows), n_neg=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_two_object_pool_wraps(spark):
+    # n_obj = 2: only one corruptible object -> both draws repeat it
+    rows = [("t1", "room", "attic", "room", "attic", 1.0),
+            ("t2", "room", "lounge", "room", "lounge", 1.0)]
+    out = negative_samples(_triples(spark, rows), n_neg=2).collect()
+    by_pos = {}
+    for r in out:
+        by_pos.setdefault(r["obj"], set()).add(r["neg_obj"])
+    assert by_pos == {"attic": {"lounge"}, "lounge": {"attic"}}
+
+
+def test_bucketed_dense_index_equals_global_rank(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("_ord"))
+    got = bucketed_dense_index(df, ["grp"], "_ord", "idx").collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append((r["_ord"], r["idx"]))
+    for rows in by_grp.values():
+        rows.sort()
+        assert [i for _, i in rows] == list(range(len(rows)))
+
+
+def test_bucketed_dense_index_no_monolithic_window(spark):
+    # the only window partitions include the md5-prefix bucket column,
+    # so no single task ever ranks a whole group
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("_ord"))
+    plan = bucketed_dense_index(
+        df, ["grp"], "_ord", "idx")._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_bkt" in line
+
+
+def test_stratified_split_exact_fractions(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string"))
+        .alias("source"), F.lit("x").alias("text"))
+    out = stratified_split(docs).collect()
+    assert len(out) == 200
+    for src in ("src0", "src1"):
+        counts = {}
+        for r in out:
+            if r["source"] == src:
+                counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert counts == {"train": 80, "val": 10, "test": 10}
+    # deterministic
+    again = stratified_split(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
