@@ -564,6 +564,9 @@ _DT = {
         "weekday_suffix": (),
         "range_open": {"from": ("to", "until", "till"),
                        "between": ("and",)},
+        # open "until X" intervals (duckling: [reference time, X])
+        "until_words": ("until", "till", "by"),
+        "until_link": (),
         # "in [the next] N day(s)/week(s)/..." and "every <weekday|unit>"
         "rel_range_open": ("in", "within"),
         "rel_units": {"day": "day", "days": "day", "week": "week",
@@ -689,6 +692,8 @@ _DT = {
         "period_map": {},
         "weekday_suffix": ("que",),
         "range_open": {"de": ("a", "até", "ate"), "entre": ("e",)},
+        "until_words": ("até", "ate"),
+        "until_link": ("o", "a", "às", "as"),
         "rel_range_open": ("em", "dentro", "nas", "nos"),
         "rel_units": {"dia": "day", "dias": "day", "semana": "week",
                       "semanas": "week", "mês": "month", "mes": "month",
@@ -731,6 +736,8 @@ _DT = {
         "weekday_suffix": ("prossimo", "prossima"),
         "range_open": {"da": ("a", "al"), "dal": ("al",), "tra": ("e",),
                        "fra": ("e",)},
+        "until_words": ("fino",),
+        "until_link": ("a", "al", "alle", "all"),
         "rel_range_open": ("entro", "nelle", "nei", "in"),
         "rel_units": {"giorno": "day", "giorni": "day",
                       "settimana": "week", "settimane": "week",
@@ -774,6 +781,8 @@ _DT = {
         "period_map": {},
         "weekday_suffix": (),
         "range_open": {"von": ("bis",), "zwischen": ("und",)},
+        "until_words": ("bis",),
+        "until_link": ("zum", "zur"),
         "rel_range_open": ("in", "innerhalb", "binnen"),
         "range_articles": ("den", "der", "die", "das"),
         "rel_units": {"tag": "day", "tage": "day", "tagen": "day",
@@ -824,6 +833,8 @@ _DT = {
         "weekday_suffix": ("próximo", "proximo", "próxima", "proxima"),
         "range_open": {"de": ("a", "al"), "del": ("al",),
                        "entre": ("y",)},
+        "until_words": ("hasta",),
+        "until_link": ("el", "la", "las"),
         "rel_range_open": ("en", "dentro"),
         "range_articles": ("la", "las", "los", "el"),
         "rel_units": {"día": "day", "dia": "day", "días": "day",
@@ -871,6 +882,9 @@ _DT = {
         "weekday_suffix": ("prochain", "prochaine"),
         "range_open": {"de": ("à", "a", "au"), "du": ("au",),
                        "entre": ("et",)},
+        # "jusqu'à" tokenizes at the apostrophe: "jusqu" + "'" + "à"
+        "until_words": ("jusqu",),
+        "until_link": ("'", "à", "au", "a"),
         "rel_range_open": ("dans", "d"),
         "range_articles": ("les", "la", "le", "l"),
         "rel_units": {"jour": "day", "jours": "day", "semaine": "week",
@@ -1286,6 +1300,34 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                                 "snips/datetime", _fmt_interval(dt1, dt2)))
             i = end_tok + 1
 
+        # lone postfix まで/까지 left over after the two-sided pass: an
+        # open "until X" interval. duckling/Rustling resolve "until/by
+        # <point>" as [reference time, point] — ja/ko mark the same
+        # thing with the bare to-marker ("明日の8時半まで",
+        # "내일 8시 반까지"); a past point rolls forward like a bare
+        # clock does.
+        i = 0
+        while i < n:
+            if i in used:
+                i += 1
+                continue
+            p = _parse_point(tokens, i, n, base_date, lang)
+            if p is None:
+                i += 1
+                continue
+            dt2, _g, last, kind = p
+            if (last + 1 >= n or lower(last + 1) != to_marker
+                    or any(k in used for k in range(i, last + 2))):
+                i += 1
+                continue
+            if dt2 <= anchor:
+                dt2 += _dt.timedelta(days=7 if kind == "weekday" else 1)
+            used.update(range(i, last + 2))
+            out.append(_mention(text, tokens, i, last + 1,
+                                "snips/datetime",
+                                _fmt_interval(anchor, dt2)))
+            i = last + 2
+
     # pass 0: intervals — "from X to|until Y", "between X and Y"
     i = 0
     while i < n:
@@ -1319,6 +1361,45 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
         out.append(_mention(text, tokens, i, last2, "snips/datetime",
                             _fmt_interval(dt1, dt2)))
         i = last2 + 1
+
+    # pass 0.5: open "until X" intervals ("until tomorrow at 8:30am",
+    # "by friday 5pm", "jusqu'à demain 8h30", "bis morgen um 8:30",
+    # "hasta el viernes", "fino alle 8:30", "até sexta") — duckling/
+    # Rustling resolve these as [reference time, point]. A bare-clock
+    # point must be MARKED (pm / h / uhr / a colon) so "increase by 5"
+    # never reads as an interval; until-words are not datetime triggers
+    # themselves (the point supplies its own trigger), matching the
+    # range_open convention.
+    until_words = tables.get("until_words", ())
+    if until_words:
+        until_link = tables.get("until_link", ())
+        i = 0
+        while i < n:
+            if i in used or lower(i) not in until_words:
+                i += 1
+                continue
+            j = i + 1
+            while j < n and lower(j) in until_link:
+                j += 1
+            p = _parse_point(tokens, j, n, base_date, lang)
+            if p is None or any(k in used for k in range(i, p[2] + 1)):
+                i += 1
+                continue
+            dt2, _g, last, kind = p
+            if kind == "clock":
+                # marked (pm/h/uhr) or multi-token (a colon form like
+                # "8:30" spans 3 tokens) — a bare digit is neither
+                c = _clock_fn(lang)(tokens, j, n)
+                if c is None or not (c[3] or c[2] > j):
+                    i += 1
+                    continue
+            if dt2 <= anchor:
+                dt2 += _dt.timedelta(days=7 if kind == "weekday" else 1)
+            used.update(range(i, last + 1))
+            out.append(_mention(text, tokens, i, last,
+                                "snips/datetime",
+                                _fmt_interval(anchor, dt2)))
+            i = last + 1
 
     # pass 1: day-level anchors, optionally followed by a time part
     num_at = {c["tok_start"]: c for c in cands}

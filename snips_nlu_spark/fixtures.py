@@ -963,7 +963,9 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            # round 5b: recurrence + part-of-day
            "buche mir einen flug nach berlin jeden abend",
            # round 5b: nested grain (nth weekday of month)
-           "buche mir einen flug nach berlin am ersten montag im juni"),
+           "buche mir einen flug nach berlin am ersten montag im juni",
+           # round 5d: open "until X" interval
+           "buche mir einen flug nach berlin bis morgen um 8:30"),
     "es": ("resérvame un vuelo a madrid cada lunes",
            "resérvame un vuelo a madrid en las próximas 3 semanas",
            "resérvame un vuelo a madrid en navidad",
@@ -973,7 +975,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "resérvame un vuelo a madrid a finales del próximo mes "
            "a las 8:30",
            "resérvame un vuelo a madrid cada tarde",
-           "resérvame un vuelo a madrid el primer lunes de junio"),
+           "resérvame un vuelo a madrid el primer lunes de junio",
+           "resérvame un vuelo a madrid hasta el viernes"),
     "fr": ("réserve moi un vol pour paris chaque lundi",
            "réserve moi un vol pour paris dans les 3 prochaines semaines",
            "réserve moi un vol pour paris à noël",
@@ -983,7 +986,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "réserve moi un vol pour paris fin du mois à 8h30",
            "réserve moi un vol pour paris chaque matin",
            "réserve moi un vol pour paris le premier lundi de juin",
-           "réserve moi un vol pour paris de demain à 8h à 10h"),
+           "réserve moi un vol pour paris de demain à 8h à 10h",
+           "réserve moi un vol pour paris jusqu'à demain 8h30"),
     "it": ("prenotami un volo per roma ogni lunedì",
            "prenotami un volo per roma nelle prossime 3 settimane",
            "prenotami un volo per roma a natale",
@@ -992,7 +996,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "prenotami un volo per roma a pasquetta",
            "prenotami un volo per roma a fine del mese alle 8:30",
            "prenotami un volo per roma ogni sera",
-           "prenotami un volo per roma il primo lunedì di giugno"),
+           "prenotami un volo per roma il primo lunedì di giugno",
+           "prenotami un volo per roma fino a domani"),
     "ja": ("東京行きの飛行機を毎週月曜日予約して",
            "東京行きの飛行機を3週間後予約して",
            "東京行きの飛行機をクリスマス予約して",
@@ -1001,7 +1006,9 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "東京行きの飛行機を月末8時30分予約して",
            "東京行きの飛行機を毎朝予約して",
            # round 5c: day-anchored clock range
-           "東京行きの飛行機を明日8時から10時まで予約して"),
+           "東京行きの飛行機を明日8時から10時まで予約して",
+           # round 5d: open until-interval (lone postfix まで)
+           "東京行きの飛行機を明日の8時半まで予約して"),
     "ko": ("서울로 가는 비행기를 매주 월요일 예약해줘",
            "서울로 가는 비행기를 3주 후 예약해줘",
            "서울로 가는 비행기를 크리스마스 예약해줘",
@@ -1009,7 +1016,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "서울로 가는 비행기를 부활절 예약해줘",
            "서울로 가는 비행기를 월말 8시 30분 예약해줘",
            "서울로 가는 비행기를 매일 아침 예약해줘",
-           "서울로 가는 비행기를 내일 8시부터 10시까지 예약해줘"),
+           "서울로 가는 비행기를 내일 8시부터 10시까지 예약해줘",
+           "서울로 가는 비행기를 내일 8시 반까지 예약해줘"),
     "pt": ("reserva um voo para lisboa cada segunda",
            "reserva um voo para lisboa nas próximas 3 semanas",
            "reserva um voo para lisboa no natal",
@@ -1018,7 +1026,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "reserva um voo para lisboa na sexta feira santa",
            "reserva um voo para lisboa no fim do mês às 8:30",
            "reserva um voo para lisboa cada manhã",
-           "reserva um voo para lisboa na primeira segunda de junho"),
+           "reserva um voo para lisboa na primeira segunda de junho",
+           "reserva um voo para lisboa até às 8:30"),
 }
 
 

@@ -478,3 +478,59 @@ def test_datetime_range_endpoint_with_clock():
         rv = ms[0]["resolved_value"]
         assert rv["kind"] == "TimeInterval", (lang, text, rv)
         assert (rv["from"], rv["to"]) == (f, t), (lang, text, rv)
+
+
+def test_datetime_until_open_interval():
+    """Round-5d: "until/by X" (prefix) and lone postfix まで/까지
+    resolve as an OPEN interval [anchor, X] — the duckling/Rustling
+    convention for one-sided upper bounds. A bare-clock point must be
+    marked (pm/h/uhr) or multi-token ("8:30"), so "increase by 5"
+    never reads as an interval; a past clock rolls to the next day."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 5, 2, 10, 0)  # Thursday 10:00
+    cases = [
+        ("en", "until tomorrow at 8:30am", "2024-05-03 08:30:00"),
+        ("en", "by friday 5pm", "2024-05-03 17:00:00"),
+        ("en", "by 8am", "2024-05-03 08:00:00"),  # past clock rolls
+        ("ja", "明日の8時半まで", "2024-05-03 08:30:00"),
+        ("ko", "내일 8시 반까지", "2024-05-03 08:30:00"),
+        ("fr", "jusqu'à demain 8h30", "2024-05-03 08:30:00"),
+        ("de", "bis morgen um 8:30", "2024-05-03 08:30:00"),
+        ("es", "hasta el viernes", "2024-05-03 00:00:00"),
+        ("it", "fino a domani", "2024-05-03 00:00:00"),
+        ("pt", "até às 8:30", "2024-05-03 08:30:00"),
+    ]
+    for lang, text, t in cases:
+        p = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert len(ms) == 1, (lang, text, ms)
+        rv = ms[0]["resolved_value"]
+        assert rv["kind"] == "TimeInterval", (lang, text, rv)
+        assert rv["from"] == "2024-05-02 10:00:00", (lang, text, rv)
+        assert rv["to"] == t, (lang, text, rv)
+
+
+def test_datetime_until_guards():
+    """Bare unmarked digits never form an until-interval, and two-sided
+    ranges keep winning over the one-sided pass."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 5, 2, 10, 0)
+    p = BuiltinEntityParser(language="en")
+    assert [m for m in p.parse("increase by 5", anchor=anchor)
+            if m["entity_kind"] == "snips/datetime"] == []
+    ms = [m for m in p.parse("from monday until friday", anchor=anchor)
+          if m["entity_kind"] == "snips/datetime"]
+    assert len(ms) == 1
+    rv = ms[0]["resolved_value"]
+    assert (rv["from"], rv["to"]) == ("2024-05-06 00:00:00",
+                                      "2024-05-10 00:00:00")
+    pj = BuiltinEntityParser(language="ja")
+    ms = [m for m in pj.parse("明日8時から10時まで", anchor=anchor)
+          if m["entity_kind"] == "snips/datetime"]
+    assert len(ms) == 1
+    rv = ms[0]["resolved_value"]
+    assert (rv["from"], rv["to"]) == ("2024-05-03 08:00:00",
+                                      "2024-05-03 10:00:00")
