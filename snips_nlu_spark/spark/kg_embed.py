@@ -1,0 +1,227 @@
+"""TransE knowledge-graph embeddings: driver-trained, broadcast-scored.
+
+The link-prediction layer of a KG build (Bordes et al. 2013,
+"Translating Embeddings for Modeling Multi-relational Data"): embed
+entities and relations so that e_subj + r_pred ≈ e_obj for true facts,
+then score every assertion by the translation residual and evaluate by
+ranking the true object against corrupted candidates.
+
+Layout follows the repo's driver-trained / broadcast-scored convention
+(IVF quantizers in ``functions/similarity.py``, the quality classifier
+in ``functions/quality.py``): training runs on a BOUNDED deterministic
+sample of facts in numpy on the driver — full distributed embedding
+training (parameter servers, async SGD) is out of scope by design —
+and the corpus-wide stages Spark owns are the scoring pass (broadcast
+embedding tables + pure-JVM ``zip_with``/``aggregate`` arithmetic, no
+Python on the data path) and the ranking pass (one join against the
+deterministic negative draw + one count aggregate).
+
+Determinism: embedding init and the per-epoch corrupted objects derive
+from a fixed seed / md5 hashes, entity rows are L2-normalized per epoch
+(the paper's constraint), and updates are full-batch — the oracle
+replays training bit-exactly and re-executes scoring/ranking in numpy
+(the distance fold is written to match the JVM's sequential
+left-to-right IEEE order exactly, so integer ranks hash-match).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+TRANSE_DIM = 16
+TRANSE_EPOCHS = 200
+TRANSE_LR = 0.05
+TRANSE_MARGIN = 1.0
+TRANSE_SAMPLE_CAP = 20000
+TRANSE_SEED = 42
+
+
+def _fact_hash(subj: str, pred: str, obj: str,
+               seed: int = TRANSE_SEED) -> int:
+    return int(hashlib.md5(f"{subj}|{pred}|{obj}:{seed}"
+                           .encode("utf8")).hexdigest()[:8], 16)
+
+
+def train_transe(facts: list[tuple[str, str, str]],
+                 dim: int = TRANSE_DIM, epochs: int = TRANSE_EPOCHS,
+                 lr: float = TRANSE_LR, margin: float = TRANSE_MARGIN,
+                 seed: int = TRANSE_SEED
+                 ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """Deterministic full-batch margin-ranking TransE on the driver.
+
+    Negatives corrupt the object with another entity chosen by the
+    fact's md5 slot shifted past the true index — (h + epoch) mod
+    (n_ent − 1) — so each epoch sees a fresh but reproducible
+    corruption (no RNG draw order to preserve). Returns (entity →
+    vector, relation → vector) with the final epoch's entity
+    normalization applied.
+    """
+    ents = sorted({s for s, _, _ in facts} | {o for _, _, o in facts})
+    rels = sorted({p for _, p, _ in facts})
+    e_idx = {e: i for i, e in enumerate(ents)}
+    n_ent = len(ents)
+    rng = np.random.default_rng(seed)
+    bound = 6.0 / np.sqrt(dim)
+    ent_m = rng.uniform(-bound, bound, (n_ent, dim))
+    rel_m = rng.uniform(-bound, bound, (len(rels), dim))
+    rel_m /= np.maximum(np.linalg.norm(rel_m, axis=1, keepdims=True),
+                        1e-12)
+    if not facts or n_ent < 2:
+        return ({e: ent_m[i] for e, i in e_idx.items()},
+                {r: rel_m[i] for i, r in enumerate(rels)})
+    r_idx = {r: i for i, r in enumerate(rels)}
+    s_i = np.array([e_idx[s] for s, _, _ in facts])
+    p_i = np.array([r_idx[p] for _, p, _ in facts])
+    o_i = np.array([e_idx[o] for _, _, o in facts])
+    h = np.array([_fact_hash(s, p, o, seed) for s, p, o in facts],
+                 dtype=np.int64)
+    for epoch in range(epochs):
+        ent_m /= np.maximum(np.linalg.norm(ent_m, axis=1,
+                                           keepdims=True), 1e-12)
+        neg = (h + epoch) % (n_ent - 1)
+        neg = neg + (neg >= o_i)
+        v_pos = ent_m[s_i] + rel_m[p_i] - ent_m[o_i]
+        v_neg = ent_m[s_i] + rel_m[p_i] - ent_m[neg]
+        viol = (margin + (v_pos ** 2).sum(1)
+                - (v_neg ** 2).sum(1)) > 0.0
+        if not viol.any():
+            continue
+        g = 2.0 * lr
+        np.add.at(ent_m, s_i[viol], -g * (v_pos[viol] - v_neg[viol]))
+        np.add.at(ent_m, o_i[viol], g * v_pos[viol])
+        np.add.at(ent_m, neg[viol], -g * v_neg[viol])
+        np.add.at(rel_m, p_i[viol], -g * (v_pos[viol] - v_neg[viol]))
+    ent_m /= np.maximum(np.linalg.norm(ent_m, axis=1, keepdims=True),
+                        1e-12)
+    return ({e: ent_m[i] for e, i in e_idx.items()},
+            {r: rel_m[i] for i, r in enumerate(rels)})
+
+
+def _sample_facts(triples: DataFrame,
+                  sample_cap: int) -> list[tuple[str, str, str]]:
+    """Bounded deterministic training sample: first ``sample_cap``
+    distinct facts along the md5 permutation (TakeOrdered — no full
+    sort materializes on the driver)."""
+    rows = (triples.select("subj", "pred", "obj").distinct()
+            .withColumn("_ord", F.md5(F.concat_ws("|", "subj", "pred",
+                                                  "obj")))
+            .orderBy("_ord").limit(sample_cap).collect())
+    return [(r["subj"], r["pred"], r["obj"]) for r in rows]
+
+
+def _embedding_frames(spark, ent: dict, rel: dict):
+    ent_df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(ent.items())],
+        "node string, vec array<double>")
+    rel_df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(rel.items())],
+        "rel string, vec array<double>")
+    return ent_df, rel_df
+
+
+def _dist(s_vec, p_vec, o_vec):
+    """||e_s + r_p − e_o||₂² as a sequential JVM fold — the oracle
+    replays the same left-to-right IEEE order."""
+    diff = F.zip_with(F.zip_with(s_vec, p_vec, lambda a, b: a + b),
+                      o_vec, lambda a, b: a - b)
+    return F.aggregate(diff, F.lit(0.0),
+                       lambda acc, x: acc + x * x)
+
+
+def transe_score_triples(triples: DataFrame, dim: int = TRANSE_DIM,
+                         epochs: int = TRANSE_EPOCHS,
+                         sample_cap: int = TRANSE_SAMPLE_CAP
+                         ) -> DataFrame:
+    """(subj, pred, obj, transe_dist): translation residual per
+    distinct fact (lower = more plausible). Facts whose subject,
+    predicate or object fell outside the bounded training sample are
+    dropped (inner joins — no embedding, no score).
+
+    Scale shape: three broadcast joins against the embedding tables
+    (entity table bounded by the sample cap) + pure-JVM array
+    arithmetic; one dedup shuffle on the fact key.
+    """
+    spark = triples.sparkSession
+    facts = _sample_facts(triples, sample_cap)
+    ent, rel = train_transe(facts, dim=dim, epochs=epochs)
+    ent_df, rel_df = _embedding_frames(spark, ent, rel)
+    base = (triples.select("subj", "pred", "obj").distinct()
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "subj")
+                              .withColumnRenamed("vec", "_sv")), "subj")
+            .join(F.broadcast(rel_df.withColumnRenamed("rel", "pred")
+                              .withColumnRenamed("vec", "_pv")), "pred")
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "obj")
+                              .withColumnRenamed("vec", "_ov")), "obj"))
+    return base.select(
+        "subj", "pred", "obj",
+        F.round(_dist(F.col("_sv"), F.col("_pv"), F.col("_ov")), 6)
+        .alias("transe_dist"))
+
+
+def link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
+                          dim: int = TRANSE_DIM,
+                          epochs: int = TRANSE_EPOCHS,
+                          sample_cap: int = TRANSE_SAMPLE_CAP
+                          ) -> DataFrame:
+    """Filtered-style link-prediction evaluation: rank the true object
+    of every fact against its deterministic corrupted candidates (the
+    :func:`snips_nlu_spark.spark.kg.negative_samples` draw — same-
+    predicate objects, collision-free with the truth). rank = 1 +
+    |{candidates with strictly smaller distance}| — an INTEGER, so the
+    gate hash is float-robust. Duplicate candidates from a wrapped
+    draw (object pool smaller than n_neg) are deduplicated so no
+    candidate is counted twice.
+
+    Output: (subj, pred, obj, n_candidates, transe_rank).
+
+    Scale shape: the negative draw is linear (n_neg-fold explode), the
+    embedding joins broadcast, and the rank is one count aggregate
+    keyed on the fact — no per-predicate candidate blowup (sampled
+    evaluation is the standard at web scale; exhaustive ranking over a
+    predicate's full object universe is the documented alternative
+    when the universe is small).
+    """
+    from .kg import negative_samples
+
+    spark = triples.sparkSession
+    facts = _sample_facts(triples, sample_cap)
+    ent, rel = train_transe(facts, dim=dim, epochs=epochs)
+    ent_df, rel_df = _embedding_frames(spark, ent, rel)
+    negs = (negative_samples(triples, n_neg=n_neg)
+            .dropDuplicates(["subj", "pred", "obj", "neg_obj"]))
+    base = (negs
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "subj")
+                              .withColumnRenamed("vec", "_sv")), "subj")
+            .join(F.broadcast(rel_df.withColumnRenamed("rel", "pred")
+                              .withColumnRenamed("vec", "_pv")), "pred")
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "obj")
+                              .withColumnRenamed("vec", "_ov")), "obj")
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "neg_obj")
+                              .withColumnRenamed("vec", "_nv")),
+                  "neg_obj"))
+    d_true = _dist(F.col("_sv"), F.col("_pv"), F.col("_ov"))
+    d_neg = _dist(F.col("_sv"), F.col("_pv"), F.col("_nv"))
+    return (base
+            .select("subj", "pred", "obj",
+                    (d_neg < d_true).cast("int").alias("_beat"))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 (F.sum("_beat") + 1).cast("int").alias("transe_rank")))
+
+
+def link_prediction_eval(ranks: DataFrame) -> DataFrame:
+    """Per-predicate rollup of the rank table: (pred, n_facts, mrr,
+    hits_at_1, hits_at_3), 6 dp. Derives only from integer ranks, so
+    the oracle can recompute it in SQL over the committed rank table."""
+    return (ranks.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n_facts"),
+                 F.round(F.avg(1.0 / F.col("transe_rank")), 6)
+                 .alias("mrr"),
+                 F.round(F.avg((F.col("transe_rank") <= 1)
+                               .cast("double")), 6).alias("hits_at_1"),
+                 F.round(F.avg((F.col("transe_rank") <= 3)
+                               .cast("double")), 6).alias("hits_at_3")))

@@ -196,3 +196,80 @@ def test_stratified_split_exact_fractions(spark):
     # deterministic
     again = stratified_split(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_transe_trainer_deterministic():
+    import numpy as np
+
+    from snips_nlu_spark.spark.kg_embed import train_transe
+
+    facts = [(f"s{i}", "p", f"o{i % 4}") for i in range(20)]
+    e1, r1 = train_transe(facts, epochs=50)
+    e2, r2 = train_transe(facts, epochs=50)
+    assert sorted(e1) == sorted(e2) and sorted(r1) == sorted(r2)
+    for k in e1:
+        assert np.array_equal(e1[k], e2[k])
+    for k in r1:
+        assert np.array_equal(r1[k], r2[k])
+    # entity rows come out unit-normalized (the paper's constraint)
+    for k in e1:
+        assert abs(float(np.linalg.norm(e1[k])) - 1.0) < 1e-9
+
+
+def test_transe_ranks_memorize_planted_kg(spark):
+    """Transductive memorization: every subject asserts one object per
+    predicate out of a 6-value pool; after training, the true object
+    must rank far above random (random MRR over a 6-object filtered
+    pool is ~0.41)."""
+    from snips_nlu_spark.spark.kg_embed import (link_prediction_eval,
+                                                link_prediction_ranks)
+
+    rows = []
+    for i in range(30):
+        rows.append((f"c{i}", i, f"t{i}", "color", f"col{i % 6}",
+                     "color", 0, 1, f"col{i % 6}", 1.0))
+        rows.append((f"c{i}", i, f"t{i}", "room", f"rm{(i * 7) % 6}",
+                     "room", 0, 1, f"rm{(i * 7) % 6}", 1.0))
+    t = spark.createDataFrame(rows, SCHEMA)
+    ranks = link_prediction_ranks(t, n_neg=10)
+    got = ranks.collect()
+    assert len(got) == 60
+    assert all(1 <= r["transe_rank"] <= r["n_candidates"] + 1
+               for r in got)
+    ev = {r["pred"]: r for r in
+          link_prediction_eval(ranks).collect()}
+    assert ev["color"]["n_facts"] == 30
+    assert ev["color"]["mrr"] > 0.8
+    assert ev["room"]["mrr"] > 0.8
+    # rollup consistency with the rank table
+    mrr = round(sum(1.0 / r["transe_rank"] for r in got
+                    if r["pred"] == "color") / 30, 6)
+    assert abs(ev["color"]["mrr"] - mrr) < 1e-9
+
+
+def test_transe_scores_prefer_true_facts(spark):
+    """transe_dist of a trained fact beats the distance of a corrupted
+    variant for most facts (margin-ranking objective)."""
+    from snips_nlu_spark.spark.kg_embed import (train_transe,
+                                                transe_score_triples)
+
+    rows = [(f"c{i}", i, f"t{i}", "color", f"col{i % 4}", "color",
+             0, 1, None, 1.0) for i in range(24)]
+    t = spark.createDataFrame(rows, SCHEMA)
+    scored = {(r["subj"], r["obj"]): r["transe_dist"]
+              for r in transe_score_triples(t).collect()}
+    assert len(scored) == 24
+    ent, rel = train_transe(
+        sorted({(f"t{i}", "color", f"col{i % 4}") for i in range(24)}))
+    import numpy as np
+    wins = 0
+    for i in range(24):
+        true_o, wrong_o = f"col{i % 4}", f"col{(i + 1) % 4}"
+        d_true = float(((ent[f"t{i}"] + rel["color"]
+                         - ent[true_o]) ** 2).sum())
+        d_wrong = float(((ent[f"t{i}"] + rel["color"]
+                          - ent[wrong_o]) ** 2).sum())
+        assert abs(round(d_true, 6)
+                   - scored[(f"t{i}", true_o)]) < 1e-5
+        wins += d_true < d_wrong
+    assert wins >= 20
