@@ -233,6 +233,36 @@ def resolve_entity_mentions(triples: DataFrame,
                     .alias("canonical_value")))
 
 
+def fact_validity(triples: DataFrame, turns: DataFrame) -> DataFrame:
+    """Temporal-KG observation windows: for every fact CLASS
+    (pred, entity, obj) — the slot/intent assertion independent of
+    which turn said it — the first and last time the corpus asserts
+    it, plus observation counts. This is the validity-interval rollup
+    a temporal KG attaches to facts ("espresso orders were observed
+    from t₀ to t₁ across n conversations").
+
+    ``turns`` supplies (conv_id, turn_idx, ts) — triples deliberately
+    do not carry timestamps (they are derived assertions; time lives
+    on the source turn).
+
+    Output: (pred, entity, obj, n_obs, n_convs, first_seen,
+    last_seen). Intent facts carry entity = NULL, exactly as in the
+    triple store.
+
+    Scale shape: one equi-join on (conv_id, turn_idx) — both sides
+    shuffle-partitioned on the turn key — then one
+    map-side-combinable agg on the fact class. No windows.
+    """
+    ts_side = turns.select("conv_id", "turn_idx", "ts")
+    return (triples
+            .join(ts_side, ["conv_id", "turn_idx"])
+            .groupBy("pred", "entity", "obj")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 F.min("ts").alias("first_seen"),
+                 F.max("ts").alias("last_seen")))
+
+
 def negative_samples(triples: DataFrame, n_neg: int = 2,
                      seed: int = 42) -> DataFrame:
     """Deterministic corrupted-object negative sampling for

@@ -273,3 +273,31 @@ def test_transe_scores_prefer_true_facts(spark):
                    - scored[(f"t{i}", true_o)]) < 1e-5
         wins += d_true < d_wrong
     assert wins >= 20
+
+
+def test_fact_validity_windows(spark):
+    import datetime as dt
+
+    from snips_nlu_spark.spark.kg import fact_validity
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        ("c0", 0, "c0:0", "room", "attic", "room", 0, 1, "attic", 1.0),
+        ("c0", 1, "c0:1", "room", "attic", "room", 0, 1, "attic", 1.0),
+        ("c1", 0, "c1:0", "room", "attic", "room", 0, 1, "attic", 1.0),
+        ("c1", 0, "c1:0", "intent", "book", None, None, None, None, 1.0),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    turns = spark.createDataFrame(
+        [("c0", 0, t0), ("c0", 1, t0 + dt.timedelta(seconds=45)),
+         ("c1", 0, t0 + dt.timedelta(minutes=11))],
+        "conv_id string, turn_idx int, ts timestamp")
+    got = {(r["pred"], r["obj"]): r
+           for r in fact_validity(t, turns).collect()}
+    attic = got[("room", "attic")]
+    assert (attic["n_obs"], attic["n_convs"]) == (3, 2)
+    assert attic["first_seen"] == t0
+    assert attic["last_seen"] == t0 + dt.timedelta(minutes=11)
+    intent = got[("intent", "book")]
+    assert intent["entity"] is None
+    assert (intent["n_obs"], intent["n_convs"]) == (1, 1)
