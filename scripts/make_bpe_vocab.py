@@ -22,40 +22,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from snips_nlu_spark.functions.text import BPE_SPLIT_RE  # noqa: E402
+from snips_nlu_spark.functions.text import (BPE_SPLIT_RE,  # noqa: E402
+                                             bpe_train_merges)
 
 OUT = (Path(__file__).resolve().parent.parent
        / "snips_nlu_spark" / "functions" / "bpe_vocab.py")
 CORPUS = "/root/testdata/sf0.1/documents.parquet"
 
-
-def train(word_freqs: dict[str, int],
-          n_merges: int) -> list[tuple[str, str]]:
-    seqs: list[tuple[list[str], int]] = [
-        (list(w), f) for w, f in sorted(word_freqs.items())]
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for sym, freq in seqs:
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] += freq
-        if not pairs:
-            break
-        best_n = max(pairs.values())
-        best = min(p for p, c in pairs.items() if c == best_n)
-        if best_n < 2:
-            break
-        merges.append(best)
-        a, b = best
-        ab = a + b
-        for sym, _freq in seqs:
-            i = 0
-            while i < len(sym) - 1:
-                if sym[i] == a and sym[i + 1] == b:
-                    sym[i:i + 2] = [ab]
-                else:
-                    i += 1
-    return merges
+# the merge loop lives in functions/text.py (bpe_train_merges) — the
+# shared spec between this script, the Spark trainer and the oracle
+train = bpe_train_merges
 
 
 def main() -> None:

@@ -731,6 +731,39 @@ def make_quality_oracle(n: int = 1000, sample_n: int = 600,
     return out
 
 
+def make_bpe_train_oracle(n_merges: int = 64, min_count: int = 2,
+                          max_vocab: int = 200_000) -> Path:
+    """Pandas replay of functions/text.train_bpe over the sf0.01
+    documents table: an ``re``-module frequency pass (vs Spark's
+    explode/count) feeding the shared deterministic merge-loop spec."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from snips_nlu_spark.functions.text import (BPE_SPLIT_RE,
+                                                bpe_train_merges)
+
+    texts = pd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet")["text"]
+    pat = re.compile(BPE_SPLIT_RE)
+    freqs: Counter = Counter()
+    for t in texts:
+        freqs.update(m.group(0) for m in pat.finditer(t or ""))
+    kept = sorted(((w, c) for w, c in freqs.items()
+                   if c >= min_count),
+                  key=lambda wc: (-wc[1], wc[0]))[:max_vocab]
+    merges = bpe_train_merges(dict(kept), n_merges)
+    out = ORACLE_DIR / "bpe_merges_sf0.01.parquet"
+    table = pa.table({
+        "rank": pa.array(range(len(merges)), type=pa.int32()),
+        "left": pa.array([a for a, _ in merges]),
+        "right": pa.array([b for _, b in merges])})
+    pq.write_table(table, out)
+    print(f"bpe merge-table oracle -> {len(merges)} merges -> {out}")
+    return out
+
+
 def make_transe_oracle(n_neg: int = 50) -> Path:
     """Numpy replay of spark/kg_embed.link_prediction_ranks over the
     committed sf0.01 triples oracle. The TRAINER is the shared
@@ -822,3 +855,4 @@ if __name__ == "__main__":
             make_bpe_oracle(sf)
             make_quality_oracle()
             make_transe_oracle()
+            make_bpe_train_oracle()

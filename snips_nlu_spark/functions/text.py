@@ -146,6 +146,75 @@ def bpe_encode(pretoken: str, ranks: dict) -> tuple:
     return tuple(sym)
 
 
+def bpe_train_merges(word_freqs: dict[str, int],
+                     n_merges: int) -> list[tuple[str, str]]:
+    """Deterministic BPE training over a word-frequency table
+    (Sennrich et al. 2016): start every type as a character sequence,
+    repeatedly merge the most frequent adjacent pair, ties to the
+    lexicographically smallest pair, stop when no pair occurs twice.
+    Shared spec between the Spark trainer (:func:`train_bpe`), the
+    committed-vocab script (scripts/make_bpe_vocab.py) and the oracle
+    replay."""
+    from collections import Counter
+
+    seqs: list[tuple[list[str], int]] = [
+        (list(w), f) for w, f in sorted(word_freqs.items())]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, freq in seqs:
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == best_n)
+        if best_n < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for sym, _freq in seqs:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i:i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def train_bpe(documents: DataFrame, n_merges: int = 64,
+              min_count: int = 2,
+              max_vocab: int = 200_000) -> DataFrame:
+    """Tokenizer training ON the corpus, Spark-first: the corpus-wide
+    stage is ONE pretoken-frequency pass (explode + map-side-combinable
+    count — the only thing that scales with corpus size); the merge
+    loop then runs on the driver over the bounded TYPE table, exactly
+    how production vocabularies are trained. ``min_count`` prunes the
+    Heaps-law hapax tail and ``max_vocab`` hard-caps the collected
+    table (top-K by (freq desc, word asc) — a deterministic
+    TakeOrdered, no full sort), so the driver never sees more than a
+    vocabulary of types at any corpus scale.
+
+    Output: (rank, left, right) — the merge table, rank = merge order.
+    """
+    spark = documents.sparkSession
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE),
+                                F.lit(0))
+    freqs = (documents
+             .select(F.explode(toks).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+             .filter(F.col("freq") >= min_count)
+             .orderBy(F.desc("freq"), F.asc("word"))
+             .limit(max_vocab).collect())
+    merges = bpe_train_merges({r["word"]: r["freq"] for r in freqs},
+                              n_merges)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string")
+
+
 def bpe_token_counts(documents: DataFrame) -> DataFrame:
     """(doc_id, n_bpe_tokens): EXACT vocab-driven BPE token counts —
     the number a real token-budget pipeline charges. Arrow-batched

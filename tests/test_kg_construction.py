@@ -301,3 +301,45 @@ def test_fact_validity_windows(spark):
     intent = got[("intent", "book")]
     assert intent["entity"] is None
     assert (intent["n_obs"], intent["n_convs"]) == (1, 1)
+
+
+def test_train_bpe_hand_corpus(spark):
+    from snips_nlu_spark.functions.text import train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab", "s"), (1, "aaab", "s")],
+        "doc_id long, text string, source string")
+    # types: "aaab" (x3 across both docs), " aaab" (x1 -> pruned by
+    # min_count=2). merge 0: (a,a) freq 6. "aaab" -> [aa,a,b]; now
+    # (aa,a) and (a,b) tie at 3 -> lexicographic min ('a','b') wins
+    # (tuple order: 'a' < 'aa'). "aaab" -> [aa,ab]; merge 2 (aa,ab).
+    got = [(r["rank"], r["left"], r["right"])
+           for r in train_bpe(docs, n_merges=10).collect()]
+    got.sort()
+    assert got == [(0, "a", "a"), (1, "a", "b"), (2, "aa", "ab")]
+
+
+def test_train_bpe_matches_pandas_replay(spark):
+    import re
+    from collections import Counter
+
+    from snips_nlu_spark.functions.text import (BPE_SPLIT_RE,
+                                                bpe_train_merges,
+                                                train_bpe)
+
+    texts = ["spark window merge table", "window table spark spark",
+             "merge the big table now", "now now window"]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    spark_merges = [(r["rank"], r["left"], r["right"])
+                    for r in train_bpe(docs, n_merges=20).collect()]
+    spark_merges.sort()
+    pat = re.compile(BPE_SPLIT_RE)
+    freqs: Counter = Counter()
+    for t in texts:
+        freqs.update(m.group(0) for m in pat.finditer(t))
+    expect = bpe_train_merges(
+        {w: c for w, c in freqs.items() if c >= 2}, 20)
+    assert spark_merges == [(i, a, b)
+                            for i, (a, b) in enumerate(expect)]
