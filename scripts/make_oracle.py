@@ -764,6 +764,49 @@ def make_bpe_train_oracle(n_merges: int = 64, min_count: int = 2,
     return out
 
 
+def make_langid_oracle() -> Path:
+    """Python replay of functions/langid.trained_language_scores over
+    the sf0.01 documents table: the closed-form NB table is the shared
+    deterministic spec (train_langid); extraction, OOV arithmetic and
+    the 8-way argmax are re-executed sequentially here. Only the
+    integer/string columns are committed (the float total differs from
+    Spark's parallel sum at ~1e-13 — below any argmax gap)."""
+    import pandas as pd
+
+    from snips_nlu_spark.functions.langid import (LANGID_LANGS,
+                                                  train_langid)
+
+    rows_tab, oov = train_langid()
+    logp: dict[tuple[str, str], float] = {(ng, lang): lp
+                                          for ng, lang, lp in rows_tab}
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "text"])
+    out_rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        low = (text or "").lower()
+        grams = [low[i:i + 2] for i in range(len(low) - 1)]
+        if not grams:
+            out_rows.append((int(doc_id), 0, "und"))
+            continue
+        best = None
+        for lang in LANGID_LANGS:
+            s = 0.0
+            for g in grams:
+                s += logp.get((g, lang), oov[lang])
+            if best is None or s > best[0]:
+                best = (s, lang)
+        out_rows.append((int(doc_id), len(grams), best[1]))
+    out = ORACLE_DIR / "langid_sf0.01.parquet"
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+        "n_grams": pa.array([r[1] for r in out_rows],
+                            type=pa.int32()),
+        "lang_pred": pa.array([r[2] for r in out_rows])})
+    pq.write_table(table, out)
+    print(f"trained lang-id oracle -> {len(out_rows)} rows -> {out}")
+    return out
+
+
 def make_transe_oracle(n_neg: int = 50) -> Path:
     """Numpy replay of spark/kg_embed.link_prediction_ranks over the
     committed sf0.01 triples oracle. The TRAINER is the shared
@@ -856,3 +899,4 @@ if __name__ == "__main__":
             make_quality_oracle()
             make_transe_oracle()
             make_bpe_train_oracle()
+            make_langid_oracle()

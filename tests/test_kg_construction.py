@@ -343,3 +343,48 @@ def test_train_bpe_matches_pandas_replay(spark):
         {w: c for w, c in freqs.items() if c >= 2}, 20)
     assert spark_merges == [(i, a, b)
                             for i, (a, b) in enumerate(expect)]
+
+
+def test_trained_langid_classifies_pack_sentences(spark):
+    from snips_nlu_spark.functions.langid import (LANGID_LANGS,
+                                                  trained_language_scores)
+    from snips_nlu_spark.resources import get_resources
+
+    rows, expected = [], {}
+    i = 0
+    for lang in LANGID_LANGS:
+        noise = get_resources(lang)["noise"]
+        for j in (0, 10, 30):
+            text = " ".join(noise[j:j + 8])
+            rows.append((i, text, "s"))
+            expected[i] = lang
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in trained_language_scores(docs).collect()}
+    acc = sum(got[k] == v for k, v in expected.items()) / len(expected)
+    # noise words overlap with the training vocab, so accuracy should
+    # be near-perfect; allow a couple of cognate confusions (es/pt/it)
+    assert acc >= 0.85, (acc, {k: (got[k], expected[k])
+                               for k in expected if got[k] != expected[k]})
+    # CJK scripts are unambiguous
+    for k, v in expected.items():
+        if v in ("ja", "ko"):
+            assert got[k] == v
+
+
+def test_trained_langid_edges(spark):
+    from snips_nlu_spark.functions.langid import trained_language_scores
+
+    docs = spark.createDataFrame(
+        [(0, "", "s"), (1, "x", "s"), (2, "der die und das ist", "s")],
+        "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in
+           trained_language_scores(docs).collect()}
+    assert got[0]["lang_pred"] == "und" and got[0]["n_grams"] == 0
+    assert got[1]["lang_pred"] == "und"
+    assert got[2]["lang_pred"] == "de"
+    again = {r["doc_id"]: r["lang_pred"] for r in
+             trained_language_scores(docs).collect()}
+    assert again == {k: v["lang_pred"] for k, v in got.items()}
