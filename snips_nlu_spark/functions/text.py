@@ -146,6 +146,43 @@ def bpe_encode(pretoken: str, ranks: dict) -> tuple:
     return tuple(sym)
 
 
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """RAG-style fixed-window chunking: each document becomes
+    overlapping windows of ``chunk_tokens`` whitespace tokens with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_tokens − overlap). The retrieval-pipeline step between
+    curation and embedding.
+
+    Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text); empty
+    documents produce no rows; a document shorter than one window
+    produces exactly one chunk.
+
+    Scale shape: pure JVM — one regexp token split, a transform over
+    the (bounded) per-doc chunk index range building each window via
+    slice + array_join, then one posexplode. No shuffle at all: the
+    op is embarrassingly parallel over the scan.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    n = F.size("_w")
+    n_chunks = F.floor((F.greatest(n - overlap, F.lit(1))
+                        + (stride - 1)) / stride).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("_w"), i * stride + 1, chunk_tokens))
+    return (documents
+            .select("doc_id", words.alias("_w"))
+            .filter(n > 0)
+            .select("doc_id",
+                    F.posexplode(chunks).alias("chunk_idx", "_c"))
+            .select("doc_id", "chunk_idx",
+                    F.size("_c").alias("n_chunk_tokens"),
+                    F.array_join("_c", " ").alias("chunk_text")))
+
+
 def bpe_train_merges(word_freqs: dict[str, int],
                      n_merges: int) -> list[tuple[str, str]]:
     """Deterministic BPE training over a word-frequency table

@@ -233,6 +233,35 @@ def resolve_entity_mentions(triples: DataFrame,
                     .alias("canonical_value")))
 
 
+def cardinality_violations(triples: DataFrame,
+                           functionality_threshold: float = 0.95,
+                           min_support: int = 20) -> DataFrame:
+    """Constraint validation against the INDUCED schema (the
+    SHACL-lite step of a KG build): for predicates the corpus itself
+    treats as functional — functionality ≥ ``functionality_threshold``
+    over at least ``min_support`` subjects — report every subject that
+    asserts more than one object ("this conversation turn claims two
+    departure dates"). Output: (pred, subj, n_objs, objs) with objs
+    the sorted |-joined value list for audit.
+
+    Scale shape: the per-pred functionality profile is the tiny
+    :func:`predicate_schema` aggregate (broadcast); the violation scan
+    is one groupBy on (pred, subj) with map-side combine.
+    """
+    functional = (predicate_schema(triples)
+                  .filter((F.col("functionality")
+                           >= functionality_threshold)
+                          & (F.col("n_subjects") >= min_support))
+                  .select("pred"))
+    return (triples
+            .join(F.broadcast(functional), "pred")
+            .groupBy("pred", "subj")
+            .agg(F.countDistinct("obj").alias("n_objs"),
+                 F.array_join(F.array_sort(F.collect_set("obj")), "|")
+                 .alias("objs"))
+            .filter(F.col("n_objs") > 1))
+
+
 def fact_validity(triples: DataFrame, turns: DataFrame) -> DataFrame:
     """Temporal-KG observation windows: for every fact CLASS
     (pred, entity, obj) — the slot/intent assertion independent of

@@ -388,3 +388,52 @@ def test_trained_langid_edges(spark):
     again = {r["doc_id"]: r["lang_pred"] for r in
              trained_language_scores(docs).collect()}
     assert again == {k: v["lang_pred"] for k, v in got.items()}
+
+
+def test_cardinality_violations_hand_fixture(spark):
+    from snips_nlu_spark.spark.kg import cardinality_violations
+
+    # pred "d": 24 clean single-valued subjects + 1 violator (t0
+    # asserts two values); pred "rare": multi-valued but only 2
+    # subjects -> below min_support, never reported
+    rows = [(f"t{i}", "d", f"v{i}", "e", None, 1.0) for i in range(25)]
+    rows += [("t0", "d", "OTHER", "e", None, 1.0)]
+    rows += [("r1", "rare", "a", "e", None, 1.0),
+             ("r1", "rare", "b", "e", None, 1.0),
+             ("r2", "rare", "c", "e", None, 1.0)]
+    out = cardinality_violations(_triples(spark, rows),
+                                 min_support=20).collect()
+    assert len(out) == 1
+    v = out[0]
+    assert (v["pred"], v["subj"], v["n_objs"]) == ("d", "t0", 2)
+    assert v["objs"] == "OTHER|v0"
+
+
+def test_chunk_documents_windows(spark):
+    from snips_nlu_spark.functions.text import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(10)),   # one short chunk
+        1: " ".join(f"w{i}" for i in range(100)),  # 2 chunks @64/16
+        2: "",                                     # no rows
+        3: " ".join(f"w{i}" for i in range(64)),   # exactly one window
+    }
+    docs = spark.createDataFrame(
+        [(k, v, "s") for k, v in texts.items()],
+        "doc_id long, text string, source string")
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=64,
+                             overlap=16).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in got
+    assert [c["n_chunk_tokens"] for c in sorted(
+        got[0], key=lambda c: c["chunk_idx"])] == [10]
+    assert [c["n_chunk_tokens"] for c in sorted(
+        got[3], key=lambda c: c["chunk_idx"])] == [64]
+    c1 = sorted(got[1], key=lambda c: c["chunk_idx"])
+    assert [c["n_chunk_tokens"] for c in c1] == [64, 52]
+    # the second window starts at the stride boundary (48), repeating
+    # the 16-token overlap
+    assert c1[0]["chunk_text"].split()[48:] == \
+        c1[1]["chunk_text"].split()[:16]
+    assert c1[1]["chunk_text"].split()[0] == "w48"
