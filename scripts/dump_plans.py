@@ -66,7 +66,10 @@ def main() -> None:
                  "event_asof_attribution", "event_error_window_join",
                  "kg_ntriples", "kg_predicate_schema",
                  "kg_triple_confidence", "kg_entity_resolution",
-                 "kg_negative_samples", "doc_train_split"):
+                 "kg_negative_samples", "doc_train_split",
+                 "kg_fact_validity", "kg_transe_ranks",
+                 "kg_cardinality_violations", "doc_bpe_train",
+                 "doc_langid_trained", "doc_chunks"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         sections.append(f"## {name}\n\n```\n{simplify(plan)}\n```\n")

@@ -187,6 +187,81 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
                     F.round("jaccard", 6).alias("jaccard")))
 
 
+def cross_corpus_dup_pairs(new_docs: DataFrame, ref_docs: DataFrame,
+                           n: int = 3, threshold: float = 0.5,
+                           bands: int = 24,
+                           rows: int = 3) -> DataFrame:
+    """Dedup NEW data against a REFERENCE corpus — the incremental-
+    ingest variant of :func:`minhash_duplicate_pairs` ("drop crawl
+    documents that near-duplicate what the last model already trained
+    on"). Same MinHash-LSH machinery, but the band-bucket join runs
+    BETWEEN the two signature tables, and the id spaces stay separate
+    (a new doc and a reference doc may share an id).
+
+    Output: (doc_id, ref_doc_id, jaccard) for every (new, reference)
+    pair with exact-verified Jaccard ≥ ``threshold``.
+
+    Scale shape: the reference side's signatures are a pure function
+    of the reference corpus — at production scale they are computed
+    once and persisted as the dedup index; every ingest batch then
+    pays one signature pass over the NEW side plus bucket-join +
+    verification traffic proportional to candidate overlap only.
+    """
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist()
+    sh_new = _shingles(new_docs, n=n).persist()
+    sh_ref = _shingles(ref_docs, n=n).persist()
+    _SHINGLE_CACHE.extend([sh_new, sh_ref])
+
+    n_hashes = bands * rows
+    minhash_cols = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)]
+    bucket_array = F.array(*[
+        F.xxhash64(*[F.col(f"h{band * rows + r}") for r in range(rows)])
+        for band in range(bands)])
+
+    def _banded(sh: DataFrame):
+        per_doc = (sh.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("n_shingles"),
+                        *minhash_cols))
+        return (per_doc.select(
+            "doc_id", F.posexplode(bucket_array)
+            .alias("band", "bucket")),
+            per_doc.select("doc_id", "n_shingles"))
+
+    banded_new, sizes_new = _banded(sh_new)
+    banded_ref, sizes_ref = _banded(sh_ref)
+    a, b = banded_new.alias("a"), banded_ref.alias("b")
+    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.bucket") == F.col("b.bucket")))
+                  .select(F.col("a.doc_id").alias("doc_id"),
+                          F.col("b.doc_id").alias("ref_doc_id"))
+                  .distinct())
+
+    sh_a = (sh_new.join(candidates.select("doc_id").distinct(),
+                        "doc_id", "semi"))
+    sh_b = (sh_ref.join(candidates.select(F.col("ref_doc_id")
+                                          .alias("doc_id")).distinct(),
+                        "doc_id", "semi")
+            .select(F.col("doc_id").alias("ref_doc_id"), "shingle"))
+    inter = (candidates
+             .join(sh_a, "doc_id")
+             .join(sh_b, ["ref_doc_id", "shingle"])
+             .groupBy("doc_id", "ref_doc_id")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes_new.select("doc_id", F.col("n_shingles").alias("na"))
+    sb = sizes_ref.select(F.col("doc_id").alias("ref_doc_id"),
+                          F.col("n_shingles").alias("nb"))
+    jaccard = (F.col("inter").cast("double")
+               / (F.col("na") + F.col("nb")
+                  - F.col("inter")).cast("double"))
+    return (inter.join(sa, "doc_id").join(sb, "ref_doc_id")
+            .filter(jaccard >= threshold)
+            .select("doc_id", "ref_doc_id",
+                    F.round(jaccard, 6).alias("jaccard")))
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document over word tokens, vectorized numpy per
     Arrow batch (bit unpack + sign aggregation — not expressible as a

@@ -242,6 +242,51 @@ def entity_similarity(triples: DataFrame,
                             6).alias("jaccard")))
 
 
+def entity_distances(triples: DataFrame,
+                     source_entity: str = "locality",
+                     max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS over the entity co-occurrence graph: each
+    node's hop distance to the NEAREST value of ``source_entity``
+    ("how far is this value from any destination city in the
+    affinity graph") — the bounded-radius reachability rollup used
+    for neighborhood features and ego-graph extraction. Nodes beyond
+    ``max_hops`` (or disconnected) are excluded; source values
+    appear at distance 0 even when isolated.
+
+    Scale shape: classic iterative frontier expansion — per hop ONE
+    join of the (shrinking) frontier against the edge list + one
+    anti-join against the settled set, both keyed on the node;
+    localCheckpoint per hop keeps the plan flat. Rounds are bounded
+    by ``max_hops``, so the driver loop is fixed-length; the only
+    driver-side scalar is the per-hop emptiness probe (early exit).
+    """
+    co = entity_cooccurrence_edges(triples)
+    a = F.concat_ws("|", "entity_a", "obj_a")
+    b = F.concat_ws("|", "entity_b", "obj_b")
+    edges = (co.select(a.alias("src"), b.alias("dst"))
+             .union(co.select(b.alias("src"), a.alias("dst")))
+             .distinct().localCheckpoint())
+    sources = (triples
+               .filter(F.col("entity") == source_entity)
+               .select(F.concat_ws("|", "entity", "obj").alias("node"))
+               .distinct())
+    dist = sources.select("node", F.lit(0).alias("distance")) \
+                  .localCheckpoint()
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(edges,
+                             frontier["node"] == edges["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(dist, "node", "anti")
+               .withColumn("distance", F.lit(hop))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist
+
+
 def entity_triangles(triples: DataFrame) -> DataFrame:
     """Triangle count and local clustering coefficient per entity node
     over the co-occurrence graph — "does this value sit inside a tight

@@ -437,3 +437,52 @@ def test_chunk_documents_windows(spark):
     assert c1[0]["chunk_text"].split()[48:] == \
         c1[1]["chunk_text"].split()[:16]
     assert c1[1]["chunk_text"].split()[0] == "w48"
+
+
+def test_cross_corpus_dup_pairs(spark):
+    from snips_nlu_spark.functions.dedup import cross_corpus_dup_pairs
+
+    mk = "the quick brown fox jumps over the lazy dog tonight"
+    new = spark.createDataFrame(
+        [(1, mk, "s"),                               # dup of ref 100
+         (2, "completely different words here folks nothing", "s"),
+         (100, mk + " again", "s")],                 # id collides w/ ref
+        "doc_id long, text string, source string")
+    ref = spark.createDataFrame(
+        [(100, mk, "s"),
+         (200, "unrelated reference text goes right here now", "s")],
+        "doc_id long, text string, source string")
+    got = {(r["doc_id"], r["ref_doc_id"]): r["jaccard"]
+           for r in cross_corpus_dup_pairs(new, ref).collect()}
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    # id spaces are independent: new 100 vs ref 100 is a valid pair
+    assert (100, 100) in got
+    assert not [k for k in got if k[0] == 2]
+
+
+def test_entity_distances_hand_graph(spark):
+    from snips_nlu_spark.spark.graph import entity_distances
+
+    # t1 pairs locality L with A; t2 pairs A with B; C isolated;
+    # L2 is a locality that co-occurs with nothing (distance 0 still)
+    rows = [
+        ("t1", "destination", "paris", "locality", "paris", 1.0),
+        ("t1", "slot", "A", "e", None, 1.0),
+        ("t2", "slot", "A", "e", None, 1.0),
+        ("t2", "slot", "B", "e", None, 1.0),
+        ("t3", "slot", "C", "e", None, 1.0),
+        ("t4", "destination", "rome", "locality", "rome", 1.0),
+    ]
+    got = {r["node"]: r["distance"] for r in
+           entity_distances(_triples(spark, rows)).collect()}
+    assert got["locality|paris"] == 0
+    assert got["locality|rome"] == 0      # isolated source still at 0
+    assert got["e|A"] == 1
+    assert got["e|B"] == 2
+    assert "e|C" not in got               # disconnected
+
+    # max_hops bound: B drops out at max_hops=1
+    got1 = {r["node"]: r["distance"] for r in
+            entity_distances(_triples(spark, rows),
+                             max_hops=1).collect()}
+    assert "e|B" not in got1 and got1["e|A"] == 1
