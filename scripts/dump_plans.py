@@ -69,7 +69,8 @@ def main() -> None:
                  "kg_negative_samples", "doc_train_split",
                  "kg_fact_validity", "kg_transe_ranks",
                  "kg_cardinality_violations", "doc_bpe_train",
-                 "doc_langid_trained", "doc_chunks"):
+                 "doc_langid_trained", "doc_chunks",
+                 "kg_entity_distances", "doc_cross_corpus_dups"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         sections.append(f"## {name}\n\n```\n{simplify(plan)}\n```\n")

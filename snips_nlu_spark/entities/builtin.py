@@ -567,6 +567,9 @@ _DT = {
         # open "until X" intervals (duckling: [reference time, X])
         "until_words": ("until", "till", "by"),
         "until_link": (),
+        # open "from X" intervals (lower bound only)
+        "from_words": ("from", "starting", "after", "since"),
+        "from_link": (),
         # "in [the next] N day(s)/week(s)/..." and "every <weekday|unit>"
         "rel_range_open": ("in", "within"),
         "rel_units": {"day": "day", "days": "day", "week": "week",
@@ -694,6 +697,9 @@ _DT = {
         "range_open": {"de": ("a", "até", "ate"), "entre": ("e",)},
         "until_words": ("até", "ate"),
         "until_link": ("o", "a", "às", "as"),
+        "from_words": ("desde", "partir"),
+        "from_link": ("de", "do", "da"),
+        "from_pre": "a",
         "rel_range_open": ("em", "dentro", "nas", "nos"),
         "rel_units": {"dia": "day", "dias": "day", "semana": "week",
                       "semanas": "week", "mês": "month", "mes": "month",
@@ -738,6 +744,11 @@ _DT = {
                        "fra": ("e",)},
         "until_words": ("fino",),
         "until_link": ("a", "al", "alle", "all"),
+        # "da"/"dal" double as the two-sided range heads — the earlier
+        # pass consumes "da X a Y"; a leftover lone "da domani" is the
+        # open lower bound
+        "from_words": ("da", "dal"),
+        "from_link": (),
         "rel_range_open": ("entro", "nelle", "nei", "in"),
         "rel_units": {"giorno": "day", "giorni": "day",
                       "settimana": "week", "settimane": "week",
@@ -783,6 +794,8 @@ _DT = {
         "range_open": {"von": ("bis",), "zwischen": ("und",)},
         "until_words": ("bis",),
         "until_link": ("zum", "zur"),
+        "from_words": ("ab", "seit"),
+        "from_link": ("dem",),
         "rel_range_open": ("in", "innerhalb", "binnen"),
         "range_articles": ("den", "der", "die", "das"),
         "rel_units": {"tag": "day", "tage": "day", "tagen": "day",
@@ -835,6 +848,9 @@ _DT = {
                        "entre": ("y",)},
         "until_words": ("hasta",),
         "until_link": ("el", "la", "las"),
+        "from_words": ("desde", "partir"),
+        "from_link": ("de", "del", "el"),
+        "from_pre": "a",
         "rel_range_open": ("en", "dentro"),
         "range_articles": ("la", "las", "los", "el"),
         "rel_units": {"día": "day", "dia": "day", "días": "day",
@@ -885,6 +901,9 @@ _DT = {
         # "jusqu'à" tokenizes at the apostrophe: "jusqu" + "'" + "à"
         "until_words": ("jusqu",),
         "until_link": ("'", "à", "au", "a"),
+        "from_words": ("dès", "partir", "depuis"),
+        "from_link": ("de", "du", "d", "'"),
+        "from_pre": "à",
         "rel_range_open": ("dans", "d"),
         "range_articles": ("les", "la", "le", "l"),
         "rel_units": {"jour": "day", "jours": "day", "semaine": "week",
@@ -928,6 +947,15 @@ def _fmt_instant(d: _dt.datetime, grain: str) -> dict:
     return {"kind": "InstantTime",
             "value": d.strftime("%Y-%m-%d %H:%M:%S"),
             "grain": grain, "precision": "Exact"}
+
+
+def _fmt_interval_open(start: _dt.datetime) -> dict:
+    """Lower-bound-only interval ("from X", "ab morgen", 明日から) —
+    the snips ontology's TimeInterval carries an optional side; the
+    open end serializes as null."""
+    return {"kind": "TimeInterval",
+            "from": start.strftime("%Y-%m-%d %H:%M:%S"),
+            "to": None}
 
 
 def _fmt_interval(start: _dt.datetime, end: _dt.datetime) -> dict:
@@ -1328,6 +1356,32 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
                                 _fmt_interval(anchor, dt2)))
             i = last + 2
 
+        # lone postfix から/부터: the open LOWER bound ("明日から",
+        # "내일부터") — duckling's "from X". A from-side reference in
+        # the past stays literal ("since yesterday" is meaningful), so
+        # only bare clocks roll forward.
+        i = 0
+        while i < n:
+            if i in used:
+                i += 1
+                continue
+            p = _parse_point(tokens, i, n, base_date, lang)
+            if p is None:
+                i += 1
+                continue
+            dt1, _g, last, kind = p
+            if (last + 1 >= n or lower(last + 1) != from_marker
+                    or any(k in used for k in range(i, last + 2))):
+                i += 1
+                continue
+            if kind == "clock" and dt1 <= anchor:
+                dt1 += _dt.timedelta(days=1)
+            used.update(range(i, last + 2))
+            out.append(_mention(text, tokens, i, last + 1,
+                                "snips/datetime",
+                                _fmt_interval_open(dt1)))
+            i = last + 2
+
     # pass 0: intervals — "from X to|until Y", "between X and Y"
     i = 0
     while i < n:
@@ -1399,6 +1453,47 @@ def _scan_datetime(text, tokens, cands, anchor, lang="en"):
             out.append(_mention(text, tokens, i, last,
                                 "snips/datetime",
                                 _fmt_interval(anchor, dt2)))
+            i = last + 1
+
+    # pass 0.6: open "from X" intervals (lower bound only): "from
+    # tomorrow", "starting friday", "ab morgen", "desde mañana",
+    # "à partir de demain", "da domani" — duckling's one-sided lower
+    # bound, serialized with a null "to". Unlike the upper bound, a
+    # PAST lower bound is meaningful ("since yesterday"), so only bare
+    # clocks roll forward. Two-sided "from X to Y" was consumed above.
+    from_words = tables.get("from_words", ())
+    if from_words:
+        from_link = tables.get("from_link", ())
+        pre = tables.get("from_pre")  # fr/es/pt "à|a partir"
+        i = 0
+        while i < n:
+            if i in used or lower(i) not in from_words:
+                i += 1
+                continue
+            start_tok = i
+            if pre and i > 0 and lower(i - 1) == pre \
+                    and (i - 1) not in used:
+                start_tok = i - 1
+            j = i + 1
+            while j < n and lower(j) in from_link:
+                j += 1
+            p = _parse_point(tokens, j, n, base_date, lang)
+            if p is None or any(k in used
+                                for k in range(start_tok, p[2] + 1)):
+                i += 1
+                continue
+            dt1, _g, last, kind = p
+            if kind == "clock":
+                c = _clock_fn(lang)(tokens, j, n)
+                if c is None or not (c[3] or c[2] > j):
+                    i += 1
+                    continue
+                if dt1 <= anchor:
+                    dt1 += _dt.timedelta(days=1)
+            used.update(range(start_tok, last + 1))
+            out.append(_mention(text, tokens, start_tok, last,
+                                "snips/datetime",
+                                _fmt_interval_open(dt1)))
             i = last + 1
 
     # pass 1: day-level anchors, optionally followed by a time part

@@ -965,7 +965,9 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            # round 5b: nested grain (nth weekday of month)
            "buche mir einen flug nach berlin am ersten montag im juni",
            # round 5d: open "until X" interval
-           "buche mir einen flug nach berlin bis morgen um 8:30"),
+           "buche mir einen flug nach berlin bis morgen um 8:30",
+           # round 5d: open lower bound
+           "buche mir einen flug nach berlin ab morgen"),
     "es": ("resérvame un vuelo a madrid cada lunes",
            "resérvame un vuelo a madrid en las próximas 3 semanas",
            "resérvame un vuelo a madrid en navidad",
@@ -976,7 +978,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "a las 8:30",
            "resérvame un vuelo a madrid cada tarde",
            "resérvame un vuelo a madrid el primer lunes de junio",
-           "resérvame un vuelo a madrid hasta el viernes"),
+           "resérvame un vuelo a madrid hasta el viernes",
+           "resérvame un vuelo a madrid a partir de mañana"),
     "fr": ("réserve moi un vol pour paris chaque lundi",
            "réserve moi un vol pour paris dans les 3 prochaines semaines",
            "réserve moi un vol pour paris à noël",
@@ -987,7 +990,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "réserve moi un vol pour paris chaque matin",
            "réserve moi un vol pour paris le premier lundi de juin",
            "réserve moi un vol pour paris de demain à 8h à 10h",
-           "réserve moi un vol pour paris jusqu'à demain 8h30"),
+           "réserve moi un vol pour paris jusqu'à demain 8h30",
+           "réserve moi un vol pour paris à partir de demain"),
     "it": ("prenotami un volo per roma ogni lunedì",
            "prenotami un volo per roma nelle prossime 3 settimane",
            "prenotami un volo per roma a natale",
@@ -997,7 +1001,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "prenotami un volo per roma a fine del mese alle 8:30",
            "prenotami un volo per roma ogni sera",
            "prenotami un volo per roma il primo lunedì di giugno",
-           "prenotami un volo per roma fino a domani"),
+           "prenotami un volo per roma fino a domani",
+           "prenotami un volo per roma da domani"),
     "ja": ("東京行きの飛行機を毎週月曜日予約して",
            "東京行きの飛行機を3週間後予約して",
            "東京行きの飛行機をクリスマス予約して",
@@ -1008,7 +1013,9 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            # round 5c: day-anchored clock range
            "東京行きの飛行機を明日8時から10時まで予約して",
            # round 5d: open until-interval (lone postfix まで)
-           "東京行きの飛行機を明日の8時半まで予約して"),
+           "東京行きの飛行機を明日の8時半まで予約して",
+           # round 5d: open lower bound (lone postfix から)
+           "東京行きの飛行機を明日から予約して"),
     "ko": ("서울로 가는 비행기를 매주 월요일 예약해줘",
            "서울로 가는 비행기를 3주 후 예약해줘",
            "서울로 가는 비행기를 크리스마스 예약해줘",
@@ -1017,7 +1024,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "서울로 가는 비행기를 월말 8시 30분 예약해줘",
            "서울로 가는 비행기를 매일 아침 예약해줘",
            "서울로 가는 비행기를 내일 8시부터 10시까지 예약해줘",
-           "서울로 가는 비행기를 내일 8시 반까지 예약해줘"),
+           "서울로 가는 비행기를 내일 8시 반까지 예약해줘",
+           "서울로 가는 비행기를 내일부터 예약해줘"),
     "pt": ("reserva um voo para lisboa cada segunda",
            "reserva um voo para lisboa nas próximas 3 semanas",
            "reserva um voo para lisboa no natal",
@@ -1027,7 +1035,8 @@ MULTILANG_DATETIME_BREADTH: dict[str, tuple] = {
            "reserva um voo para lisboa no fim do mês às 8:30",
            "reserva um voo para lisboa cada manhã",
            "reserva um voo para lisboa na primeira segunda de junho",
-           "reserva um voo para lisboa até às 8:30"),
+           "reserva um voo para lisboa até às 8:30",
+           "reserva um voo para lisboa a partir de amanhã"),
 }
 
 

@@ -534,3 +534,40 @@ def test_datetime_until_guards():
     rv = ms[0]["resolved_value"]
     assert (rv["from"], rv["to"]) == ("2024-05-03 08:00:00",
                                       "2024-05-03 10:00:00")
+
+
+def test_datetime_from_open_interval():
+    """Round-5d: open LOWER bound — "from/starting/since/after X",
+    "à partir de", "ab/seit", "desde", "da", lone postfix から/부터 —
+    resolve as TimeInterval [X, null]. A past day reference stays
+    literal ("since yesterday" is meaningful); only bare clocks roll
+    forward."""
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 5, 2, 10, 0)  # Thursday 10:00
+    cases = [
+        ("en", "from tomorrow", "2024-05-03 00:00:00"),
+        ("en", "since yesterday", "2024-05-01 00:00:00"),
+        ("en", "after 5pm", "2024-05-02 17:00:00"),
+        ("en", "after 8am", "2024-05-03 08:00:00"),  # clock rolls
+        ("ja", "明日から", "2024-05-03 00:00:00"),
+        ("ko", "내일부터", "2024-05-03 00:00:00"),
+        ("fr", "à partir de demain", "2024-05-03 00:00:00"),
+        ("de", "ab morgen", "2024-05-03 00:00:00"),
+        ("es", "a partir de mañana", "2024-05-03 00:00:00"),
+        ("it", "da domani", "2024-05-03 00:00:00"),
+        ("pt", "a partir de amanhã", "2024-05-03 00:00:00"),
+    ]
+    for lang, text, f in cases:
+        p = BuiltinEntityParser(language=lang)
+        ms = [m for m in p.parse(text, anchor=anchor)
+              if m["entity_kind"] == "snips/datetime"]
+        assert len(ms) == 1, (lang, text, ms)
+        rv = ms[0]["resolved_value"]
+        assert rv["kind"] == "TimeInterval", (lang, text, rv)
+        assert rv["from"] == f and rv["to"] is None, (lang, text, rv)
+    # the mention span covers the full marker phrase
+    pfr = BuiltinEntityParser(language="fr")
+    m = [x for x in pfr.parse("à partir de demain", anchor=anchor)
+         if x["entity_kind"] == "snips/datetime"][0]
+    assert m["value"] == "à partir de demain"
