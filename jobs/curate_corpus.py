@@ -13,6 +13,10 @@ survivors):
 
   1. near-duplicate keep-one dedup — MinHash-LSH verified pairs →
      connected components → min-id survivor (functions/dedup.py);
+  1b. cross-corpus dedup (optional, --ref-corpus) — drop docs that
+     near-duplicate an existing reference corpus (the dedup-against-
+     last-model's-training-set step, functions/dedup.py::
+     cross_corpus_dup_pairs);
   2. eval-set decontamination (optional) — n-gram coverage vs the
      benchmark table, benchmark shingles broadcast;
   3. exact-substring duplicate drop (optional,
@@ -20,6 +24,9 @@ survivors):
      20-token-window char mass exceeds the cap (Lee et al. 2021);
   4. quality filters — Gopher word/char heuristics + within-doc
      repetition flags, all pure JVM expressions;
+  4b. language filter (optional, --langid-keep) — trained char-bigram
+     NB language-ID (functions/langid.py), docs predicted outside the
+     keep set dropped;
   5. DSIR importance selection (optional, --dsir-target-sources) —
      hashed-ngram importance weights vs the target domain, docs below
      the per-gram threshold dropped (Xie et al. 2023);
@@ -70,6 +77,12 @@ def main() -> None:
     ap.add_argument("--dsir-threshold", type=float, default=None,
                     help="per-gram avg logweight cut (default: the "
                          "operator's DSIR_THRESHOLD)")
+    ap.add_argument("--ref-corpus", default=None,
+                    help="reference documents parquet; enables "
+                         "cross-corpus dedup against it")
+    ap.add_argument("--langid-keep", default=None,
+                    help="comma-separated language codes; enables the "
+                         "trained language-ID filter")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -106,6 +119,28 @@ def main() -> None:
                             .alias("reason")))
     survivors = docs.join(assignment.filter(F.col("kept"))
                           .select("doc_id"), "doc_id")
+
+    # 1b. cross-corpus dedup (optional): drop survivors that
+    # near-duplicate ANY reference doc. The minhash machinery
+    # references its input several times internally, so CUT the
+    # lineage first — without it every internal reference re-plans the
+    # whole upstream join tree and Catalyst planning time explodes
+    # with stage depth (the plan-level twin of the quality-filter
+    # flag-join pathology). At 100 TB the equivalent cut is the
+    # parquet write stage 7 already performs; localCheckpoint is the
+    # gate-scale stand-in.
+    dropped_ref = None
+    if args.ref_corpus:
+        from snips_nlu_spark.functions.dedup import cross_corpus_dup_pairs
+        survivors = survivors.localCheckpoint()
+        ref = spark.read.parquet(args.ref_corpus)
+        flagged = (cross_corpus_dup_pairs(
+            survivors, ref, threshold=args.jaccard_threshold)
+            .select("doc_id").distinct())
+        dropped_ref = flagged.select(
+            "doc_id", F.lit("reference_duplicate").alias("reason"))
+        survivors = survivors.join(flagged, "doc_id", "left_anti")
+        mark("cross_corpus_dedup")
 
     # 2. decontamination (optional)
     dropped_contaminated = None
@@ -147,6 +182,21 @@ def main() -> None:
                                F.lit("quality_filter").alias("reason")))
     survivors = quality_kept
 
+    # 4b. language filter (optional): trained char-bigram NB lang-ID
+    # (same lineage cut as 1b — the scorer fans out over its input)
+    dropped_lang = None
+    if args.langid_keep:
+        from snips_nlu_spark.functions.langid import (
+            trained_language_scores)
+        keep_langs = args.langid_keep.split(",")
+        survivors = survivors.localCheckpoint()
+        preds = trained_language_scores(survivors)
+        low = (preds.filter(~F.col("lang_pred").isin(keep_langs))
+               .select("doc_id"))
+        dropped_lang = low.select(
+            "doc_id", F.lit("language_filter").alias("reason"))
+        survivors = survivors.join(low, "doc_id", "left_anti")
+
     # 5. DSIR importance selection (optional): needs a source column
     # on the input; docs below the per-gram threshold are dropped
     dropped_dsir = None
@@ -187,6 +237,10 @@ def main() -> None:
         dropped = dropped.union(dropped_substring)
     if dropped_dsir is not None:
         dropped = dropped.union(dropped_dsir)
+    if dropped_ref is not None:
+        dropped = dropped.union(dropped_ref)
+    if dropped_lang is not None:
+        dropped = dropped.union(dropped_lang)
     dropped.write.mode("overwrite").parquet(f"{out}/audit/dropped")
     mark("dropped_write")
     (token_counts(curated_back)

@@ -401,13 +401,22 @@ def test_curate_corpus_job(tmp_path):
 
     import pyspark
 
+    import pandas as pd
+
     repo = Path(__file__).resolve().parent.parent
     subprocess.run([sys.executable, str(repo / "scripts" / "package.py")],
                    check=True, capture_output=True)
     spark_submit = (Path(pyspark.__file__).parent / "bin" / "spark-submit")
     out = tmp_path / "curated_out"
+    # tiny reference corpus: 3 input docs verbatim -> must drop as
+    # reference_duplicate through the cross-corpus stage
+    docs_pd = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ref_path = tmp_path / "ref.parquet"
+    docs_pd.head(3).to_parquet(ref_path)
+    ref_ids = set(docs_pd.head(3)["doc_id"])
     proc = subprocess.run(
         [str(spark_submit), "--master", "local[4]",
+         "--driver-memory", "4g",
          "--py-files", str(repo / "snips_nlu_spark.zip"),
          str(repo / "jobs" / "curate_corpus.py"),
          "--input", "/root/testdata/sf0.001/documents.parquet",
@@ -415,7 +424,9 @@ def test_curate_corpus_job(tmp_path):
          "--budget-tokens", "20000", "--pack-seq-len", "512",
          "--max-substring-dup-frac", "0.8",
          "--dsir-target-sources", "src0,src1,src2,src3,src4",
-         "--dsir-threshold", "-1.0"],
+         "--dsir-threshold", "-1.0",
+         "--ref-corpus", str(ref_path),
+         "--langid-keep", "en"],
         capture_output=True, text=True, timeout=420, cwd=str(repo))
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -425,6 +436,13 @@ def test_curate_corpus_job(tmp_path):
     for sub in ("curated", "audit/dropped", "audit/tokens", "sample",
                 "pack_plan"):
         assert (out / sub).exists(), sub
+    dropped = pd.read_parquet(out / "audit" / "dropped")
+    ref_dropped = set(
+        dropped[dropped.reason == "reference_duplicate"].doc_id)
+    # every ref doc not already consumed by the keep-one dedup stage
+    # must be dropped as a reference duplicate
+    earlier = set(dropped[dropped.reason == "near_duplicate"].doc_id)
+    assert ref_ids - earlier <= ref_dropped
 
 
 def _slot_triple(conv, turn, entity, obj):
