@@ -731,6 +731,104 @@ def make_quality_oracle(n: int = 1000, sample_n: int = 600,
     return out
 
 
+def make_value_transe_oracle(n_neg: int = 50) -> Path:
+    """Numpy replay of spark/kg_embed.value_link_prediction_ranks over
+    the committed sf0.01 triples oracle: python re-derivation of the
+    value-level co-occurrence facts, the md5-threshold holdout split,
+    the shared trainer on the TRAIN side, and an independent
+    re-execution of the negative draw / distance fold / ranking."""
+    import hashlib
+
+    from snips_nlu_spark.spark.kg_embed import (HOLDOUT_FRAC,
+                                                HOLDOUT_SEED,
+                                                TRANSE_SAMPLE_CAP,
+                                                TRANSE_SEED,
+                                                train_transe)
+
+    t = pq.read_table(ORACLE_DIR / "triples_sf0.01.parquet",
+                      columns=["subj", "pred", "entity",
+                               "obj"]).to_pylist()
+    by_turn: dict[str, set] = {}
+    for r in t:
+        if r["pred"] == "intent":
+            continue
+        by_turn.setdefault(r["subj"], set()).add((r["entity"],
+                                                  r["obj"]))
+    facts = set()
+    for slots in by_turn.values():
+        ss = sorted(slots)
+        for i in range(len(ss)):
+            for j in range(len(ss)):
+                (ea, oa), (eb, ob) = ss[i], ss[j]
+                if oa < ob or (oa == ob and ea < eb):
+                    facts.add((f"{ea}|{oa}", f"{ea}~{eb}",
+                               f"{eb}|{ob}"))
+    facts = sorted(facts)
+
+    def _h(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf8")).hexdigest()[:8], 16)
+
+    cut = int(HOLDOUT_FRAC * 2 ** 32)
+    test = [f for f in facts
+            if _h("|".join(f) + f":ho{HOLDOUT_SEED}") < cut]
+    train = [f for f in facts
+             if _h("|".join(f) + f":ho{HOLDOUT_SEED}") >= cut]
+
+    def fact_key(f):
+        return hashlib.md5("|".join(f).encode("utf8")).hexdigest()
+
+    sample = sorted(train, key=fact_key)[:TRANSE_SAMPLE_CAP]
+    ent, rel = train_transe(sample)
+
+    objs: dict[str, list[str]] = {}
+    for p, o in sorted({(p, o) for _, p, o in facts}):
+        objs.setdefault(p, []).append(o)
+    for p in objs:
+        objs[p].sort(key=lambda o: hashlib.md5(o.encode("utf8"))
+                     .hexdigest())
+
+    def dist(s, p, o):
+        es, rp, eo = ent[s], rel[p], ent[o]
+        acc = 0.0
+        for k in range(len(es)):
+            d = (float(es[k]) + float(rp[k])) - float(eo[k])
+            acc += d * d
+        return acc
+
+    rows = []
+    for s, p, o in test:
+        pool = objs[p]
+        n = len(pool)
+        if (n < 2 or s not in ent or o not in ent or p not in rel):
+            continue
+        true_idx = pool.index(o)
+        h = _h(f"{s}|{p}|{o}:{TRANSE_SEED}")
+        cands = set()
+        for j in range(n_neg):
+            idx = (h + j) % (n - 1)
+            if idx >= true_idx:
+                idx += 1
+            cands.add(pool[idx])
+        cands = {c for c in cands if c in ent}
+        d_true = dist(s, p, o)
+        beat = sum(1 for c in cands if dist(s, p, c) < d_true)
+        rows.append((s, p, o, len(cands), beat + 1))
+    out = ORACLE_DIR / "value_transe_ranks_sf0.01.parquet"
+    table = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+        "n_candidates": pa.array([r[3] for r in rows],
+                                 type=pa.int64()),
+        "transe_rank": pa.array([r[4] for r in rows],
+                                type=pa.int32())})
+    pq.write_table(table, out)
+    mrr = (sum(1.0 / r[4] for r in rows) / len(rows)) if rows else 0.0
+    print(f"value transe oracle -> {len(rows)} held-out ranks "
+          f"(MRR {mrr:.3f}) -> {out}")
+    return out
+
+
 def make_bpe_train_oracle(n_merges: int = 64, min_count: int = 2,
                           max_vocab: int = 200_000) -> Path:
     """Pandas replay of functions/text.train_bpe over the sf0.01
@@ -898,5 +996,6 @@ if __name__ == "__main__":
             make_bpe_oracle(sf)
             make_quality_oracle()
             make_transe_oracle()
+            make_value_transe_oracle()
             make_bpe_train_oracle()
             make_langid_oracle()

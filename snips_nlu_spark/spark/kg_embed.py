@@ -213,6 +213,89 @@ def link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
                  (F.sum("_beat") + 1).cast("int").alias("transe_rank")))
 
 
+HOLDOUT_SEED = 7
+# md5-prefix threshold for the deterministic 80/20 holdout: a fact is
+# TEST when the first 8 hex chars of md5("s|p|o:ho<seed>") fall below
+# frac·2³² (uniform by construction, replayable anywhere md5 exists)
+HOLDOUT_FRAC = 0.2
+
+
+def value_cooccurrence_facts(triples: DataFrame) -> DataFrame:
+    """Value-level KG facts from the co-occurrence graph: nodes are
+    entity VALUES, relations are entity-TYPE pairs ("beverage_type~
+    room"), one fact per distinct unordered co-occurring value pair
+    (canonical direction from the co-occurrence ordering). Unlike the
+    turn-level store — whose subjects are unique turns with ≤3 facts
+    each, so TransE can only memorize — values recur across thousands
+    of turns, giving the embedding real relational structure to
+    generalize from."""
+    from .graph import entity_cooccurrence_edges
+
+    co = entity_cooccurrence_edges(triples)
+    return co.select(
+        F.concat_ws("|", "entity_a", "obj_a").alias("subj"),
+        F.concat_ws("~", "entity_a", "entity_b").alias("pred"),
+        F.concat_ws("|", "entity_b", "obj_b").alias("obj"))
+
+
+def _holdout_test(seed: int = HOLDOUT_SEED,
+                  frac: float = HOLDOUT_FRAC):
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.concat_ws("|", "subj", "pred", "obj"),
+                       F.lit(f":ho{seed}"))), 1, 8), 16, 10) \
+         .cast("long")
+    return h < int(frac * 2 ** 32)
+
+
+def value_link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
+                                dim: int = TRANSE_DIM,
+                                epochs: int = TRANSE_EPOCHS,
+                                sample_cap: int = TRANSE_SAMPLE_CAP
+                                ) -> DataFrame:
+    """HELD-OUT link prediction over the value-level KG: split the
+    co-occurrence facts 80/20 by an md5 threshold, train TransE on the
+    TRAIN side only, rank every TEST fact's true object against the
+    deterministic negative draw (candidate universe = ALL facts'
+    objects). This measures generalization, not memorization — the
+    model never saw the test pairs. Test facts whose endpoints never
+    appear in a train fact have no embedding and are dropped (inner
+    joins; the standard transductive protocol).
+
+    Output: (subj, pred, obj, n_candidates, transe_rank).
+    """
+    from .kg import negative_samples
+
+    spark = triples.sparkSession
+    facts = value_cooccurrence_facts(triples)
+    is_test = _holdout_test()
+    train = facts.filter(~is_test)
+    test = facts.filter(is_test)
+    ent, rel = train_transe(_sample_facts(train, sample_cap),
+                            dim=dim, epochs=epochs)
+    ent_df, rel_df = _embedding_frames(spark, ent, rel)
+    negs = (negative_samples(facts, n_neg=n_neg)
+            .join(test.distinct(), ["subj", "pred", "obj"], "semi")
+            .dropDuplicates(["subj", "pred", "obj", "neg_obj"]))
+    base = (negs
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "subj")
+                              .withColumnRenamed("vec", "_sv")), "subj")
+            .join(F.broadcast(rel_df.withColumnRenamed("rel", "pred")
+                              .withColumnRenamed("vec", "_pv")), "pred")
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "obj")
+                              .withColumnRenamed("vec", "_ov")), "obj")
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "neg_obj")
+                              .withColumnRenamed("vec", "_nv")),
+                  "neg_obj"))
+    d_true = _dist(F.col("_sv"), F.col("_pv"), F.col("_ov"))
+    d_neg = _dist(F.col("_sv"), F.col("_pv"), F.col("_nv"))
+    return (base
+            .select("subj", "pred", "obj",
+                    (d_neg < d_true).cast("int").alias("_beat"))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 (F.sum("_beat") + 1).cast("int").alias("transe_rank")))
+
+
 def link_prediction_eval(ranks: DataFrame) -> DataFrame:
     """Per-predicate rollup of the rank table: (pred, n_facts, mrr,
     hits_at_1, hits_at_3), 6 dp. Derives only from integer ranks, so

@@ -486,3 +486,51 @@ def test_entity_distances_hand_graph(spark):
             entity_distances(_triples(spark, rows),
                              max_hops=1).collect()}
     assert "e|B" not in got1 and got1["e|A"] == 1
+
+
+def test_value_link_prediction_generalizes(spark):
+    """Planted bipartite structure: colors 0-4 co-occur ONLY with rooms
+    0-4, colors 5-9 only with rooms 5-9, across many turns. The
+    held-out 20% of pairs was never trained on, yet ranking the true
+    room against corruptions must beat the random baseline decisively
+    (the corruption pool spans both blocks)."""
+    from snips_nlu_spark.spark.kg_embed import (
+        link_prediction_eval, value_cooccurrence_facts,
+        value_link_prediction_ranks)
+
+    rows, t = [], 0
+    for block in (0, 1):
+        for c in range(5):
+            for r in range(5):
+                for rep in range(2):   # each pair seen in 2 turns
+                    turn = f"t{t}"
+                    t += 1
+                    rows.append(("c0", 0, turn, "color",
+                                 f"col{block * 5 + c}", "color",
+                                 0, 1, None, 1.0))
+                    rows.append(("c0", 0, turn, "room",
+                                 f"rm{block * 5 + r}", "room",
+                                 0, 1, None, 1.0))
+    triples = _triples_kg(spark, rows)
+    facts = value_cooccurrence_facts(triples)
+    assert facts.count() == 50  # 2 blocks x 25 distinct pairs
+    ranks = value_link_prediction_ranks(triples, n_neg=10)
+    got = ranks.collect()
+    assert len(got) >= 5  # ~20% of 50 held out
+    # every in-block room co-occurs with the SAME color set, so the 5
+    # in-block candidates are mutually symmetric and the held-out rank
+    # is ~uniform within them — the LEARNABLE signal is out-block
+    # exclusion, so hits@5 (top half of the 10-candidate pool) is the
+    # right statistic: random = 0.5, the trained model must clear 0.8
+    # (12+/14 at p<0.01 under the null)
+    hits5 = sum(r["transe_rank"] <= 5 for r in got) / len(got)
+    assert hits5 >= 0.8, (hits5,
+                          sorted((r["transe_rank"], r["n_candidates"])
+                                 for r in got))
+    # the eval rollup is consistent with the rank table
+    ev = link_prediction_eval(ranks).collect()
+    assert sum(r["n_facts"] for r in ev) == len(got)
+
+
+def _triples_kg(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
