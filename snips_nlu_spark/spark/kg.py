@@ -233,6 +233,48 @@ def resolve_entity_mentions(triples: DataFrame,
                     .alias("canonical_value")))
 
 
+def merge_fact_batches(existing: DataFrame,
+                       new_batch: DataFrame) -> DataFrame:
+    """Incremental KG update: fold a new batch of raw assertions into
+    an existing FUSED fact table (the output shape of
+    :func:`triple_confidence`). Counts add; max_proba takes the max;
+    the noisy-OR confidences COMPOSE exactly — 1−(1−c₁)(1−c₂) equals
+    re-fusing the union of assertions, because noisy-OR is associative
+    over independent evidence. So incremental maintenance needs only
+    the fused table, never the raw history. Facts in only one side
+    pass through unchanged.
+
+    Output: same schema as :func:`triple_confidence`.
+
+    Scale shape: one full-outer join on the fact key — both sides
+    shuffle-partitioned on (subj, pred, obj); at production scale the
+    existing side is the bucketed store, so the join co-locates.
+    """
+    new_fused = triple_confidence(new_batch)
+    e = existing.select(
+        "subj", "pred", "obj",
+        F.col("n_assertions").alias("_ne"),
+        F.col("max_proba").alias("_me"),
+        F.col("confidence").alias("_ce"))
+    n = new_fused.select(
+        "subj", "pred", "obj",
+        F.col("n_assertions").alias("_nn"),
+        F.col("max_proba").alias("_mn"),
+        F.col("confidence").alias("_cn"))
+    both = e.join(n, ["subj", "pred", "obj"], "full_outer")
+    conf = (F.lit(1.0)
+            - (F.lit(1.0) - F.coalesce("_ce", F.lit(0.0)))
+            * (F.lit(1.0) - F.coalesce("_cn", F.lit(0.0))))
+    return both.select(
+        "subj", "pred", "obj",
+        (F.coalesce("_ne", F.lit(0))
+         + F.coalesce("_nn", F.lit(0))).alias("n_assertions"),
+        F.round(F.greatest(F.coalesce("_me", F.lit(0.0)),
+                           F.coalesce("_mn", F.lit(0.0))), 6)
+        .alias("max_proba"),
+        F.round(conf, 6).alias("confidence"))
+
+
 def cardinality_violations(triples: DataFrame,
                            functionality_threshold: float = 0.95,
                            min_support: int = 20) -> DataFrame:

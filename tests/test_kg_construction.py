@@ -534,3 +534,39 @@ def test_value_link_prediction_generalizes(spark):
 
 def _triples_kg(spark, rows):
     return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_merge_fact_batches_composes_noisy_or(spark):
+    from snips_nlu_spark.spark.kg import (merge_fact_batches,
+                                          triple_confidence)
+
+    batch1 = _triples(spark, [
+        ("t1", "room", "attic", "room", "attic", 0.5),
+        ("t2", "room", "attic", "room", "attic", 0.4),  # only batch 1
+    ])
+    batch2 = _triples(spark, [
+        ("t1", "room", "attic", "room", "attic", 0.5),
+        ("t3", "room", "attic", "room", "attic", 0.9),  # only batch 2
+    ])
+    merged = {r["subj"]: r for r in merge_fact_batches(
+        triple_confidence(batch1), batch2).collect()}
+    # both-sides fact: noisy-OR composes associatively —
+    # 1 - (1-0.5)(1-0.5) = 0.75, identical to re-fusing the union
+    assert merged["t1"]["n_assertions"] == 2
+    assert merged["t1"]["confidence"] == 0.75
+    # one-sided facts pass through
+    assert merged["t2"]["n_assertions"] == 1
+    assert merged["t2"]["confidence"] == 0.4
+    assert merged["t3"]["confidence"] == 0.9
+    assert merged["t3"]["max_proba"] == 0.9
+    # associativity vs re-fusing everything at once (6-dp storage)
+    union = _triples(spark, [
+        ("t1", "room", "attic", "room", "attic", 0.5),
+        ("t2", "room", "attic", "room", "attic", 0.4),
+        ("t1", "room", "attic", "room", "attic", 0.5),
+        ("t3", "room", "attic", "room", "attic", 0.9),
+    ])
+    refused = {r["subj"]: r["confidence"]
+               for r in triple_confidence(union).collect()}
+    for k, v in refused.items():
+        assert abs(merged[k]["confidence"] - v) < 2e-6
