@@ -162,6 +162,121 @@ def transe_score_triples(triples: DataFrame, dim: int = TRANSE_DIM,
         .alias("transe_dist"))
 
 
+def train_distmult(facts: list[tuple[str, str, str]],
+                   dim: int = TRANSE_DIM, epochs: int = TRANSE_EPOCHS,
+                   lr: float = TRANSE_LR, margin: float = TRANSE_MARGIN,
+                   seed: int = TRANSE_SEED
+                   ) -> tuple[dict, dict]:
+    """Deterministic full-batch margin-ranking DistMult (Yang et al.
+    2015): score(s, p, o) = Σ e_s ⊙ r_p ⊙ e_o, HIGHER = more
+    plausible. Same layout and corruption scheme as
+    :func:`train_transe`; updates are simultaneous (all four gradient
+    scatters read pre-update snapshots)."""
+    ents = sorted({s for s, _, _ in facts} | {o for _, _, o in facts})
+    rels = sorted({p for _, p, _ in facts})
+    e_idx = {e: i for i, e in enumerate(ents)}
+    r_idx = {r: i for i, r in enumerate(rels)}
+    n_ent = len(ents)
+    rng = np.random.default_rng(seed)
+    bound = 6.0 / np.sqrt(dim)
+    ent_m = rng.uniform(-bound, bound, (n_ent, dim))
+    rel_m = rng.uniform(-bound, bound, (len(rels), dim))
+    if not facts or n_ent < 2:
+        return ({e: ent_m[i] for e, i in e_idx.items()},
+                {r: rel_m[i] for i, r in enumerate(rels)})
+    s_i = np.array([e_idx[s] for s, _, _ in facts])
+    p_i = np.array([r_idx[p] for _, p, _ in facts])
+    o_i = np.array([e_idx[o] for _, _, o in facts])
+    h = np.array([_fact_hash(s, p, o, seed) for s, p, o in facts],
+                 dtype=np.int64)
+    for epoch in range(epochs):
+        ent_m /= np.maximum(np.linalg.norm(ent_m, axis=1,
+                                           keepdims=True), 1e-12)
+        neg = (h + epoch) % (n_ent - 1)
+        neg = neg + (neg >= o_i)
+        s_pos = (ent_m[s_i] * rel_m[p_i] * ent_m[o_i]).sum(1)
+        s_neg = (ent_m[s_i] * rel_m[p_i] * ent_m[neg]).sum(1)
+        viol = (margin - s_pos + s_neg) > 0.0
+        if not viol.any():
+            continue
+        ev = ent_m[s_i[viol]].copy()
+        eo = ent_m[o_i[viol]].copy()
+        en = ent_m[neg[viol]].copy()
+        rv = rel_m[p_i[viol]].copy()
+        np.add.at(ent_m, s_i[viol], lr * rv * (eo - en))
+        np.add.at(ent_m, o_i[viol], lr * rv * ev)
+        np.add.at(ent_m, neg[viol], -lr * rv * ev)
+        np.add.at(rel_m, p_i[viol], lr * ev * (eo - en))
+    ent_m /= np.maximum(np.linalg.norm(ent_m, axis=1, keepdims=True),
+                        1e-12)
+    return ({e: ent_m[i] for e, i in e_idx.items()},
+            {r: rel_m[i] for i, r in enumerate(rels)})
+
+
+def _dm_score(s_vec, p_vec, o_vec):
+    """Σ e_s ⊙ r_p ⊙ e_o as a sequential JVM fold (replay-identical:
+    (s·p)·o per dimension, left-to-right accumulation)."""
+    prod = F.zip_with(F.zip_with(s_vec, p_vec, lambda a, b: a * b),
+                      o_vec, lambda a, b: a * b)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _ranks_against_negatives(facts_source: DataFrame, ent: dict,
+                             rel: dict, n_neg: int, score_fn,
+                             higher_is_better: bool,
+                             test_facts: DataFrame | None = None
+                             ) -> DataFrame:
+    """Shared ranking pyramid: deterministic negative draw → four
+    broadcast embedding joins → per-fact strict-beat count. rank =
+    1 + |{candidates scoring strictly better than the truth}|."""
+    from .kg import negative_samples
+
+    spark = facts_source.sparkSession
+    ent_df, rel_df = _embedding_frames(spark, ent, rel)
+    negs = negative_samples(facts_source, n_neg=n_neg)
+    if test_facts is not None:
+        negs = negs.join(test_facts.distinct(),
+                         ["subj", "pred", "obj"], "semi")
+    negs = negs.dropDuplicates(["subj", "pred", "obj", "neg_obj"])
+    base = (negs
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "subj")
+                              .withColumnRenamed("vec", "_sv")), "subj")
+            .join(F.broadcast(rel_df.withColumnRenamed("rel", "pred")
+                              .withColumnRenamed("vec", "_pv")), "pred")
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "obj")
+                              .withColumnRenamed("vec", "_ov")), "obj")
+            .join(F.broadcast(ent_df.withColumnRenamed("node", "neg_obj")
+                              .withColumnRenamed("vec", "_nv")),
+                  "neg_obj"))
+    s_true = score_fn(F.col("_sv"), F.col("_pv"), F.col("_ov"))
+    s_neg = score_fn(F.col("_sv"), F.col("_pv"), F.col("_nv"))
+    beat = (s_neg > s_true) if higher_is_better else (s_neg < s_true)
+    return (base
+            .select("subj", "pred", "obj",
+                    beat.cast("int").alias("_beat"))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 (F.sum("_beat") + 1).cast("int").alias("transe_rank")))
+
+
+def distmult_link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
+                                   dim: int = TRANSE_DIM,
+                                   epochs: int = TRANSE_EPOCHS,
+                                   sample_cap: int = TRANSE_SAMPLE_CAP
+                                   ) -> DataFrame:
+    """Link-prediction ranks under the DistMult scorer — the
+    bilinear-diagonal alternative to TransE, same deterministic
+    machinery (bounded driver training, broadcast zip_with scoring,
+    integer ranks). Output schema matches
+    :func:`link_prediction_ranks` (the rank column keeps its name so
+    the eval rollup works unchanged)."""
+    facts = _sample_facts(triples, sample_cap)
+    ent, rel = train_distmult(facts, dim=dim, epochs=epochs)
+    return _ranks_against_negatives(
+        triples.select("subj", "pred", "obj").distinct(),
+        ent, rel, n_neg, _dm_score, higher_is_better=True)
+
+
 def link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
                           dim: int = TRANSE_DIM,
                           epochs: int = TRANSE_EPOCHS,
@@ -185,32 +300,11 @@ def link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
     predicate's full object universe is the documented alternative
     when the universe is small).
     """
-    from .kg import negative_samples
-
-    spark = triples.sparkSession
     facts = _sample_facts(triples, sample_cap)
     ent, rel = train_transe(facts, dim=dim, epochs=epochs)
-    ent_df, rel_df = _embedding_frames(spark, ent, rel)
-    negs = (negative_samples(triples, n_neg=n_neg)
-            .dropDuplicates(["subj", "pred", "obj", "neg_obj"]))
-    base = (negs
-            .join(F.broadcast(ent_df.withColumnRenamed("node", "subj")
-                              .withColumnRenamed("vec", "_sv")), "subj")
-            .join(F.broadcast(rel_df.withColumnRenamed("rel", "pred")
-                              .withColumnRenamed("vec", "_pv")), "pred")
-            .join(F.broadcast(ent_df.withColumnRenamed("node", "obj")
-                              .withColumnRenamed("vec", "_ov")), "obj")
-            .join(F.broadcast(ent_df.withColumnRenamed("node", "neg_obj")
-                              .withColumnRenamed("vec", "_nv")),
-                  "neg_obj"))
-    d_true = _dist(F.col("_sv"), F.col("_pv"), F.col("_ov"))
-    d_neg = _dist(F.col("_sv"), F.col("_pv"), F.col("_nv"))
-    return (base
-            .select("subj", "pred", "obj",
-                    (d_neg < d_true).cast("int").alias("_beat"))
-            .groupBy("subj", "pred", "obj")
-            .agg(F.count(F.lit(1)).alias("n_candidates"),
-                 (F.sum("_beat") + 1).cast("int").alias("transe_rank")))
+    return _ranks_against_negatives(
+        triples.select("subj", "pred", "obj").distinct(),
+        ent, rel, n_neg, _dist, higher_is_better=False)
 
 
 HOLDOUT_SEED = 7
@@ -263,37 +357,15 @@ def value_link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
 
     Output: (subj, pred, obj, n_candidates, transe_rank).
     """
-    from .kg import negative_samples
-
-    spark = triples.sparkSession
     facts = value_cooccurrence_facts(triples)
     is_test = _holdout_test()
     train = facts.filter(~is_test)
     test = facts.filter(is_test)
     ent, rel = train_transe(_sample_facts(train, sample_cap),
                             dim=dim, epochs=epochs)
-    ent_df, rel_df = _embedding_frames(spark, ent, rel)
-    negs = (negative_samples(facts, n_neg=n_neg)
-            .join(test.distinct(), ["subj", "pred", "obj"], "semi")
-            .dropDuplicates(["subj", "pred", "obj", "neg_obj"]))
-    base = (negs
-            .join(F.broadcast(ent_df.withColumnRenamed("node", "subj")
-                              .withColumnRenamed("vec", "_sv")), "subj")
-            .join(F.broadcast(rel_df.withColumnRenamed("rel", "pred")
-                              .withColumnRenamed("vec", "_pv")), "pred")
-            .join(F.broadcast(ent_df.withColumnRenamed("node", "obj")
-                              .withColumnRenamed("vec", "_ov")), "obj")
-            .join(F.broadcast(ent_df.withColumnRenamed("node", "neg_obj")
-                              .withColumnRenamed("vec", "_nv")),
-                  "neg_obj"))
-    d_true = _dist(F.col("_sv"), F.col("_pv"), F.col("_ov"))
-    d_neg = _dist(F.col("_sv"), F.col("_pv"), F.col("_nv"))
-    return (base
-            .select("subj", "pred", "obj",
-                    (d_neg < d_true).cast("int").alias("_beat"))
-            .groupBy("subj", "pred", "obj")
-            .agg(F.count(F.lit(1)).alias("n_candidates"),
-                 (F.sum("_beat") + 1).cast("int").alias("transe_rank")))
+    return _ranks_against_negatives(facts, ent, rel, n_neg, _dist,
+                                    higher_is_better=False,
+                                    test_facts=test)
 
 
 def link_prediction_eval(ranks: DataFrame) -> DataFrame:

@@ -570,3 +570,39 @@ def test_merge_fact_batches_composes_noisy_or(spark):
                for r in triple_confidence(union).collect()}
     for k, v in refused.items():
         assert abs(merged[k]["confidence"] - v) < 2e-6
+
+
+def test_distmult_memorizes_and_is_deterministic(spark):
+    import numpy as np
+
+    from snips_nlu_spark.spark.kg_embed import (
+        distmult_link_prediction_ranks, link_prediction_eval,
+        train_distmult)
+
+    facts = sorted({(f"t{i}", "color", f"col{i % 6}")
+                    for i in range(30)}
+                   | {(f"t{i}", "room", f"rm{(i * 7) % 6}")
+                      for i in range(30)})
+    e1, r1 = train_distmult(facts, epochs=50)
+    e2, r2 = train_distmult(facts, epochs=50)
+    for k in e1:
+        assert np.array_equal(e1[k], e2[k])
+    for k in r1:
+        assert np.array_equal(r1[k], r2[k])
+
+    rows = []
+    for i in range(30):
+        rows.append(("c0", i, f"t{i}", "color", f"col{i % 6}", "color",
+                     0, 1, None, 1.0))
+        rows.append(("c0", i, f"t{i}", "room", f"rm{(i * 7) % 6}",
+                     "room", 0, 1, None, 1.0))
+    t = spark.createDataFrame(rows, SCHEMA)
+    ranks = distmult_link_prediction_ranks(t, n_neg=10)
+    got = ranks.collect()
+    assert len(got) == 60
+    assert all(1 <= r["transe_rank"] <= r["n_candidates"] + 1
+               for r in got)
+    ev = {r["pred"]: r for r in link_prediction_eval(ranks).collect()}
+    # DistMult memorizes the planted KG essentially perfectly
+    assert ev["color"]["mrr"] > 0.9
+    assert ev["room"]["mrr"] > 0.9
