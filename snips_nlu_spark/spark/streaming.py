@@ -313,3 +313,70 @@ def streaming_exact_dedup(stream_df: DataFrame,
             .withWatermark("ts", watermark)
             .withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
             .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
+FUSION_STATE_SCHEMA = "n long, mx double, lg double"
+FUSION_OUT_SCHEMA = ("subj string, pred string, obj string, "
+                     "n_assertions long, max_proba double, "
+                     "confidence double")
+
+
+def streaming_fact_fusion(stream_df: DataFrame, model_json: str,
+                          idle_timeout_ms: int = 7_200_000
+                          ) -> DataFrame:
+    """Streaming KG construction: incremental noisy-OR confidence
+    fusion via ``applyInPandasWithState`` keyed on the FACT
+    (subj, pred, obj). State per fact is the sufficient statistic of
+    the fusion — (assertion count, max proba, Σ ln(1 − pᵢ) clamped) —
+    so each trigger folds the new assertions in O(batch) and emits the
+    fact's refreshed fused row; noisy-OR's associativity (the batch
+    twin is ``spark.kg.triple_confidence``, the incremental twin
+    ``spark.kg.merge_fact_batches``) guarantees the final row equals
+    the batch fusion REGARDLESS of how assertions split across
+    triggers (asserted in tests at 6-dp precision — the stored
+    precision of the fused table).
+
+    Facts idle past ``idle_timeout_ms`` have their state dropped: the
+    fused row already left the stream, and a late re-assertion of an
+    evicted fact re-enters through the downstream merge
+    (``merge_fact_batches``) exactly because the fusion is
+    associative — bounded state on an unbounded fact keyspace.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    triples = parse_transcripts(stream_df, model_json)
+
+    def update(key, pdfs, state: GroupState):
+        subj, pred, obj = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            n, mx, lg = state.get
+        else:
+            n, mx, lg = 0, 0.0, 0.0
+        for pdf in pdfs:
+            for p in pdf["proba"]:
+                p = float(p)
+                n += 1
+                mx = max(mx, p)
+                lg += math.log(max(1.0 - p, 1e-12))
+        state.update((n, mx, lg))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({
+            "subj": [subj], "pred": [pred], "obj": [obj],
+            "n_assertions": [n], "max_proba": [round(mx, 6)],
+            "confidence": [round(1.0 - math.exp(lg), 6)]})
+
+    return (triples
+            .groupBy("subj", "pred", "obj")
+            .applyInPandasWithState(
+                update,
+                outputStructType=FUSION_OUT_SCHEMA,
+                stateStructType=FUSION_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -245,3 +245,50 @@ def test_spark_submit_job(tmp_path):
     assert summary["n_triples"] > 0
     assert (out_dir / "lineage").exists()
     assert (out_dir / "nodes").exists()
+
+
+def test_streaming_fact_fusion_matches_batch(spark, tmp_path):
+    """applyInPandasWithState noisy-OR fusion: the final fused row per
+    fact must equal the batch triple_confidence however assertions
+    split across micro-batches (associativity of the fusion)."""
+    from snips_nlu_spark import datagen
+    from snips_nlu_spark.spark.kg import triple_confidence
+    from snips_nlu_spark.spark.stages import parse_transcripts
+    from snips_nlu_spark.spark.streaming import (streaming_fact_fusion,
+                                                 streaming_transcripts)
+    import __spark_entry__ as em
+
+    src = tmp_path / "src_fusion"
+    pdf = datagen.generate_pandas(0, 240)
+    df = spark.createDataFrame(pdf)
+    df.repartition(6).write.parquet(str(src))
+
+    fused = streaming_fact_fusion(
+        streaming_transcripts(spark, str(src), max_files_per_trigger=2),
+        em._model_json())
+    q = (fused.writeStream.format("memory").queryName("fact_fusion")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_fusion"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got_rows = spark.sql("SELECT * FROM fact_fusion").collect()
+    # update mode: one row per (fact, trigger); n_assertions is
+    # monotone, so the final state is the max-n row per fact
+    final = {}
+    for r in got_rows:
+        k = (r["subj"], r["pred"], r["obj"])
+        if k not in final or r["n_assertions"] > final[k]["n_assertions"]:
+            final[k] = r
+    got = {k: (r["n_assertions"], r["max_proba"], r["confidence"])
+           for k, r in final.items()}
+
+    want = {(r["subj"], r["pred"], r["obj"]):
+            (r["n_assertions"], r["max_proba"], r["confidence"])
+            for r in triple_confidence(
+                parse_transcripts(df, em._model_json())).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 2e-6, k
+        assert abs(got[k][2] - want[k][2]) < 2e-6, k
