@@ -122,3 +122,57 @@ def range_join(left: DataFrame, right: DataFrame, by: list[str],
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) <= F.col(end_col)))
             .drop("_bucket"))
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  within_seconds: int | None = None,
+                  by: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """First-touch funnel analysis: how many ``by`` keys progress
+    through the ordered ``steps`` ("click → purchase"), each step
+    strictly after the previous one, optionally all within
+    ``within_seconds`` of the FIRST step. Greedy first-touch chain
+    semantics (the Amplitude/Mixpanel convention): step 1 anchors at
+    the key's earliest step-1 event; step k at the earliest step-k
+    event after the chain's step k−1. Deterministic and
+    monotone — each step's cohort is a subset of the previous.
+
+    Output: (step_idx, step, n_users) — integer counts, hash-exact.
+
+    Scale shape: one min-aggregate per step, each a map-side-
+    combinable groupBy on the key joined back broadcast-free (the
+    per-step cohort frames are (key, ts) — narrow); K steps = K
+    shuffles on the key, no windows, no explosion. Funnels are
+    typically ≤ 5 steps.
+    """
+    t1 = (events.filter(F.col(type_col) == steps[0])
+          .groupBy(by).agg(F.min(ts_col).alias("_t1")))
+    chain = t1.select(by, F.col("_t1").alias("_anchor"),
+                      F.col("_t1").alias("_prev"))
+    counts = [(0, steps[0], chain)]
+    for k, step in enumerate(steps[1:], start=1):
+        nxt = (events.filter(F.col(type_col) == step)
+               .select(by, F.col(ts_col).alias("_ts"))
+               .join(chain, by)
+               .filter(F.col("_ts") > F.col("_prev")))
+        if within_seconds is not None:
+            # integer microsecond arithmetic (exact in Spark and the
+            # DuckDB oracle — float epoch seconds would round); the
+            # parquet column is TIMESTAMP_NTZ, so cast first (both
+            # sides shift by the same session offset, the difference
+            # is offset-free — same idiom as range_join's buckets)
+            nxt = nxt.filter(
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_anchor").cast("timestamp"))
+                <= within_seconds * 1_000_000)
+        chain = (nxt.groupBy(by, "_anchor")
+                 .agg(F.min("_ts").alias("_prev")))
+        counts.append((k, step, chain))
+    spark = events.sparkSession
+    out = None
+    for k, step, frame in counts:
+        row = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(k).alias("step_idx"), F.lit(step).alias("step"),
+            "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -255,3 +255,49 @@ def test_quality_classifier_deterministic(spark):
     b = sorted(quality_classifier_scores(
         corpus, ["curated"], sample_n=120).collect())
     assert a == b
+
+
+def test_funnel_counts_hand_fixture(spark):
+    """First-touch chain semantics: the anchor is the EARLIEST step-1
+    event; each later step needs a strictly later event inside the
+    window from the anchor."""
+    import datetime as dt
+
+    from snips_nlu_spark.functions.temporal import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, u, typ, sec):
+        return (i, t0 + dt.timedelta(seconds=sec), u, typ, 0.0, "{}")
+
+    rows = [
+        # u1 completes: signup@0 -> view@10 -> purchase@20
+        ev(0, 1, "signup", 0), ev(1, 1, "view", 10),
+        ev(2, 1, "purchase", 20),
+        # u2: view BEFORE signup only -> stops at signup
+        ev(3, 2, "view", 5), ev(4, 2, "signup", 50),
+        # u3: view too late (outside the 60s window from anchor)
+        ev(5, 3, "signup", 0), ev(6, 3, "view", 100),
+        # u4: signup twice; anchor is the FIRST -> purchase@70 is
+        # outside the window even though it is within 60s of the
+        # second signup (first-touch, not any-touch)
+        ev(7, 4, "signup", 0), ev(8, 4, "signup", 30),
+        ev(9, 4, "view", 40), ev(10, 4, "purchase", 70),
+        # u5 never signs up
+        ev(11, 5, "view", 1), ev(12, 5, "purchase", 2),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["step"]: (r["step_idx"], r["n_users"]) for r in
+           funnel_counts(events, ["signup", "view", "purchase"],
+                         within_seconds=60).collect()}
+    assert got == {"signup": (0, 4), "view": (1, 2),
+                   "purchase": (2, 1)}
+    # no window: u3 and u4 now convert through view (u2's only view
+    # still precedes its signup); u4's purchase@70 follows its chain
+    # view@40 -> completes
+    got2 = {r["step"]: r["n_users"] for r in
+            funnel_counts(events,
+                          ["signup", "view", "purchase"]).collect()}
+    assert got2 == {"signup": 4, "view": 3, "purchase": 2}
