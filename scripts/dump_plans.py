@@ -70,7 +70,9 @@ def main() -> None:
                  "kg_fact_validity", "kg_transe_ranks",
                  "kg_cardinality_violations", "doc_bpe_train",
                  "doc_langid_trained", "doc_chunks",
-                 "kg_entity_distances", "doc_cross_corpus_dups"):
+                 "kg_entity_distances", "doc_cross_corpus_dups",
+                 "kg_merge_batches", "kg_transe_ranks",
+                 "event_funnel"):
         df = em.queries()[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         sections.append(f"## {name}\n\n```\n{simplify(plan)}\n```\n")

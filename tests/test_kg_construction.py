@@ -606,3 +606,61 @@ def test_distmult_memorizes_and_is_deterministic(spark):
     # DistMult memorizes the planted KG essentially perfectly
     assert ev["color"]["mrr"] > 0.9
     assert ev["room"]["mrr"] > 0.9
+
+
+def test_chunk_documents_reconstruction_sweep(spark):
+    """Structural properties over a size sweep: chunk k starts at the
+    stride boundary, every chunk except the last is full-width, and
+    stitching chunk 0 + each later chunk's post-overlap tail exactly
+    reconstructs the token sequence."""
+    from snips_nlu_spark.functions.text import chunk_documents
+
+    chunk, overlap = 64, 16
+    stride = chunk - overlap
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{n}_{i}" for i in range(n)), "s")
+         for n in range(0, 200, 7)],
+        "doc_id long, text string, source string")
+    by_doc = {}
+    for r in chunk_documents(docs, chunk_tokens=chunk,
+                             overlap=overlap).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # empty doc -> no rows
+    for n, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = []
+        for k, r in enumerate(rows):
+            words = r["chunk_text"].split()
+            assert r["n_chunk_tokens"] == len(words)
+            if k < len(rows) - 1:
+                assert len(words) == chunk
+            assert words[0] == f"w{n}_{k * stride}"
+            toks.extend(words if k == 0 else words[overlap:])
+        assert toks == [f"w{n}_{i}" for i in range(n)]
+
+
+def test_funnel_cohorts_are_nested(spark):
+    """Each funnel step's cohort is a subset of the previous one —
+    n_users is non-increasing in step_idx for ANY input, windowed or
+    not."""
+    import datetime as dt
+
+    from snips_nlu_spark.functions.temporal import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["signup", "view", "click", "purchase"]
+    rows = [(i, t0 + dt.timedelta(seconds=(i * 37) % 501),
+             i % 20, types[(i * 13) % 4], 0.0, "{}")
+            for i in range(300)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    for window in (None, 120):
+        got = sorted(
+            ((r["step_idx"], r["n_users"]) for r in
+             funnel_counts(events, types,
+                           within_seconds=window).collect()))
+        assert [s for s, _ in got] == [0, 1, 2, 3]
+        counts = [n for _, n in got]
+        assert all(a >= b for a, b in zip(counts, counts[1:])), got
+        assert counts[0] > 0
