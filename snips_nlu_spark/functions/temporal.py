@@ -176,3 +176,37 @@ def funnel_counts(events: DataFrame, steps: list[str],
             "n_users")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def retention_cohorts(events: DataFrame,
+                      anchor_type: str = "signup",
+                      activity_type: str | None = None,
+                      by: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """Cohort retention matrix: keys cohorted by the DAY of their
+    first ``anchor_type`` event; each later active day counts them as
+    retained at that day offset ("of users who signed up on 1/3, how
+    many were active 7 days later"). ``activity_type`` restricts what
+    counts as activity (default: any event).
+
+    Output: (cohort_day, day_offset, n_active) — day 0 row equals the
+    cohort size (the anchor day itself is active); offsets are
+    non-negative (pre-anchor activity is ignored); integer counts,
+    hash-exact.
+
+    Scale shape: one min-agg on the key for the cohort day, one
+    equi-join back on the key, one distinct-count agg on
+    (cohort_day, day_offset) — all map-side combinable, no windows.
+    """
+    anchor = (events.filter(F.col(type_col) == anchor_type)
+              .groupBy(by)
+              .agg(F.to_date(F.min(ts_col)).alias("cohort_day")))
+    activity = events if activity_type is None else \
+        events.filter(F.col(type_col) == activity_type)
+    acts = activity.select(by, F.to_date(ts_col).alias("_day"))
+    return (acts.join(anchor, by)
+            .withColumn("day_offset",
+                        F.datediff("_day", "cohort_day"))
+            .filter(F.col("day_offset") >= 0)
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.countDistinct(by).alias("n_active")))

@@ -301,3 +301,38 @@ def test_funnel_counts_hand_fixture(spark):
             funnel_counts(events,
                           ["signup", "view", "purchase"]).collect()}
     assert got2 == {"signup": 4, "view": 3, "purchase": 2}
+
+
+def test_retention_cohorts_hand_fixture(spark):
+    import datetime as dt
+
+    from snips_nlu_spark.functions.temporal import retention_cohorts
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def ev(i, u, typ, days):
+        return (i, d0 + dt.timedelta(days=days), u, typ, 0.0, "{}")
+
+    rows = [
+        # u1 signs up day 0, active day 0 (signup itself) + day 2
+        ev(0, 1, "signup", 0), ev(1, 1, "click", 2),
+        # u2 signs up day 0 (second signup day 3 ignored), active day 1
+        ev(2, 2, "signup", 0), ev(3, 2, "signup", 3),
+        ev(4, 2, "view", 1),
+        # u3: pre-signup activity ignored, signs up day 1
+        ev(5, 3, "click", 0), ev(6, 3, "signup", 1),
+        # u4 never signs up -> not in any cohort
+        ev(7, 4, "click", 0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(str(r["cohort_day"]), r["day_offset"]): r["n_active"]
+           for r in retention_cohorts(events).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1 + u2 active on their cohort day
+        ("2024-01-01", 1): 1,   # u2 view
+        ("2024-01-01", 2): 1,   # u1 click
+        ("2024-01-01", 3): 1,   # u2's second signup counts as activity
+        ("2024-01-02", 0): 1,   # u3 cohort day (pre-signup click gone)
+    }
