@@ -799,6 +799,79 @@ def make_distmult_oracle(n_neg: int = 50) -> Path:
     return out
 
 
+def make_complex_oracle(n_neg: int = 50) -> Path:
+    """Numpy replay of spark/kg_embed.complex_link_prediction_ranks —
+    shared trainer, independent replay of the Re(⟨s, p, conj(o)⟩)
+    fold in the JVM's per-dim expression order."""
+    import hashlib
+
+    from snips_nlu_spark.spark.kg_embed import (TRANSE_DIM,
+                                                TRANSE_SAMPLE_CAP,
+                                                TRANSE_SEED,
+                                                train_complex)
+
+    t = pq.read_table(ORACLE_DIR / "triples_sf0.01.parquet",
+                      columns=["subj", "pred", "obj"]).to_pylist()
+    facts = sorted({(r["subj"], r["pred"], r["obj"]) for r in t})
+
+    def fact_key(f):
+        return hashlib.md5("|".join(f).encode("utf8")).hexdigest()
+
+    sample = sorted(facts, key=fact_key)[:TRANSE_SAMPLE_CAP]
+    ent, rel = train_complex(sample)
+    d = TRANSE_DIM
+
+    objs: dict[str, list[str]] = {}
+    for p, o in sorted({(p, o) for _, p, o in facts}):
+        objs.setdefault(p, []).append(o)
+    for p in objs:
+        objs[p].sort(key=lambda o: hashlib.md5(o.encode("utf8"))
+                     .hexdigest())
+
+    def score(s, p, o):
+        es, rp, eo = ent[s], rel[p], ent[o]
+        acc = 0.0
+        for k in range(d):
+            a = (float(es[k]) * float(rp[k])) \
+                - (float(es[d + k]) * float(rp[d + k]))
+            b = (float(es[k]) * float(rp[d + k])) \
+                + (float(es[d + k]) * float(rp[k]))
+            acc += (a * float(eo[k])) + (b * float(eo[d + k]))
+        return acc
+
+    rows = []
+    for s, p, o in facts:
+        pool = objs[p]
+        n = len(pool)
+        if (n < 2 or s not in ent or o not in ent or p not in rel):
+            continue
+        true_idx = pool.index(o)
+        h = int(hashlib.md5(f"{s}|{p}|{o}:{TRANSE_SEED}"
+                            .encode("utf8")).hexdigest()[:8], 16)
+        cands = set()
+        for j in range(n_neg):
+            idx = (h + j) % (n - 1)
+            if idx >= true_idx:
+                idx += 1
+            cands.add(pool[idx])
+        cands = {c for c in cands if c in ent}
+        s_true = score(s, p, o)
+        beat = sum(1 for c in cands if score(s, p, c) > s_true)
+        rows.append((s, p, o, len(cands), beat + 1))
+    out = ORACLE_DIR / "complex_ranks_sf0.01.parquet"
+    table = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+        "n_candidates": pa.array([r[3] for r in rows],
+                                 type=pa.int64()),
+        "transe_rank": pa.array([r[4] for r in rows],
+                                type=pa.int32())})
+    pq.write_table(table, out)
+    print(f"complex rank oracle -> {len(rows)} rows -> {out}")
+    return out
+
+
 def make_value_transe_oracle(n_neg: int = 50) -> Path:
     """Numpy replay of spark/kg_embed.value_link_prediction_ranks over
     the committed sf0.01 triples oracle: python re-derivation of the
@@ -1065,6 +1138,7 @@ if __name__ == "__main__":
             make_quality_oracle()
             make_transe_oracle()
             make_distmult_oracle()
+            make_complex_oracle()
             make_value_transe_oracle()
             make_bpe_train_oracle()
             make_langid_oracle()

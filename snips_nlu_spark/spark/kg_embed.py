@@ -380,3 +380,115 @@ def link_prediction_eval(ranks: DataFrame) -> DataFrame:
                                .cast("double")), 6).alias("hits_at_1"),
                  F.round(F.avg((F.col("transe_rank") <= 3)
                                .cast("double")), 6).alias("hits_at_3")))
+
+
+def train_complex(facts: list[tuple[str, str, str]],
+                  dim: int = TRANSE_DIM, epochs: int = TRANSE_EPOCHS,
+                  lr: float = TRANSE_LR, margin: float = TRANSE_MARGIN,
+                  seed: int = TRANSE_SEED) -> tuple[dict, dict]:
+    """Deterministic full-batch margin-ranking ComplEx (Trouillon et
+    al. 2016): complex-valued embeddings, score(s, p, o) =
+    Re(⟨e_s, r_p, conj(e_o)⟩) — the scorer that models ASYMMETRIC
+    relations DistMult cannot. Vectors are stored as length-2·dim
+    arrays (real half ‖ imaginary half) so the Spark side stays pure
+    array arithmetic. Same corruption scheme and simultaneous-update
+    discipline as the other trainers; entity rows are L2-normalized
+    over the full 2·dim vector per epoch."""
+    ents = sorted({s for s, _, _ in facts} | {o for _, _, o in facts})
+    rels = sorted({p for _, p, _ in facts})
+    e_idx = {e: i for i, e in enumerate(ents)}
+    r_idx = {r: i for i, r in enumerate(rels)}
+    n_ent = len(ents)
+    rng = np.random.default_rng(seed)
+    bound = 6.0 / np.sqrt(dim)
+    ent_m = rng.uniform(-bound, bound, (n_ent, 2 * dim))
+    rel_m = rng.uniform(-bound, bound, (len(rels), 2 * dim))
+    if not facts or n_ent < 2:
+        return ({e: ent_m[i] for e, i in e_idx.items()},
+                {r: rel_m[i] for i, r in enumerate(rels)})
+    s_i = np.array([e_idx[s] for s, _, _ in facts])
+    p_i = np.array([r_idx[p] for _, p, _ in facts])
+    o_i = np.array([e_idx[o] for _, _, o in facts])
+    h = np.array([_fact_hash(s, p, o, seed) for s, p, o in facts],
+                 dtype=np.int64)
+
+    def _score(e_s, r_p, e_o):
+        sr, si = e_s[:, :dim], e_s[:, dim:]
+        pr, pi = r_p[:, :dim], r_p[:, dim:]
+        orr, oi = e_o[:, :dim], e_o[:, dim:]
+        return ((sr * pr - si * pi) * orr
+                + (sr * pi + si * pr) * oi).sum(1)
+
+    for epoch in range(epochs):
+        ent_m /= np.maximum(np.linalg.norm(ent_m, axis=1,
+                                           keepdims=True), 1e-12)
+        neg = (h + epoch) % (n_ent - 1)
+        neg = neg + (neg >= o_i)
+        viol = (margin - _score(ent_m[s_i], rel_m[p_i], ent_m[o_i])
+                + _score(ent_m[s_i], rel_m[p_i], ent_m[neg])) > 0.0
+        if not viol.any():
+            continue
+        sv, pv = s_i[viol], p_i[viol]
+        ov, nv = o_i[viol], neg[viol]
+        es, rp = ent_m[sv].copy(), rel_m[pv].copy()
+        eo, en = ent_m[ov].copy(), ent_m[nv].copy()
+        sr, si = es[:, :dim], es[:, dim:]
+        pr, pi = rp[:, :dim], rp[:, dim:]
+
+        def grads(eobj):
+            orr, oi = eobj[:, :dim], eobj[:, dim:]
+            g_s = np.concatenate([pr * orr + pi * oi,
+                                  -pi * orr + pr * oi], axis=1)
+            g_o = np.concatenate([sr * pr - si * pi,
+                                  sr * pi + si * pr], axis=1)
+            g_p = np.concatenate([sr * orr + si * oi,
+                                  -si * orr + sr * oi], axis=1)
+            return g_s, g_o, g_p
+
+        gs_pos, go_pos, gp_pos = grads(eo)
+        gs_neg, go_neg, gp_neg = grads(en)
+        np.add.at(ent_m, sv, lr * (gs_pos - gs_neg))
+        np.add.at(ent_m, ov, lr * go_pos)
+        np.add.at(ent_m, nv, -lr * go_neg)
+        np.add.at(rel_m, pv, lr * (gp_pos - gp_neg))
+    ent_m /= np.maximum(np.linalg.norm(ent_m, axis=1, keepdims=True),
+                        1e-12)
+    return ({e: ent_m[i] for e, i in e_idx.items()},
+            {r: rel_m[i] for i, r in enumerate(rels)})
+
+
+def _cx_score(dim: int):
+    """ComplEx Re(⟨s, p, conj(o)⟩) as JVM array arithmetic over the
+    real‖imag layout: A = sr⊙pr − si⊙pi, B = sr⊙pi + si⊙pr, score =
+    Σ (A⊙o_re + B⊙o_im) — the replay computes the same per-dim
+    expression left-to-right."""
+    def score(s_vec, p_vec, o_vec):
+        def half(v, first):
+            return F.slice(v, 1 if first else dim + 1, dim)
+        sr, si = half(s_vec, True), half(s_vec, False)
+        pr, pi = half(p_vec, True), half(p_vec, False)
+        orr, oi = half(o_vec, True), half(o_vec, False)
+        mul = lambda a, b: F.zip_with(a, b, lambda x, y: x * y)  # noqa: E731
+        sub = lambda a, b: F.zip_with(a, b, lambda x, y: x - y)  # noqa: E731
+        add = lambda a, b: F.zip_with(a, b, lambda x, y: x + y)  # noqa: E731
+        a_arr = sub(mul(sr, pr), mul(si, pi))
+        b_arr = add(mul(sr, pi), mul(si, pr))
+        total = add(mul(a_arr, orr), mul(b_arr, oi))
+        return F.aggregate(total, F.lit(0.0),
+                           lambda acc, x: acc + x)
+    return score
+
+
+def complex_link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
+                                  dim: int = TRANSE_DIM,
+                                  epochs: int = TRANSE_EPOCHS,
+                                  sample_cap: int = TRANSE_SAMPLE_CAP
+                                  ) -> DataFrame:
+    """Link-prediction ranks under the ComplEx scorer — same
+    deterministic machinery, complex geometry (handles asymmetric
+    relations). Output schema matches :func:`link_prediction_ranks`."""
+    facts = _sample_facts(triples, sample_cap)
+    ent, rel = train_complex(facts, dim=dim, epochs=epochs)
+    return _ranks_against_negatives(
+        triples.select("subj", "pred", "obj").distinct(),
+        ent, rel, n_neg, _cx_score(dim), higher_is_better=True)

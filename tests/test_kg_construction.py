@@ -664,3 +664,49 @@ def test_funnel_cohorts_are_nested(spark):
         counts = [n for _, n in got]
         assert all(a >= b for a, b in zip(counts, counts[1:])), got
         assert counts[0] > 0
+
+
+def test_complex_memorizes_and_handles_asymmetry(spark):
+    import numpy as np
+
+    from snips_nlu_spark.spark.kg_embed import (
+        complex_link_prediction_ranks, link_prediction_eval,
+        train_complex)
+
+    # determinism
+    facts = sorted({(f"t{i}", "color", f"col{i % 6}")
+                    for i in range(30)})
+    e1, r1 = train_complex(facts, epochs=50)
+    e2, r2 = train_complex(facts, epochs=50)
+    for k in e1:
+        assert np.array_equal(e1[k], e2[k])
+
+    # ComplEx scores ASYMMETRIC relations: score(a, p, b) need not
+    # equal score(b, p, a) — the property DistMult lacks
+    ent, rel = train_complex(
+        [("a", "follows", "b"), ("b", "follows", "c"),
+         ("c", "follows", "a")], epochs=100)
+    d = len(rel["follows"]) // 2
+
+    def sc(s, o):
+        es, rp, eo = ent[s], rel["follows"], ent[o]
+        acc = 0.0
+        for k in range(d):
+            a_ = es[k] * rp[k] - es[d + k] * rp[d + k]
+            b_ = es[k] * rp[d + k] + es[d + k] * rp[k]
+            acc += a_ * eo[k] + b_ * eo[d + k]
+        return acc
+    assert sc("a", "b") > sc("b", "a")
+
+    # planted-KG memorization through the full Spark rank pipeline
+    rows = []
+    for i in range(30):
+        rows.append(("c0", i, f"t{i}", "color", f"col{i % 6}", "color",
+                     0, 1, None, 1.0))
+        rows.append(("c0", i, f"t{i}", "room", f"rm{(i * 7) % 6}",
+                     "room", 0, 1, None, 1.0))
+    t = spark.createDataFrame(rows, SCHEMA)
+    ev = {r["pred"]: r for r in link_prediction_eval(
+        complex_link_prediction_ranks(t, n_neg=10)).collect()}
+    assert ev["color"]["mrr"] > 0.9
+    assert ev["room"]["mrr"] > 0.9
