@@ -101,16 +101,32 @@ def train_transe(facts: list[tuple[str, str, str]],
             {r: rel_m[i] for i, r in enumerate(rels)})
 
 
-def _sample_facts(triples: DataFrame,
-                  sample_cap: int) -> list[tuple[str, str, str]]:
+def _sample_facts(triples: DataFrame, sample_cap: int, *,
+                  distinct_done: bool = False
+                  ) -> list[tuple[str, str, str]]:
     """Bounded deterministic training sample: first ``sample_cap``
     distinct facts along the md5 permutation (TakeOrdered — no full
-    sort materializes on the driver)."""
-    rows = (triples.select("subj", "pred", "obj").distinct()
+    sort materializes on the driver). ``distinct_done=True`` skips the
+    dedup shuffle when the caller already passes the distinct fact set
+    (the rank pipelines materialize it once and share it)."""
+    base = triples.select("subj", "pred", "obj")
+    if not distinct_done:
+        base = base.distinct()
+    rows = (base
             .withColumn("_ord", F.md5(F.concat_ws("|", "subj", "pred",
                                                   "obj")))
             .orderBy("_ord").limit(sample_cap).collect())
     return [(r["subj"], r["pred"], r["obj"]) for r in rows]
+
+
+def _distinct_facts(triples: DataFrame) -> DataFrame:
+    """The distinct (subj, pred, obj) fact set, localCheckpoint-ed: the
+    rank pipelines read it three times (training sample, positive side
+    of the negative draw, object universe) — one dedup shuffle +
+    materialization instead of three, and the checkpoint gives AQE
+    exact sizes for the downstream joins."""
+    return (triples.select("subj", "pred", "obj").distinct()
+            .localCheckpoint())
 
 
 def _embedding_frames(spark, ent: dict, rel: dict):
@@ -228,16 +244,21 @@ def _ranks_against_negatives(facts_source: DataFrame, ent: dict,
                              ) -> DataFrame:
     """Shared ranking pyramid: deterministic negative draw → four
     broadcast embedding joins → per-fact strict-beat count. rank =
-    1 + |{candidates scoring strictly better than the truth}|."""
+    1 + |{candidates scoring strictly better than the truth}|.
+
+    The draw runs with ``unique=True`` — the per-fact explode is capped
+    at the predicate's pool size, which emits exactly the distinct
+    (fact, neg_obj) set the old ``dropDuplicates`` produced (set
+    equality verified both directions at sf1.0) without the 41M-row
+    dedup shuffle (round-6 measurement: 9.8 s → 2.2 s for the draw)."""
     from .kg import negative_samples
 
     spark = facts_source.sparkSession
     ent_df, rel_df = _embedding_frames(spark, ent, rel)
-    negs = negative_samples(facts_source, n_neg=n_neg)
+    negs = negative_samples(facts_source, n_neg=n_neg, unique=True)
     if test_facts is not None:
         negs = negs.join(test_facts.distinct(),
                          ["subj", "pred", "obj"], "semi")
-    negs = negs.dropDuplicates(["subj", "pred", "obj", "neg_obj"])
     base = (negs
             .join(F.broadcast(ent_df.withColumnRenamed("node", "subj")
                               .withColumnRenamed("vec", "_sv")), "subj")
@@ -270,11 +291,11 @@ def distmult_link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
     integer ranks). Output schema matches
     :func:`link_prediction_ranks` (the rank column keeps its name so
     the eval rollup works unchanged)."""
-    facts = _sample_facts(triples, sample_cap)
+    facts_df = _distinct_facts(triples)
+    facts = _sample_facts(facts_df, sample_cap, distinct_done=True)
     ent, rel = train_distmult(facts, dim=dim, epochs=epochs)
     return _ranks_against_negatives(
-        triples.select("subj", "pred", "obj").distinct(),
-        ent, rel, n_neg, _dm_score, higher_is_better=True)
+        facts_df, ent, rel, n_neg, _dm_score, higher_is_better=True)
 
 
 def link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
@@ -300,11 +321,11 @@ def link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
     predicate's full object universe is the documented alternative
     when the universe is small).
     """
-    facts = _sample_facts(triples, sample_cap)
+    facts_df = _distinct_facts(triples)
+    facts = _sample_facts(facts_df, sample_cap, distinct_done=True)
     ent, rel = train_transe(facts, dim=dim, epochs=epochs)
     return _ranks_against_negatives(
-        triples.select("subj", "pred", "obj").distinct(),
-        ent, rel, n_neg, _dist, higher_is_better=False)
+        facts_df, ent, rel, n_neg, _dist, higher_is_better=False)
 
 
 HOLDOUT_SEED = 7
@@ -357,12 +378,13 @@ def value_link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
 
     Output: (subj, pred, obj, n_candidates, transe_rank).
     """
-    facts = value_cooccurrence_facts(triples)
+    facts = value_cooccurrence_facts(triples).localCheckpoint()
     is_test = _holdout_test()
     train = facts.filter(~is_test)
     test = facts.filter(is_test)
-    ent, rel = train_transe(_sample_facts(train, sample_cap),
-                            dim=dim, epochs=epochs)
+    ent, rel = train_transe(
+        _sample_facts(train, sample_cap, distinct_done=True),
+        dim=dim, epochs=epochs)
     return _ranks_against_negatives(facts, ent, rel, n_neg, _dist,
                                     higher_is_better=False,
                                     test_facts=test)
@@ -487,8 +509,9 @@ def complex_link_prediction_ranks(triples: DataFrame, n_neg: int = 50,
     """Link-prediction ranks under the ComplEx scorer — same
     deterministic machinery, complex geometry (handles asymmetric
     relations). Output schema matches :func:`link_prediction_ranks`."""
-    facts = _sample_facts(triples, sample_cap)
+    facts_df = _distinct_facts(triples)
+    facts = _sample_facts(facts_df, sample_cap, distinct_done=True)
     ent, rel = train_complex(facts, dim=dim, epochs=epochs)
     return _ranks_against_negatives(
-        triples.select("subj", "pred", "obj").distinct(),
-        ent, rel, n_neg, _cx_score(dim), higher_is_better=True)
+        facts_df, ent, rel, n_neg, _cx_score(dim),
+        higher_is_better=True)
