@@ -68,6 +68,34 @@ def _shingles(documents: DataFrame, n: int = 3,
     return out
 
 
+def _shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct 64-bit shingle fingerprints per doc: (doc_id, h) with
+    h = xxhash64 over the n token columns directly — no n-gram STRING
+    is ever materialized, the distinct runs on longs, and every
+    downstream shuffle/join carries 8-byte keys instead of ~30-char
+    shingles (guide §2.3: narrower types). Used by the MinHash-LSH
+    paths, where candidate generation is probabilistic anyway and
+    verification only needs shingle EQUALITY: two distinct shingles
+    colliding in 64 bits (birthday bound ~1e-7 even at millions of
+    distinct shingles per corpus) is far below the LSH miss
+    probability the operator already accepts."""
+    toks = documents.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE),
+                             F.lit(0)).alias("w"))
+    hashed = toks.select(
+        "doc_id",
+        F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.xxhash64(*[F.col("w")[i + j]
+                                       for j in range(n)]))
+        ).otherwise(F.array().cast("array<long>")).alias("hs"))
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct("hs")).alias("h"))
+
+
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all co-shingled pairs."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -122,17 +150,14 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
     # stays correct — it just recomputes its shingles.
     while _SHINGLE_CACHE:
         _SHINGLE_CACHE.pop().unpersist()
-    sh = _shingles(documents, n=n).persist()
+    sh = _shingle_hashes(documents, n=n).persist()
     _SHINGLE_CACHE.append(sh)
 
     n_hashes = bands * rows
     minhash_cols = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        F.min(F.xxhash64(F.col("h"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)]
-    per_doc = (sh.groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_shingles"),
-                    *minhash_cols))
-    sig = per_doc
+    sig = sh.groupBy("doc_id").agg(*minhash_cols)
 
     # band signatures → candidate pairs from bucket collisions. ONE
     # posexplode over an array of per-band bucket hashes — a 24-way union
@@ -163,15 +188,20 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
     cand_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
     cand_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
     sh_a = (sh.join(cand_a, "doc_id", "semi")
-            .select(F.col("doc_id").alias("doc_a"), "shingle"))
+            .select(F.col("doc_id").alias("doc_a"), "h"))
     sh_b = (sh.join(cand_b, "doc_id", "semi")
-            .select(F.col("doc_id").alias("doc_b"), "shingle"))
+            .select(F.col("doc_id").alias("doc_b"), "h"))
     inter = (candidates
              .join(sh_a, "doc_a")
-             .join(sh_b, ["doc_b", "shingle"])
+             .join(sh_b, ["doc_b", "h"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter")))
-    sizes = per_doc.select("doc_id", "n_shingles")
+    # doc sizes come from a NARROW count agg over the persisted shingle
+    # table, not from per_doc — reading per_doc here would re-run the
+    # whole 72-column minhash aggregation a second time (measured
+    # ~2.6 s at sf1.0) just to project one count out of it
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1))
+                                     .alias("n_shingles"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
@@ -209,26 +239,27 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, ref_docs: DataFrame,
     """
     while _SHINGLE_CACHE:
         _SHINGLE_CACHE.pop().unpersist()
-    sh_new = _shingles(new_docs, n=n).persist()
-    sh_ref = _shingles(ref_docs, n=n).persist()
+    sh_new = _shingle_hashes(new_docs, n=n).persist()
+    sh_ref = _shingle_hashes(ref_docs, n=n).persist()
     _SHINGLE_CACHE.extend([sh_new, sh_ref])
 
     n_hashes = bands * rows
     minhash_cols = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        F.min(F.xxhash64(F.col("h"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)]
     bucket_array = F.array(*[
         F.xxhash64(*[F.col(f"h{band * rows + r}") for r in range(rows)])
         for band in range(bands)])
 
     def _banded(sh: DataFrame):
-        per_doc = (sh.groupBy("doc_id")
-                   .agg(F.count(F.lit(1)).alias("n_shingles"),
-                        *minhash_cols))
-        return (per_doc.select(
+        sig = sh.groupBy("doc_id").agg(*minhash_cols)
+        # sizes from a narrow count agg over the persisted shingles —
+        # not a second run of the 72-column signature agg
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1))
+                                         .alias("n_shingles"))
+        return (sig.select(
             "doc_id", F.posexplode(bucket_array)
-            .alias("band", "bucket")),
-            per_doc.select("doc_id", "n_shingles"))
+            .alias("band", "bucket")), sizes)
 
     banded_new, sizes_new = _banded(sh_new)
     banded_ref, sizes_ref = _banded(sh_ref)
@@ -244,10 +275,10 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, ref_docs: DataFrame,
     sh_b = (sh_ref.join(candidates.select(F.col("ref_doc_id")
                                           .alias("doc_id")).distinct(),
                         "doc_id", "semi")
-            .select(F.col("doc_id").alias("ref_doc_id"), "shingle"))
+            .select(F.col("doc_id").alias("ref_doc_id"), "h"))
     inter = (candidates
              .join(sh_a, "doc_id")
-             .join(sh_b, ["ref_doc_id", "shingle"])
+             .join(sh_b, ["ref_doc_id", "h"])
              .groupBy("doc_id", "ref_doc_id")
              .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes_new.select("doc_id", F.col("n_shingles").alias("na"))
