@@ -170,12 +170,16 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
         "doc_id", F.posexplode(bucket_array).alias("band", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
+    # localCheckpoint: the candidate list is read three times below
+    # (both semi-join sides + the verification join) — materializing the
+    # filtered minority once keeps the banded self-join single-run and
+    # gives AQE exact (tiny) sizes for the verification joins
     candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
                          & (F.col("a.bucket") == F.col("b.bucket"))
                          & (F.col("a.doc_id") < F.col("b.doc_id")))
                   .select(F.col("a.doc_id").alias("doc_a"),
                           F.col("b.doc_id").alias("doc_b"))
-                  .distinct())
+                  .distinct().localCheckpoint())
 
     # exact verification of candidates ONLY, against the EXPLODED shingle
     # table: semi-join each side of the shingle table down to candidate
@@ -268,7 +272,7 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, ref_docs: DataFrame,
                          & (F.col("a.bucket") == F.col("b.bucket")))
                   .select(F.col("a.doc_id").alias("doc_id"),
                           F.col("b.doc_id").alias("ref_doc_id"))
-                  .distinct())
+                  .distinct().localCheckpoint())
 
     sh_a = (sh_new.join(candidates.select("doc_id").distinct(),
                         "doc_id", "semi"))
@@ -420,6 +424,11 @@ def duplicate_clusters(pairs: DataFrame, documents: DataFrame | None = None,
     if strategy != "hashmin":
         raise ValueError(f"unknown strategy {strategy!r} "
                          "(expected 'hashmin' or 'star')")
+    # materialize the pair set ONCE before the symmetrize union: both
+    # union branches (and the label init) otherwise re-run the whole
+    # upstream pair-generation plan — for dedup_corpus that is the full
+    # MinHash pipeline executed twice (round-6: ~5 s at sf1.0)
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
@@ -499,6 +508,9 @@ def duplicate_clusters_star(pairs: DataFrame,
       at their collective minimum — after the final round the edge set
       IS the star: each node → its component min.
     """
+    # one materialization of the incoming pair plan (see the hashmin
+    # variant — the symmetrize union would execute it twice)
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
          .filter(F.col("u") != F.col("v")))
     # bidirectional adjacency: both (u,v) and (v,u) present
