@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from ._util import rebalance_input
 from .text import doc_fingerprint
 
 _WORD_RE = "[a-z0-9]+"
@@ -45,6 +46,7 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 def _shingles(documents: DataFrame, n: int = 3,
               max_df: int | None = None) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    documents = rebalance_input(documents)
     toks = documents.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE),
@@ -68,32 +70,93 @@ def _shingles(documents: DataFrame, n: int = 3,
     return out
 
 
-def _shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct 64-bit shingle fingerprints per doc: (doc_id, h) with
-    h = xxhash64 over the n token columns directly — no n-gram STRING
-    is ever materialized, the distinct runs on longs, and every
-    downstream shuffle/join carries 8-byte keys instead of ~30-char
-    shingles (guide §2.3: narrower types). Used by the MinHash-LSH
-    paths, where candidate generation is probabilistic anyway and
-    verification only needs shingle EQUALITY: two distinct shingles
-    colliding in 64 bits (birthday bound ~1e-7 even at millions of
-    distinct shingles per corpus) is far below the LSH miss
-    probability the operator already accepts."""
+def _shingle_hash_arrays(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT shingle-hash arrays: (doc_id, hs array<long>).
+    One tokenize+hash pass (xxhash64 over the n token columns directly —
+    no n-gram string is ever materialized and per-doc dedup runs on
+    longs); consumers derive the exploded (doc_id, h) table (map-only),
+    doc sizes (``size(hs)``, shuffle-free) and the MinHash band
+    signatures (numpy kernel) from this single materialization. Two
+    distinct shingles colliding in 64 bits (birthday bound ~1e-7 even at
+    millions of distinct shingles) is far below the LSH miss probability
+    the MinHash operators already accept."""
+    documents = rebalance_input(documents)
     toks = documents.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE),
                              F.lit(0)).alias("w"))
-    hashed = toks.select(
+    return toks.select(
         "doc_id",
-        F.when(
+        F.array_distinct(F.when(
             F.size("w") >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size("w") - n),
                 lambda i: F.xxhash64(*[F.col("w")[i + j]
                                        for j in range(n)]))
-        ).otherwise(F.array().cast("array<long>")).alias("hs"))
-    return hashed.select(
-        "doc_id", F.explode(F.array_distinct("hs")).alias("h"))
+        ).otherwise(F.array().cast("array<long>"))).alias("hs"))
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over uint64 (same constants as
+    functions/similarity._splitmix64 / datagen._mix)."""
+    import numpy as np
+    u = np.uint64
+    z = (x + u(0x9E3779B97F4A7C15)).astype(u)
+    z = (z ^ (z >> u(30))) * u(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> u(27))) * u(0x94D049BB133111EB)
+    return z ^ (z >> u(31))
+
+
+def _minhash_banded(arrs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket): per-band LSH bucket signatures via ONE
+    vectorized numpy pass over the per-doc hash arrays — replaces the
+    72-column ``min(xxhash64(h, seed))`` JVM aggregation (a shuffle +
+    190M short-input hash evaluations at sf1.0) with a map-side
+    splitmix64 min-fold (guide §4.2: batch work belongs in vectorized
+    native code). The hash FAMILY differs from the old JVM one, which
+    only moves which candidate pairs collide — the exact-Jaccard
+    verification keeps the operator's output identical whenever LSH
+    recall holds (re-verified against brute force at sf0.01/sf0.1).
+    Docs with no shingles emit no rows (same as the old aggregation)."""
+    import numpy as np
+    import pandas as pd
+
+    n_hashes = bands * rows
+    seed_keys = _splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
+    band_ids = np.arange(bands, dtype=np.int32)
+
+    def kernel(batches):
+        for pdf in batches:
+            hs_list = pdf["hs"]
+            lens = np.fromiter((len(h) for h in hs_list),
+                               dtype=np.int64, count=len(hs_list))
+            keep = lens > 0
+            if not keep.any():
+                yield pd.DataFrame({"doc_id": [], "band": [],
+                                    "bucket": []})
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()[keep]
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hs_list[keep]]
+            ).view(np.uint64)
+            klens = lens[keep]
+            offsets = np.concatenate(([0], np.cumsum(klens)[:-1]))
+            n_docs = len(doc_ids)
+            sigs = np.empty((n_docs, n_hashes), dtype=np.uint64)
+            for s in range(n_hashes):
+                sigs[:, s] = np.minimum.reduceat(
+                    _splitmix64(flat ^ seed_keys[s]), offsets)
+            sig3 = sigs.reshape(n_docs, bands, rows)
+            acc = np.zeros((n_docs, bands), dtype=np.uint64)
+            for r in range(rows):
+                acc = _splitmix64(acc ^ sig3[:, :, r])
+            yield pd.DataFrame({
+                "doc_id": np.repeat(doc_ids, bands),
+                "band": np.tile(band_ids, n_docs),
+                "bucket": acc.reshape(-1).view(np.int64)})
+
+    return arrs.mapInPandas(kernel,
+                            "doc_id long, band int, bucket long")
 
 
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
@@ -150,24 +213,14 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
     # stays correct — it just recomputes its shingles.
     while _SHINGLE_CACHE:
         _SHINGLE_CACHE.pop().unpersist()
-    sh = _shingle_hashes(documents, n=n).persist()
-    _SHINGLE_CACHE.append(sh)
+    arrs = _shingle_hash_arrays(documents, n=n).persist()
+    _SHINGLE_CACHE.append(arrs)
+    sh = arrs.select("doc_id", F.explode("hs").alias("h"))
 
-    n_hashes = bands * rows
-    minhash_cols = [
-        F.min(F.xxhash64(F.col("h"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(n_hashes)]
-    sig = sh.groupBy("doc_id").agg(*minhash_cols)
-
-    # band signatures → candidate pairs from bucket collisions. ONE
-    # posexplode over an array of per-band bucket hashes — a 24-way union
-    # of selects would re-run the 72-column min-aggregation per band
-    # (measured 24× the signature cost in BENCH before this change).
-    bucket_array = F.array(*[
-        F.xxhash64(*[F.col(f"h{band * rows + r}") for r in range(rows)])
-        for band in range(bands)])
-    banded = sig.select(
-        "doc_id", F.posexplode(bucket_array).alias("band", "bucket"))
+    # band signatures → candidate pairs from bucket collisions, via the
+    # vectorized numpy kernel (one map-side pass over the persisted
+    # hash arrays — no signature shuffle at all)
+    banded = _minhash_banded(arrs, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     # localCheckpoint: the candidate list is read three times below
@@ -200,12 +253,8 @@ def minhash_duplicate_pairs(documents: DataFrame, n: int = 3,
              .join(sh_b, ["doc_b", "h"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter")))
-    # doc sizes come from a NARROW count agg over the persisted shingle
-    # table, not from per_doc — reading per_doc here would re-run the
-    # whole 72-column minhash aggregation a second time (measured
-    # ~2.6 s at sf1.0) just to project one count out of it
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1))
-                                     .alias("n_shingles"))
+    # doc sizes are shuffle-free: size() of the persisted hash arrays
+    sizes = arrs.select("doc_id", F.size("hs").alias("n_shingles"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
@@ -243,30 +292,18 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, ref_docs: DataFrame,
     """
     while _SHINGLE_CACHE:
         _SHINGLE_CACHE.pop().unpersist()
-    sh_new = _shingle_hashes(new_docs, n=n).persist()
-    sh_ref = _shingle_hashes(ref_docs, n=n).persist()
-    _SHINGLE_CACHE.extend([sh_new, sh_ref])
+    arrs_new = _shingle_hash_arrays(new_docs, n=n).persist()
+    arrs_ref = _shingle_hash_arrays(ref_docs, n=n).persist()
+    _SHINGLE_CACHE.extend([arrs_new, arrs_ref])
+    sh_new = arrs_new.select("doc_id", F.explode("hs").alias("h"))
+    sh_ref = arrs_ref.select("doc_id", F.explode("hs").alias("h"))
 
-    n_hashes = bands * rows
-    minhash_cols = [
-        F.min(F.xxhash64(F.col("h"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(n_hashes)]
-    bucket_array = F.array(*[
-        F.xxhash64(*[F.col(f"h{band * rows + r}") for r in range(rows)])
-        for band in range(bands)])
+    def _banded(arrs: DataFrame):
+        return (_minhash_banded(arrs, bands, rows),
+                arrs.select("doc_id", F.size("hs").alias("n_shingles")))
 
-    def _banded(sh: DataFrame):
-        sig = sh.groupBy("doc_id").agg(*minhash_cols)
-        # sizes from a narrow count agg over the persisted shingles —
-        # not a second run of the 72-column signature agg
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1))
-                                         .alias("n_shingles"))
-        return (sig.select(
-            "doc_id", F.posexplode(bucket_array)
-            .alias("band", "bucket")), sizes)
-
-    banded_new, sizes_new = _banded(sh_new)
-    banded_ref, sizes_ref = _banded(sh_ref)
+    banded_new, sizes_new = _banded(arrs_new)
+    banded_ref, sizes_ref = _banded(arrs_ref)
     a, b = banded_new.alias("a"), banded_ref.alias("b")
     candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
                          & (F.col("a.bucket") == F.col("b.bucket")))
@@ -639,6 +676,7 @@ def substring_dup_spans(documents: DataFrame,
     """
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE),
                                  F.lit(0))
+    documents = rebalance_input(documents)
     toks = documents.select(
         "doc_id", words.alias("w"),
         F.aggregate(F.transform(words, lambda x: F.length(x)),

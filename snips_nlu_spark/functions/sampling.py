@@ -128,11 +128,17 @@ def pack_sequences(documents: DataFrame, seq_len: int = 2048,
     order = F.md5(F.concat(F.col("doc_id").cast("string"),
                            F.lit(f":{seed}")))
     bucket = F.conv(F.substring(order, 1, 2), 16, 10).cast("int")
+    # localCheckpoint: the narrow (doc_id, n_tokens, _ord, _bucket)
+    # projection feeds BOTH the per-bucket sums collect and the final
+    # window plan — without it the tokenize-and-count scan runs twice
+    from ._util import rebalance_input
+    documents = rebalance_input(documents)
     base = (documents
             .select("doc_id",
                     bpe_token_count(F.col("text")).alias("n_tokens"),
                     order.alias("_ord"), bucket.alias("_bucket"))
-            .filter(F.col("n_tokens") > 0))
+            .filter(F.col("n_tokens") > 0)
+            .localCheckpoint())
 
     sums = {r["_bucket"]: r["s"]
             for r in base.groupBy("_bucket")

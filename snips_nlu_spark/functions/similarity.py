@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ._util import rebalance_input
+
 
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y:
@@ -41,6 +43,7 @@ def brute_force_topk(embeddings: DataFrame, k: int = 5,
     """(query_id, neighbor_id, sim, rank): exact cosine top-k of each of
     the first ``n_queries`` vectors against the whole corpus (self
     excluded)."""
+    embeddings = rebalance_input(embeddings)
     queries = (embeddings.filter(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q")))
@@ -63,6 +66,7 @@ def cosine_duplicate_pairs(embeddings: DataFrame,
     embedding-near-duplicate analogue of ``jaccard_duplicate_pairs``.
     Quadratic BY DESIGN (the exact correctness baseline, like the brute
     Jaccard pairs); the scale path is ``cosine_duplicate_pairs_lsh``."""
+    embeddings = rebalance_input(embeddings)
     a = embeddings.select(F.col("vec_id").alias("vec_a"),
                           F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"),
@@ -203,6 +207,7 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5,
                       seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH ANN: per-table sign-bucket join, exact
     re-scoring of candidates, per-query top-k."""
+    embeddings = rebalance_input(embeddings)
     planes = _hyperplanes(dim, n_tables, n_bits, seed)
     buckets = _bucket_udf(planes)
 
@@ -325,6 +330,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
     the 10^9-vector layout. Recall knob = n_probe/n_centroids.
     Deterministic: quantizer trained on a vec_id-ordered sample,
     similarities rounded to 6 dp, ties broken by neighbor_id."""
+    embeddings = rebalance_input(embeddings)
     cents = _ivf_centroids(embeddings, n_centroids, seed=seed)
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -426,6 +432,7 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
     Recall knobs: n_probe/n_centroids (coarse) and rerank (PQ error).
     Deterministic end-to-end (seeded quantizers, 6-dp rounding,
     neighbor_id tie-breaks)."""
+    embeddings = rebalance_input(embeddings)
     train = _normalized_sample(embeddings)  # ONE sample collection
     cents = _ivf_centroids(embeddings, n_centroids, seed=seed,
                            sample=train)

@@ -34,6 +34,15 @@ def get_spark(app_name: str = "snips-nlu-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
+        # floor on SCAN parallelism (guide §6): a table smaller than
+        # cores × maxPartitionBytes otherwise scans with fewer tasks
+        # than cores (at sf1.0 the 5.7 MB documents table scanned as 3
+        # partitions → every tokenize-heavy doc query ran on 3 of 32
+        # cores). Derived from the session's core count, not a fixed
+        # number, so it stays scale-adaptive; on a real cluster the
+        # same floor simply matches split count to total cores.
+        .config("spark.sql.files.minPartitionNum",
+                str(max(parallelism, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",
