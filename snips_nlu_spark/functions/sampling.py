@@ -335,12 +335,22 @@ def dsir_importance_weights(documents: DataFrame,
                   - F.log((F.col("n_raw") + lam)
                           / (F.col("tot_raw") + lam * n_buckets)))
                  .alias("logratio")))
+    # the per-doc logweight is summed in DECIMAL(38,18): each term is
+    # deterministically quantized once, and the decimal sum is exact —
+    # so the result no longer depends on partition/arrival order. A
+    # plain double F.sum rounded to 6 dp after the fact flipped the
+    # last digit across runs when a doc's sum landed on a rounding
+    # boundary (the round-5 driver-gate flake on this query; same
+    # pathology the event_sessions micro-quantization fixed). The
+    # quantization error (≤5e-19/term) is ~12 orders below the 6-dp
+    # resolution, so the computed value is unchanged.
+    term = (F.col("cnt") * F.col("logratio")).cast("decimal(38,18)")
     docw = (occ.groupBy("doc_id", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .join(F.broadcast(ratio), "bucket")
             .groupBy("doc_id")
             .agg(F.sum("cnt").alias("n_grams"),
-                 F.sum(F.col("cnt") * F.col("logratio")).alias("lw")))
+                 F.sum(term).cast("double").alias("lw")))
     return (documents.select("doc_id")
             .join(docw, "doc_id", "left")
             .select("doc_id",

@@ -392,9 +392,14 @@ def bigram_lm_scores(documents: DataFrame, k: float = 0.5) -> DataFrame:
     it, and at 100 TB the count tables are computed once and reused
     across scoring runs.
     """
+    from ._util import rebalance_input
     w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"),
                              F.lit(0))
-    toks = documents.select("doc_id", w.alias("w"))
+    # rebalance only (guide §2.5 unsplittable input); the tokenize
+    # projection stays lazy — materializing a corpus-sized intermediate
+    # would not scale, and the four consumers' re-tokenize passes are
+    # map-side
+    toks = rebalance_input(documents).select("doc_id", w.alias("w"))
     bigrams = toks.select(
         "doc_id",
         F.explode(F.when(
