@@ -231,7 +231,12 @@ def rank_intents(df, model_json: str, top_n: int = 3):
     def kernel(batches):
         engine = _engine_from_json(bc.value)
         has_datetime = getattr(engine, "has_datetime", None)
-        memo: dict = {}  # worker-lifetime (text[, date]) -> top_n tuple
+        # worker-lifetime (text[, date]) -> top_n tuple, attached to the
+        # per-worker cached engine exactly like parse_memo — a plain
+        # local dict here is rebuilt per TASK (the closure ships with
+        # every task), which silently defeated the documented
+        # worker-lifetime reuse across batches/jobs
+        memo: dict = engine.__dict__.setdefault("rank_memo", {})
 
         for pdf in batches:
             ts_series = pd.to_datetime(pdf["ts"]) if "ts" in pdf.columns \
