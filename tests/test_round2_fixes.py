@@ -319,11 +319,12 @@ def test_minhash_plan_has_no_allpairs_verify(spark):
     # every shingle equi-join must be candidate-pair-scoped: its join
     # condition also carries a doc-id equality. The round-1 all-pairs
     # verify joined on shingle ALONE (with only doc_id < doc_id beside
-    # it), which this assertion rejects.
+    # it), which this assertion rejects. (Round 6: shingles are 64-bit
+    # hash columns named ``h`` — same invariant, new column name.)
     import re
     shingle_joins = [
         cond for cond in re.findall(r"Join \w+, \((.*)\)", plan)
-        if re.search(r"shingle#\d+ = shingle#\d+", cond)]
+        if re.search(r"\bh#\d+L? = h#\d+L?", cond)]
     assert shingle_joins, "verification no longer joins on shingles?"
     for cond in shingle_joins:
         assert re.search(r"doc_\w+#\d+L? = doc_\w+#\d+L?", cond), cond
