@@ -137,17 +137,24 @@ def _parse_batch(engine: NluEngine, pdf: pd.DataFrame) -> pd.DataFrame:
     conv_ids = pdf["conv_id"].to_numpy()
     turn_idxs = pdf["turn_idx"].to_numpy()
     texts = pdf["text"].to_numpy()
-    tss = pdf["ts"].to_numpy() if "ts" in pdf.columns else [None] * len(pdf)
-    ts_series = pd.to_datetime(pd.Series(tss))
 
-    # pass 1: memo keys per row
+    # pass 1: memo keys per row. The anchor dates are extracted
+    # VECTORIZED (one .dt.date + one isna mask) — iterating the
+    # DatetimeArray row-by-row materializes a Timestamp object per row
+    # and was ~45% of the memo-warm kernel time (profiled at 31k rows)
+    if "ts" in pdf.columns:
+        ts_series = pd.to_datetime(pd.Series(pdf["ts"].to_numpy()))
+        na = ts_series.isna().to_numpy()
+        raw_dates = ts_series.dt.date.to_numpy(dtype=object)
+        dates = [None if n else d for n, d in zip(na, raw_dates)]
+    else:
+        dates = [None] * len(pdf)
     keys: list = []
-    for text, ts in zip(texts, ts_series):
+    for text, date in zip(texts, dates):
         if text is None:
             keys.append(None)
             continue
         text = str(text)
-        date = None if pd.isna(ts) else ts.date()
         if date is not None and has_datetime is not None \
                 and not has_datetime(text):
             date = None
@@ -239,16 +246,20 @@ def rank_intents(df, model_json: str, top_n: int = 3):
         memo: dict = engine.__dict__.setdefault("rank_memo", {})
 
         for pdf in batches:
-            ts_series = pd.to_datetime(pdf["ts"]) if "ts" in pdf.columns \
-                else pd.Series([None] * len(pdf))
             # pass 1: memo keys (datetime-free texts key on text alone,
-            # same insight as _parse_batch)
+            # same insight as _parse_batch; dates extracted vectorized)
+            if "ts" in pdf.columns:
+                ts_series = pd.to_datetime(pdf["ts"])
+                na = ts_series.isna().to_numpy()
+                raw = ts_series.dt.date.to_numpy(dtype=object)
+                dates = [None if n else d for n, d in zip(na, raw)]
+            else:
+                dates = [None] * len(pdf)
             keys: list = []
-            for text, ts in zip(pdf["text"], ts_series):
+            for text, date in zip(pdf["text"], dates):
                 if text is None:
                     keys.append(None)
                     continue
-                date = None if pd.isna(ts) else ts.date()
                 if date is not None and has_datetime is not None \
                         and not has_datetime(str(text)):
                     date = None
