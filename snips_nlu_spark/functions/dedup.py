@@ -674,9 +674,11 @@ def substring_dup_spans(documents: DataFrame,
     documented precision tradeoff: runs shorter than ``window`` tokens
     are not flagged).
     """
+    # no input rebalance here: the window-hash agg shuffle immediately
+    # redistributes the exploded windows, so a pre-repartition of the
+    # raw docs is pure overhead (measured +0.15 s at sf1.0)
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE),
                                  F.lit(0))
-    documents = rebalance_input(documents)
     toks = documents.select(
         "doc_id", words.alias("w"),
         F.aggregate(F.transform(words, lambda x: F.length(x)),
